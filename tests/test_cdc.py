@@ -1,0 +1,195 @@
+"""CDC-apply correctness: the golden end-to-end scenario from
+SURVEY.md §5 / FIXTURES.md §A, plus the invariants the reference leaves
+untested (replay idempotence, tie-breaks, late data, empty batches)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import (
+    apply_cdc_batch,
+    flatten_envelope,
+    latest_per_key,
+    read_envelope_json,
+    split_upserts_deletes,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import fixtures
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.envelope import (
+    CDC_ENVELOPE_SCHEMA,
+    OP_COL,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.streaming import (
+    run_stream_once,
+)
+
+
+def _envelope_df(spark, envelopes):
+    return spark.createDataFrame(envelopes, schema=CDC_ENVELOPE_SCHEMA)
+
+
+def _table(spark, tmp_path, **kw) -> ParquetLakeTable:
+    return ParquetLakeTable(spark, str(tmp_path / "retail_trans"), **kw)
+
+
+def _state(table) -> dict[int, int]:
+    return {
+        r["trans_id"]: r["amount"]
+        for r in table.read_data().select("trans_id", "amount").collect()
+    }
+
+
+# ---------------------------------------------------------------- unit ops
+
+
+def test_flatten_envelope(spark):
+    df = flatten_envelope(_envelope_df(spark, fixtures.insert_only_envelopes()))
+    assert set(df.columns) == {
+        "trans_id", "customer_id", "event", "sku", "amount", "device",
+        "trans_datetime", "_op", "_op_timestamp", "_txn_id",
+    }
+    row = df.filter(F.col("trans_id") == 6).first()
+    assert row["_op"] == "insert"
+    assert row["_op_timestamp"] is not None
+    assert str(df.schema["trans_datetime"].dataType) == "TimestampType()"
+
+
+def test_dedup_latest_keeps_newest_op(spark):
+    # insert then update then delete for one key within a batch -> delete wins
+    env = fixtures.insert_only_envelopes()[:1]
+    upd = fixtures._envelope(fixtures._row(6, amount=99), "update", seq=50)
+    dele = fixtures._envelope(fixtures._row(6, amount=99), "delete", seq=60)
+    df = flatten_envelope(_envelope_df(spark, env + [upd, dele]))
+    out = latest_per_key(df).collect()
+    assert len(out) == 1
+    assert out[0]["_op"] == "delete"
+
+
+def test_dedup_tiebreak_on_txn_id(spark):
+    # identical timestamps -> higher transaction-id wins (deterministic,
+    # unlike the reference: SURVEY §2.5)
+    a = fixtures._envelope(fixtures._row(7, amount=1), "insert", seq=10)
+    b = fixtures._envelope(fixtures._row(7, amount=2), "update", seq=10)
+    b["metadata"]["transaction-id"] = a["metadata"]["transaction-id"] + 1
+    df = flatten_envelope(_envelope_df(spark, [a, b]))
+    out = latest_per_key(df).collect()
+    assert len(out) == 1 and out[0]["amount"] == 2
+
+
+def test_split_upserts_deletes(spark):
+    df = flatten_envelope(_envelope_df(spark, fixtures.dml_envelopes()))
+    ups, dels = split_upserts_deletes(df)
+    assert ups.filter(F.col(OP_COL) == "delete").count() == 0
+    assert dels.count() == 3
+
+
+# ------------------------------------------------------------- golden E2E
+
+
+def test_golden_two_wave_apply(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    assert _state(table) == {k: 10 + k for k in fixtures.INSERT_KEYS}
+
+    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    assert _state(table) == fixtures.expected_final_state()
+    # keys 6, 23, 33 deleted; 12 rows total (FIXTURES.md golden contract)
+    assert len(_state(table)) == 12
+    for gone in (6, 23, 33):
+        assert gone not in _state(table)
+
+
+def test_replay_idempotence(spark, tmp_path):
+    """T3: re-applying the same batch converges to the same state."""
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    dml = _envelope_df(spark, fixtures.dml_envelopes())
+    apply_cdc_batch(dml, table)
+    first = _state(table)
+    apply_cdc_batch(dml, table)  # replay
+    assert _state(table) == first
+
+
+def test_late_data_guard(spark, tmp_path):
+    """T4: an older image arriving in a LATER batch must not overwrite a
+    newer row (the reference would regress here — SURVEY §2.9 T4)."""
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    # late re-delivery of the ORIGINAL insert of key 19 (amount 29, old ts)
+    late = fixtures._envelope(fixtures._row(19, amount=29), "insert", seq=1)
+    apply_cdc_batch(_envelope_df(spark, [late]), table)
+    assert _state(table)[19] == 39  # updated amount survives
+
+
+def test_source_wins_without_lineage(spark, tmp_path):
+    """store_lineage=False reproduces the reference's exact 7-column
+    schema and batch-always-wins behavior."""
+    table = _table(spark, tmp_path, store_lineage=False)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    assert set(table.read_data().columns) == {
+        "trans_id", "customer_id", "event", "sku", "amount", "device", "trans_datetime",
+    }
+    late = fixtures._envelope(fixtures._row(19, amount=29), "insert", seq=1)
+    apply_cdc_batch(_envelope_df(spark, [late]), table)
+    assert _state(table)[19] == 29  # no guard: batch wins, like the reference
+
+
+def test_empty_batch_noop(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    before = _state(table)
+    apply_cdc_batch(_envelope_df(spark, []), table)
+    assert _state(table) == before
+
+
+def test_delete_then_reinsert_same_key(spark, tmp_path):
+    """SURVEY §7 hard-part 2: key deleted in one batch, reinserted later."""
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    dele = fixtures._envelope(fixtures._row(6, amount=16), "delete", seq=200)
+    apply_cdc_batch(_envelope_df(spark, [dele]), table)
+    assert 6 not in _state(table)
+    reins = fixtures._envelope(fixtures._row(6, amount=77), "insert", seq=300)
+    apply_cdc_batch(_envelope_df(spark, [reins]), table)
+    assert _state(table)[6] == 77
+
+
+def test_partition_move_on_update(spark, tmp_path):
+    """An update that changes the partition column must not leave the old
+    row behind in the old partition (Iceberg handles this via global key
+    match; our merge computes affected partitions)."""
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    row = fixtures._row(19, amount=55)
+    orig_event = row["event"]
+    row["event"] = "purchase" if orig_event != "purchase" else "visit"
+    upd = fixtures._envelope(row, "update", seq=400)
+    apply_cdc_batch(_envelope_df(spark, [upd]), table)
+    rows = table.read_data().filter(F.col("trans_id") == 19).collect()
+    assert len(rows) == 1
+    assert rows[0]["event"] == row["event"]
+
+
+# -------------------------------------------------------------- streaming
+
+
+def test_streaming_two_wave_golden(spark, tmp_path):
+    """Same golden contract through the Structured Streaming path
+    (file source -> foreachBatch -> merge), with checkpointed restart
+    between waves."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = _table(spark, tmp_path)
+
+    fixtures.write_jsonl(fixtures.insert_only_envelopes(), str(src / "wave1.json"))
+    run_stream_once(spark, str(src), table, ckpt)
+    assert _state(table) == {k: 10 + k for k in fixtures.INSERT_KEYS}
+
+    fixtures.write_jsonl(fixtures.dml_envelopes(), str(src / "wave2.json"))
+    run_stream_once(spark, str(src), table, ckpt)  # restart from checkpoint
+    assert _state(table) == fixtures.expected_final_state()

@@ -1,0 +1,58 @@
+"""Per-batch CDC apply: the body of the reference's ``processBatch``
+(/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:85-139)
+as a pure DataFrame pipeline.
+
+Differences from the reference, all deliberate (SURVEY §4 anti-patterns):
+- single ``isEmpty`` guard instead of three full ``count()`` actions;
+- no DynamicFrame round-trip, no per-batch ``SHOW TABLES`` collect;
+- ``_op`` kept explicitly until after the split (no reliance on
+  Catalyst's ResolveMissingReferences, SURVEY §2.2 note);
+- deterministic tie-break via transaction-id;
+- upserts and deletes applied in ONE merge pass (the dedup step already
+  guarantees one final op per key, so the reference's two sequential
+  MERGE statements are equivalent to a single combined apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pyspark.sql import functions as F
+
+from .dedup import latest_per_key
+from .envelope import OP_COL, OP_TS_COL, TXN_COL, flatten_envelope
+from ..lake.table import ParquetLakeTable
+
+OP_COLS = (OP_COL, OP_TS_COL, TXN_COL)
+
+
+def split_upserts_deletes(deduped: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P3 from SURVEY §2.2: split the deduped batch into upsert rows
+    (``_op != 'delete'``, reference :112) and delete rows (:127).
+    Exposed for API parity; ``apply_cdc_batch`` applies both in one pass.
+    """
+    return (
+        deduped.filter(F.col(OP_COL) != "delete"),
+        deduped.filter(F.col(OP_COL) == "delete"),
+    )
+
+
+def conform_to_target(df: DataFrame, target_cols: list[str]) -> DataFrame:
+    """P2: project to the target schema's column order (reference :108
+    probes the table with ``SELECT * LIMIT 0``; we take the schema from
+    the table object), keeping the transient op columns alongside."""
+    return df.select(*target_cols, *OP_COLS)
+
+
+def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int | None = None) -> None:
+    """Full micro-batch pipeline: flatten -> dedup-latest -> merge.
+
+    ``envelopes`` is a bounded DataFrame of CDC envelope rows (the
+    foreachBatch argument). Safe under batch replay (T3) and
+    out-of-order delivery (T4) — see ``lake.table.ParquetLakeTable.merge``.
+    """
+    if envelopes.isEmpty():  # P6 guard, once, without recomputing lineage
+        return
+    flat = flatten_envelope(envelopes)
+    deduped = latest_per_key(flat, key_cols=table.key_cols)
+    table.merge(deduped)

@@ -1,0 +1,104 @@
+"""CDC envelope schema + flatten projection.
+
+Envelope shape per the reference's DMS output
+(/root/reference/src/utils/gen_fake_cdc_data.py:28-58; one JSON object
+per line — DMS ``json-unformatted``,
+/root/reference/cdk_stacks/dms_aurora_mysql_to_kinesis.py:91).
+
+The reference lets the Glue Kinesis source infer this schema
+(spark_sql_merge_into_iceberg.py:78-80); we declare it explicitly for
+determinism — at 100 TB you never want per-batch schema inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Full-row image of the source table (MySQL retail_trans,
+#: /root/reference/README.md:215-225). trans_datetime arrives as an
+#: ISO-8601 string and is cast downstream (reference :103,110).
+DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("trans_id", T.LongType()),
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("event", T.StringType()),
+        T.StructField("sku", T.StringType()),
+        T.StructField("amount", T.IntegerType()),
+        T.StructField("device", T.StringType()),
+        T.StructField("trans_datetime", T.StringType()),
+    ]
+)
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("record-type", T.StringType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("partition-key-type", T.StringType()),
+        T.StructField("schema-name", T.StringType()),
+        T.StructField("table-name", T.StringType()),
+        T.StructField("transaction-id", T.LongType()),
+    ]
+)
+
+CDC_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("data", DATA_SCHEMA),
+        T.StructField("metadata", METADATA_SCHEMA),
+    ]
+)
+
+from ..constants import OP_COL, OP_TS_COL, PRIMARY_KEY, TXN_COL  # re-export
+
+__all__ = [
+    "CDC_ENVELOPE_SCHEMA", "DATA_SCHEMA", "METADATA_SCHEMA",
+    "PRIMARY_KEY", "OP_COL", "OP_TS_COL", "TXN_COL",
+    "read_envelope_json", "read_envelope_stream",
+    "parse_envelope_bytes", "flatten_envelope",
+]
+
+
+def read_envelope_json(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read JSON-lines CDC envelopes with the declared schema
+    (replaces the Glue Kinesis source, SURVEY §2.1 S1)."""
+    return spark.read.schema(CDC_ENVELOPE_SCHEMA).json(path)
+
+
+def read_envelope_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming file source over JSON-lines envelopes (S1 streaming form).
+
+    On a real deployment this is ``format("kafka")`` + ``F.from_json``;
+    the file source keeps identical downstream semantics.
+    """
+    reader = spark.readStream.schema(CDC_ENVELOPE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def parse_envelope_bytes(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """``from_json`` decode for byte/string transports (Kafka). The
+    reference relies on source-side inference instead (S1); explicit
+    parse keeps the plan deterministic and codegen-friendly."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), CDC_ENVELOPE_SCHEMA).alias("r")
+    ).select("r.data", "r.metadata")
+
+
+def flatten_envelope(df: DataFrame) -> DataFrame:
+    """P1+F1 from SURVEY §2.2/2.8: flatten ``data.*`` and lift the three
+    metadata fields the pipeline consumes (reference :100-103), plus the
+    transaction id as the dedup tiebreaker the reference lacks
+    (SURVEY §2.5 nondeterminism note).
+
+    Narrow, shuffle-free projection; Catalyst prunes all other envelope
+    fields out of the scan.
+    """
+    return df.select(
+        F.col("data.*"),
+        F.col("metadata.operation").alias(OP_COL),
+        F.to_timestamp(F.col("metadata.timestamp")).alias(OP_TS_COL),
+        F.col("metadata.`transaction-id`").alias(TXN_COL),
+    ).withColumn("trans_datetime", F.to_timestamp("trans_datetime"))

@@ -1,0 +1,192 @@
+"""Partitioned-parquet lake table with keyed MERGE semantics.
+
+The reference delegates MERGE to the Iceberg Spark extension
+(/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:59,
+118-136): Iceberg rewrites only the data files containing matched keys
+(copy-on-write). This module reproduces those semantics over plain
+parquet, which is what the test image supports (no Iceberg jar):
+
+- the table directory is hive-partitioned by a partition column
+  (``PARTITIONED BY (event)`` in the reference's Athena DDL,
+  README.md:355-368);
+- a merge rewrites ONLY the partitions that contain matched keys or
+  receive new rows (computed from partition-value metadata, never a
+  full-table rewrite), via ``partitionOverwriteMode=dynamic``;
+- merge itself is ONE shuffle: union(target-slice, batch) followed by
+  latest-per-key — not a join cascade. Ordering is
+  (op_timestamp, txn_id, is_source) descending, which simultaneously
+  implements UPDATE SET * / INSERT * / DELETE *and* the late-data guard
+  the reference lacks (SURVEY §2.9 T4): an older image arriving in a
+  later batch loses to the newer row already in the table.
+- replay idempotence (SURVEY T3): re-applying the same batch converges
+  to the same state because the winner of (ts, txn, src) is stable.
+
+Scale: the per-merge cost is O(affected partitions), exactly like
+Iceberg COW. Partition values (not rows) are collected to the driver —
+bounded metadata. At 100 TB with 1000 executors the shuffle is on the
+primary key, AQE-coalesced; skew is impossible post-dedup (one row per
+key per batch on the source side).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import OP_COL, OP_TS_COL, TXN_COL
+
+#: Lineage columns persisted in the table to power the late-data guard.
+LINEAGE_COLS = (OP_TS_COL, TXN_COL)
+_SRC = "_is_source"
+
+
+class ParquetLakeTable:
+    """A keyed, partitioned lake table supporting CDC merge.
+
+    Parameters
+    ----------
+    path: table root directory (hive layout ``part_col=value/``).
+    key_cols: merge key (reference: ``trans_id``, README.md:85).
+    partition_col: hive partition column (reference: ``event``).
+    store_lineage: persist ``_op_timestamp``/``_txn_id`` so merges can
+        reject out-of-order images (T4 guard). When False the table has
+        exactly the reference's 7-column schema and the batch always
+        wins (reference behavior).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: Sequence[str] = ("trans_id",),
+        partition_col: str | None = "event",
+        store_lineage: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.partition_col = partition_col
+        self.store_lineage = store_lineage
+
+    # -- basic IO ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
+            n.startswith(f"{self.partition_col}=") if self.partition_col else n.endswith(".parquet")
+            for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def read_data(self) -> DataFrame:
+        """Read without lineage columns (user-facing schema)."""
+        df = self.read()
+        return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        w = df.write.mode(mode)
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(self.path)
+
+    def create(self, df: DataFrame) -> None:
+        """Initial load (the reference's DMS full-load phase)."""
+        self._write(self._with_lineage(df), "overwrite")
+
+    def _with_lineage(self, df: DataFrame) -> DataFrame:
+        if not self.store_lineage:
+            return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
+        out = df
+        if OP_TS_COL not in df.columns:
+            out = out.withColumn(OP_TS_COL, F.lit(None).cast("timestamp"))
+        if TXN_COL not in df.columns:
+            out = out.withColumn(TXN_COL, F.lit(None).cast("long"))
+        return out
+
+    # -- merge -------------------------------------------------------------
+
+    def _affected_partitions(self, batch: DataFrame) -> list | None:
+        """Partition values whose files a merge must rewrite: partitions
+        receiving batch rows plus partitions currently holding matched
+        keys (a key may move across partitions on update — Iceberg finds
+        this via file-level stats; we find it via a semi-join restricted
+        to key+partition columns, then prune the scan with IN)."""
+        if not self.partition_col:
+            return None
+        batch_parts = batch.select(self.partition_col).distinct()
+        key_match = (
+            self.read()
+            .select(*self.key_cols, self.partition_col)
+            .join(F.broadcast(batch.select(*self.key_cols).distinct()), self.key_cols, "left_semi")
+            .select(self.partition_col)
+            .distinct()
+        )
+        rows = batch_parts.unionByName(key_match).distinct().collect()
+        return [r[0] for r in rows]
+
+    def merge(self, batch: DataFrame) -> None:
+        """Apply a deduped CDC batch (one row per key, carrying
+        ``_op``/``_op_timestamp``/``_txn_id``).
+
+        Semantics = the reference's two MERGE statements combined
+        (:118-122 upsert, :133-136 delete), plus the T4 late-data guard:
+
+        - key matched, batch newer, op in (insert, update) -> replace row
+        - key matched, batch newer, op = delete            -> drop row
+        - key matched, batch older                          -> keep row
+        - key unmatched, op != delete                       -> insert row
+        """
+        if not self.exists():
+            initial = batch.filter(F.col(OP_COL) != "delete").drop(OP_COL)
+            self._write(self._with_lineage(initial), "overwrite")
+            return
+
+        parts = self._affected_partitions(batch)
+        target = self.read()
+        if parts is not None:
+            # IN-list on the partition column -> parquet partition pruning:
+            # only affected partitions' files are scanned or rewritten.
+            target = target.filter(F.col(self.partition_col).isin(parts))
+            if not parts:
+                return
+
+        tgt = self._with_lineage(target).withColumn(OP_COL, F.lit("insert")).withColumn(_SRC, F.lit(0))
+        src = self._with_lineage(batch).withColumn(_SRC, F.lit(1))
+        unioned = tgt.unionByName(src.select(*tgt.columns))
+
+        if self.store_lineage:
+            order = [F.desc_nulls_last(OP_TS_COL), F.desc_nulls_last(TXN_COL), F.desc(_SRC)]
+        else:
+            order = [F.desc(_SRC)]  # no lineage: batch always wins (reference behavior)
+        w = Window.partitionBy(*self.key_cols).orderBy(*order)
+        merged = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "delete"))
+            .drop("_rn", OP_COL, _SRC)
+        )
+        if not self.store_lineage:
+            merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
+
+        merged = merged.cache()
+        try:
+            remaining = {
+                r[0]
+                for r in merged.select(self.partition_col).distinct().collect()
+            } if self.partition_col else None
+            self._write(merged, "overwrite")
+            if parts is not None and remaining is not None:
+                # dynamic overwrite can't express "this partition is now
+                # empty" — drop emptied partition dirs explicitly (the
+                # analogue of Iceberg committing a snapshot without them).
+                for v in parts:
+                    if v not in remaining:
+                        d = os.path.join(self.path, f"{self.partition_col}={v}")
+                        if os.path.isdir(d):
+                            shutil.rmtree(d)
+        finally:
+            merged.unpersist()

@@ -1,0 +1,143 @@
+"""SparkSession factory and testdata catalog helpers.
+
+Mirrors the reference's conf assembly (``setSparkIcebergConf`` at
+/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:51-63)
+with open-source substitutions:
+
+- Glue catalog + DynamoDB lock  -> local hadoop-type Iceberg catalog
+  (single-writer, so no lock manager), gated behind jar availability.
+- ``handle-timestamp-without-timezone`` flag -> pin session TZ to UTC.
+- AQE on (off by default in the reference's Spark 3.1 / Glue 3.0 era).
+
+Scale notes (100 TB): shuffle partitions default to the local core count
+here, but ``build_session`` accepts overrides — on a 1000-executor
+cluster you'd set ``spark.sql.shuffle.partitions`` to 2-3x total cores
+and rely on AQE coalescing; nothing else in this module is local-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables materialized by the test harness (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _iceberg_jar_available() -> bool:
+    """True when an iceberg-spark-runtime jar can be found on the classpath.
+
+    The test image ships no Iceberg jar, so the lake layer falls back to
+    the manual parquet merge (see ``lake.table``). Kept as a function so a
+    real deployment with the jar gets Iceberg MERGE for free.
+    """
+    cp = os.environ.get("SPARK_CLASSPATH", "") + os.pathsep + os.environ.get("CLASSPATH", "")
+    return "iceberg-spark-runtime" in cp
+
+
+def build_session(
+    app_name: str = "tx-datalake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    enable_iceberg: bool | None = None,
+    warehouse: str | None = None,
+) -> SparkSession:
+    """Create (or get) the engine SparkSession.
+
+    Parameters mirror what the reference passes as Glue job args
+    (spark_sql_merge_into_iceberg.py:26-49) minus the AWS-proprietary
+    ones; all tuning is explicit conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores. Cluster mode callers should override upward.
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dynamic mode: INSERT OVERWRITE rewrites only partitions present in
+        # the incoming frame — the parquet-merge analogue of Iceberg's
+        # partition-scoped copy-on-write (reference MERGE at :118-136).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # events.parquet stores ns-precision timestamps (FIXTURES.md);
+        # Spark's reader rejects TIMESTAMP(NANOS) unless read as long.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+
+    if enable_iceberg is None:
+        enable_iceberg = _iceberg_jar_available()
+    if enable_iceberg:
+        wh = warehouse or os.path.join(os.getcwd(), ".warehouse")
+        b = (
+            b.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.lake.type", "hadoop")
+            .config("spark.sql.catalog.lake.warehouse", wh)
+        )
+
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one harness table; Catalyst handles pushdown/pruning.
+
+    ``events.ts`` is ns-precision in the parquet file; with
+    ``nanosAsLong`` it arrives as a long which we truncate to µs
+    TimestampType (matching DuckDB's ``ts::TIMESTAMP`` truncation so
+    oracle comparisons line up — SURVEY §7 hard-part 4).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div: float division would lose precision at ns epoch scale
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every harness table as a temp view (the read-side catalog,
+    replacing the reference's Athena/Glue-catalog query path,
+    README.md:507-513)."""
+    for name in TESTDATA_TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.exists(p):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
