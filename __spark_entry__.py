@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes
+every implemented operator from SURVEY.md §2 (and the M4 LLM-pipeline
+surface) as (spark, sf_dir) -> DataFrame builders; ``oracle_sql()``
+returns the DuckDB-equivalent SQL per query (omitted only for
+genuinely non-SQL-expressible ops, which the driver checks rows-only).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries import load_all
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine session confs to a driver-provided session (the
+    driver may build its own plain SparkSession)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; load_table guards anyway
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _configure(spark)
+    registry = load_all()
+    return registry["q3_shipping_priority"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    registry = load_all()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return spec.builder(_configure(spark), sf_dir)
+
+        return run
+
+    return {name: _wrap(spec) for name, spec in sorted(registry.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry = load_all()
+    return {
+        name: spec.oracle for name, spec in sorted(registry.items()) if spec.oracle is not None
+    }

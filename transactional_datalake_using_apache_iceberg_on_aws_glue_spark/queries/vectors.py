@@ -1,0 +1,159 @@
+"""Embedding / similarity-search queries over `embeddings`
+(build-brief: ANN over array<float>; FIXTURES.md §C: array functions,
+cosine similarity, per-group top-k).
+
+Numeric discipline for oracle parity: every reduction over the float
+vectors casts elements to DOUBLE before summing and rounds the final
+value, so Spark's fold order vs DuckDB's can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table, rebalance
+from . import register
+
+
+def _dot(a, b):
+    """Element-wise product folded in list order, all double math."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+           round(avg(embedding[1]::DOUBLE), 6) AS avg_first_dim
+    FROM embeddings GROUP BY label
+    """,
+    doc="Array reductions (L2 norm) per label — the vector-column health "
+        "check. F.aggregate/F.transform keep it codegen'd JVM array math.",
+    tags=("embeddings", "vector"),
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_first_dim"),
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(sim, 6) AS sim
+    FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force cosine top-k against a query vector — the exact ANN "
+        "baseline. Query vector rides along via a broadcast (1-row cross "
+        "join); scan stays embarrassingly parallel; top-k is "
+        "TakeOrderedAndProject (per-partition heaps). The 100 TB scale "
+        "path is operators.similarity.lsh_topk (bucketed candidates).",
+    tags=("embeddings", "vector", "topk"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sim = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "knn_per_label_centroid",
+    oracle="""
+    WITH cell AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS c
+      FROM (SELECT label, i, avg(v) AS m FROM cell GROUP BY label, i)
+      GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label,
+             sqrt(list_sum(list_transform(range(1, 65),
+                 i -> (e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]))))
+               AS dist
+      FROM embeddings e JOIN cent c ON e.label = c.label
+    )
+    SELECT vec_id, label, round(dist, 6) AS dist,
+           rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rk FROM d)
+    WHERE rk <= 5
+    """,
+    doc="Per-label centroid + 5 nearest members: the IVF building block "
+        "(centroid assignment = coarse quantizer). Centroids computed "
+        "distributed via posexplode+groupBy, then broadcast back.",
+    tags=("embeddings", "vector", "topk"),
+)
+def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # distributed centroid: explode to (label, dim, value), mean per cell,
+    # re-assemble — no driver collect, scales to any vector count
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.m).alias("c"))
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("label").orderBy("dist", "vec_id")
+    return (
+        joined.select("vec_id", "label", dist.alias("dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"), "rk")
+    )

@@ -133,6 +133,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def rebalance(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a poorly-split scan across the cluster before CPU-heavy
+    narrow work.
+
+    The harness parquet files are single-row-group, so Spark plans ONE
+    scan task no matter how many cores exist; per-row string/array math
+    then runs serially. A round-robin repartition to the default
+    parallelism fixes that for a negligible shuffle of the small input.
+    On a real multi-split 100 TB table the scan already has >= cores
+    partitions and this is a no-op, so the helper is scale-safe.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_testdata_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every harness table as a temp view (the read-side catalog,
     replacing the reference's Athena/Glue-catalog query path,
