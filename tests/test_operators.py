@@ -1,0 +1,207 @@
+"""Property tests for the LLM-pipeline operators: planted near-dups
+must be found, non-dups must not, approximations must hit recall
+targets vs their exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators import (
+    dedup as D,
+    similarity as S,
+    text as X,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators.asof import asof_join
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """120 distinct docs + 3 planted near-dup pairs (small edits) +
+    1 exact dup pair."""
+    # stride 61 > doc length 60 => base docs share NO tokens
+    base = [
+        f"token{w} " + " ".join(f"word{w * 61 + i}" for i in range(60))
+        for w in range(120)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # near dups: change one word near the end
+    for j, src in enumerate((3, 17, 42)):
+        toks = base[src].split()
+        toks[-2] = "MUTATED"
+        rows.append((200 + j, " ".join(toks)))
+    rows.append((300, base[55]))  # exact dup
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, planted_docs):
+    pairs = D.minhash_lsh_dedup(planted_docs, threshold=0.6).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for expected in [(3, 200), (17, 201), (42, 202), (55, 300)]:
+        assert expected in found, f"missing planted pair {expected}"
+    # jaccard sanity: exact dup == 1.0, near dups high but < 1
+    jmap = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert jmap[(55, 300)] == pytest.approx(1.0)
+    assert 0.6 <= jmap[(3, 200)] < 1.0
+
+
+def test_minhash_no_false_positives_after_verify(spark, planted_docs):
+    pairs = D.minhash_lsh_dedup(planted_docs, threshold=0.6).collect()
+    planted = {(3, 200), (17, 201), (42, 202), (55, 300)}
+    extras = {(r["doc_a"], r["doc_b"]) for r in pairs} - planted
+    assert not extras, f"unexpected near-dups: {extras}"
+
+
+def test_simhash_finds_planted_near_dups(spark, planted_docs):
+    pairs = D.simhash_near_dups(planted_docs, max_hamming=6).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (55, 300) in found  # exact dup: hamming 0
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert ham[(55, 300)] == 0
+    # one-word edits should be within a small hamming distance
+    assert any(p in found for p in [(3, 200), (17, 201), (42, 202)])
+
+
+def test_exact_jaccard_identity_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    sh = D.shingle_hashes(docs)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.jaccard_pairs(pairs, sh).collect()}
+    assert j[(1, 2)] == pytest.approx(1.0)
+    assert j[(1, 3)] == pytest.approx(0.0)
+
+
+def test_embedding_near_dups_planted(spark):
+    import random
+
+    def vec(seed, dim=32):
+        rng = random.Random(seed)
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    near = [x * 1.001 for x in vec(7)]  # same direction => cosine ~ 1
+    rows.append((100, near))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_dups(emb, threshold=0.99, planes=8).collect()
+    assert any(r["id_a"] == 7 and r["id_b"] == 100 for r in pairs)
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_lsh_topk_recall_on_similar_vectors(spark):
+    """LSH recall is measured on genuinely-similar neighbors (the
+    operator's contract). On uniformly random data the true neighbors
+    are near-orthogonal (cosine ~0.3 in the fixtures) and NO
+    sign-hyperplane scheme preserves them — that's expected theory, not
+    a bug; the exact cosine_topk is the fallback for that regime."""
+    import random
+
+    def vec(seed, dim=32):
+        rng = random.Random(seed)
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    qv = vec(999)
+    rows = [(i, vec(i)) for i in range(500)]
+    # plant 10 vectors strongly correlated with the query
+    planted = []
+    for j in range(10):
+        noise = vec(5000 + j)
+        planted.append((1000 + j, [x + 0.1 * n for x, n in zip(qv, noise)]))
+    emb = spark.createDataFrame(rows + planted, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(qv,)], "qv array<float>")
+
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    assert exact == {1000 + j for j in range(10)}  # planted are the true top-10
+    approx = {r["vec_id"] for r in S.lsh_topk(emb, q, k=10, planes=8, hamming_radius=1).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, f"LSH recall on similar vectors too low: {recall}"
+
+
+def test_lang_id_marker_argmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house to go"),
+            (2, "der hund und die katze nicht das haus"),
+            (3, "le chat et la maison les arbres ne"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred"] for r in df.select("doc_id", X.lang_id(F.col("text")).alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2")], "id long, text string")
+    n = df.select(X.bpe_token_count(F.col("text")).alias("n")).first()["n"]
+    # Hello | , | world | ! | x | 2 -> 6
+    assert n == 6
+
+
+def test_quality_features_keep_logic(spark):
+    good = "this is a reasonably long sentence with many normal words inside it"
+    bad_short = "tiny doc"
+    bad_punct = "a. b. c. d. e. f. g. h. i. j. k. l. m. n. o. p. q. r."
+    df = spark.createDataFrame(
+        [(1, good), (2, bad_short), (3, bad_punct)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["keep"] for r in X.quality_features(df).collect()}
+    assert out[1] is True
+    assert out[2] is False
+    assert out[3] is False
+
+
+def test_winnowing_shared_fingerprints(spark):
+    shared = " ".join(f"w{i}" for i in range(30))
+    a = shared + " tail_a_one tail_a_two tail_a_three"
+    b = shared + " tail_b_one tail_b_two tail_b_three"
+    c = " ".join(f"z{i}" for i in range(36))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    fp = X.winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    overlap_ab = len(by_doc[1] & by_doc[2])
+    overlap_ac = len(by_doc[1] & by_doc[3])
+    assert overlap_ab > 0  # shared prefix -> shared fingerprints
+    assert overlap_ac == 0  # disjoint vocab -> none
+    # winnowing density ~ 2/(w+1): selected <<< all k-grams
+    assert all(len(v) <= 30 for v in by_doc.values())
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102), (2, 6, 103)],
+        "k long, t long, lid long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (2, 7, 902)],
+        "k long, t long, rid long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    left_seq="lid", right_seq="rid")
+    m = {r["lid"]: r["rid"] for r in out.collect()}
+    assert m[100] == 900  # equal ts matches (inclusive)
+    assert m[101] == 901  # latest at-or-before
+    assert m[102] is None  # right ts=7 is after left 5
+    assert m[103] is None  # and after 6
+
+
+def test_multimodal_decode_plumbing(spark):
+    base = spark.range(0, 50).select(F.col("id"))
+    media = MM.attach_fake_media(base, "id")
+    decoded = MM.decode_images(media)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(r["ok"] for r in rows)
+    assert all(len(r["pixels"]) == 8 for r in rows)
+    feats = MM.extract_image_features(decoded).collect()
+    assert all(0.0 <= r["pixel_mean"] <= 1.0 for r in feats)
+    # video frame sampling: every-10th of the 30-frame fakes (ids % 10 == 0)
+    frames = MM.sample_video_frames(media).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {0, 10, 20, 30, 40}
+    per = [r for r in frames if r["media_id"] == 0]
+    assert [f["frame_index"] for f in per] == [0, 10, 20]

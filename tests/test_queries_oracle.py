@@ -1,0 +1,57 @@
+"""Regression guard: every registered query must match its DuckDB
+oracle at sf0.001 (the driver gate runs the same comparison at sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries import load_all
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import (
+    TESTDATA_TABLES,
+    table_path,
+)
+
+
+def _normalize(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else round(v, 6))
+            elif hasattr(v, "isoformat"):
+                vals.append(v.isoformat())
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(load_all()))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spec = load_all()[name]
+    sdf = spec.builder(spark, sf_dir)
+    scols = sorted(sdf.columns)
+    s = _normalize([tuple(r[c] for c in scols) for r in sdf.collect()])
+    if spec.oracle is None:
+        assert isinstance(len(s), int)  # runs, returns rows (>=0), stable schema
+        return
+    cur = duck.execute(spec.oracle)
+    raw = [d[0] for d in cur.description]
+    assert sorted(raw) == scols, f"column names differ: spark={scols} oracle={sorted(raw)}"
+    idx = [raw.index(c) for c in sorted(raw)]
+    o = _normalize([tuple(r[i] for i in idx) for r in cur.fetchall()])
+    assert len(s) == len(o), f"row count: spark={len(s)} oracle={len(o)}"
+    assert s == o

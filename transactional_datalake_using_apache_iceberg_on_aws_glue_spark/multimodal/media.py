@@ -1,0 +1,124 @@
+"""Binary media columns: schema + mapInPandas operators.
+
+Design for 100 TB of media:
+- payloads are ``binary`` columns (or object-store URIs for > ~100 MB
+  blobs) with a typed metadata struct alongside — never parsed strings;
+- every operator is ``mapInPandas`` (Arrow batches) so payload bytes
+  move executor->Python once per BATCH, not per row;
+- decode/resize/frame-sample are per-partition streaming: memory is
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``,
+  not partition size;
+- the codec calls themselves are STUBBED (``_decode_stub``) — marked
+  loudly; swapping in Pillow/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),  # >1 => video
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", IMAGE_META_SCHEMA),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a deterministic fake media column from an id column —
+    the test stand-in for a real binary ingest (no media fixtures in
+    the harness). Payload bytes = md5 of the id, metadata derived."""
+    ic = F.col(id_col)
+    return df.select(
+        ic.cast("long").alias("media_id"),
+        F.unhex(F.md5(ic.cast("string"))).alias("payload"),
+        F.struct(
+            (F.pmod(ic, F.lit(640)) + 32).cast("int").alias("width"),
+            (F.pmod(ic, F.lit(480)) + 32).cast("int").alias("height"),
+            F.when(ic % 2 == 0, "png").otherwise("jpeg").alias("format"),
+            F.when(ic % 10 == 0, 30).otherwise(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, fmt: str) -> list[float]:
+    """STUB decoder: no image libs in this environment. Returns a
+    deterministic 8-dim 'pixel statistic' vector derived from payload
+    bytes, preserving the real operator's shape (bytes -> float features).
+    Replace with Pillow/torchvision decode in production."""
+    if payload is None:
+        raise NotImplementedError("real codec path not available here")
+    b = payload[:8].ljust(8, b"\0")
+    return [x / 255.0 for x in b]
+
+
+DECODED_SCHEMA = "media_id long, width int, height int, ok boolean, pixels array<float>"
+
+
+def decode_images(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Arrow-batched decode: mapInPandas so each Python call handles a
+    columnar batch of payloads. Bad payloads yield ok=false rows (dead
+    letter discipline) instead of failing the task."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": pdf["meta"].map(lambda m: m["width"]),
+                "height": pdf["meta"].map(lambda m: m["height"]),
+            }
+            pixels, ok = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                try:
+                    pixels.append(_decode_stub(payload, meta["format"]))
+                    ok.append(True)
+                except Exception:  # noqa: BLE001 — dead-letter, don't fail the task
+                    pixels.append(None)
+                    ok.append(False)
+            out["ok"] = ok
+            out["pixels"] = pixels
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=DECODED_SCHEMA)
+
+
+def extract_image_features(decoded: DataFrame) -> DataFrame:
+    """Feature extraction over decoded pixel stats — JVM-side array math
+    once decode produced numeric columns (Python only for the codec)."""
+    px = F.col("pixels")
+    mean = F.aggregate(px, F.lit(0.0), lambda a, v: a + v.cast("double")) / F.size(px)
+    return decoded.filter(F.col("ok")).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(mean, 6).alias("pixel_mean"),
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+    )
+
+
+def sample_video_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame sampling plumbing: explode frame indices for multi-frame
+    payloads (n_frames > 1); the per-frame decode is the same stubbed
+    codec boundary. Partitioning: frames of one video stay in one task
+    (explode is narrow), so a later groupBy(media_id) needs no extra
+    shuffle beyond the aggregation's own."""
+    frames = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_nth))
+    return (
+        media.filter(F.col("meta.n_frames") > 1)
+        .select("media_id", "payload", F.explode(frames).alias("frame_index"))
+    )

@@ -65,11 +65,12 @@ def asof_join(
     cols = on + ["_ts", "_seq", _SIDE] + left_only + payload_cols
     unioned = lt.select(*cols).unionByName(rt.select(*cols))
 
-    # right rows sort BEFORE left rows at identical (_ts, _seq) so
-    # equality is inclusive (<=)
+    # right rows sort BEFORE left rows at identical _ts so ts-equality is
+    # inclusive (merge_asof backward semantics); _seq only orders rows
+    # WITHIN a side (among equal-ts right rows the max _seq wins)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_seq").asc(), F.col(_SIDE).desc())
+        .orderBy(F.col("_ts").asc(), F.col(_SIDE).desc(), F.col("_seq").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -141,7 +141,7 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.user_id,
            (SELECT s.event_id FROM e s
             WHERE s.user_id = p.user_id AND s.event_type = 'signup'
-              AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id <= p.event_id))
+              AND s.ts <= p.ts
             ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_event_id
     FROM e p WHERE p.event_type = 'purchase'
     """,

@@ -1,0 +1,223 @@
+"""LLM-pipeline operator queries (build brief M4): near-dedup,
+similarity search, language-ID, token counting — exposed through the
+same oracle-gated registry as the relational surface.
+
+Oracle policy: operators whose math is reproducible in DuckDB (set
+Jaccard, regex token counts, quality predicates, marker-based lang-ID)
+get full value oracles. Operators built on xxhash64 (MinHash families,
+SimHash, hyperplane LSH) are NOT expressible in DuckDB — they get
+rows-only checks here and exact property tests in tests/test_operators.py
+(synthetic near-dups with known answers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..session import load_table, rebalance
+from . import register
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id < 40)
+      WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+    """,
+    doc="Exact n-gram Jaccard similarity for a bounded doc subset "
+        "(all-pairs is the oracle-able tier; at scale the same "
+        "jaccard_pairs() runs only on LSH candidates).",
+    tags=("documents", "dedup"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = D.shingle_hashes(docs)
+    ids = sh.select("doc_id").distinct()
+    pairs = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    j = D.jaccard_pairs(pairs, sh)
+    return j.filter(F.col("jaccard") >= 0.02).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "minhash_lsh_near_dups",
+    oracle=None,  # MinHash families use xxhash64 — not reproducible in DuckDB
+    doc="MinHash(64) + LSH(16x4) candidate pairs verified by exact "
+        "Jaccard >= 0.5 over the whole documents table. The linear-cost "
+        "near-dedup path for 100 TB corpora; property-tested against "
+        "planted near-duplicates in tests/test_operators.py.",
+    tags=("documents", "dedup", "approx"),
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    return D.minhash_lsh_dedup(docs, threshold=0.5)
+
+
+@register(
+    "simhash_near_dups",
+    oracle=None,  # xxhash64-based
+    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, "
+        "candidates via pigeonhole block join (no O(n^2)).",
+    tags=("documents", "dedup", "approx"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    return D.simhash_near_dups(docs, max_hamming=3)
+
+
+@register(
+    "embedding_near_dups",
+    oracle=None,  # hyperplane LSH uses xxhash64
+    doc="Embedding near-duplicate pairs: 16-plane LSH buckets, exact "
+        "cosine >= 0.9 inside buckets only.",
+    tags=("embeddings", "dedup", "approx"),
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
+    return D.embedding_near_dups(emb, threshold=0.9)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction
+    doc="Approximate top-10 cosine neighbors of vec_id 0 via 8-plane "
+        "hyperplane LSH, Hamming radius 1. Recall vs the exact "
+        "cosine_topk_bruteforce is asserted >= 0.5 in tests.",
+    tags=("embeddings", "vector", "approx"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return S.lsh_topk(emb.filter(F.col("vec_id") != 0), q, k=10).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             [
+                {n: -len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('der','die','das','und','nicht'))), l: 'de'},
+                {n: -len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the','a','and','of','to'))), l: 'en'},
+                {n: -len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('el','la','los','y','no'))), l: 'es'},
+                {n: -len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('le','la','les','et','ne'))), l: 'fr'},
+                {n: -len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('的','了','是','在','我'))), l: 'zh'}
+             ] AS entries
+      FROM documents
+    )
+    SELECT lang, list_sort(entries)[1].l AS predicted, count(*) AS n
+    FROM scored GROUP BY lang, list_sort(entries)[1].l
+    """,
+    doc="Marker-profile language-ID (argmax over stopword hit counts, "
+        "alphabetical tie-break) cross-tabbed against the labeled lang "
+        "column — the curation-pipeline langid health check.",
+    tags=("documents", "text"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select("lang", X.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "bpe_token_counts",
+    oracle="""
+    SELECT source,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+             AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4)
+             AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="BPE-ish pre-tokenizer counts (GPT-2-style regex pre-split) per "
+        "source — tokenizer cost estimation over a corpus, regex-only.",
+    tags=("documents", "text"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    n = X.bpe_token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.sum(n).alias("total_tokens"), F.round(F.avg(n), 4).alias("avg_tokens")
+    )
+
+
+@register(
+    "doc_quality_keep_rate",
+    oracle="""
+    WITH f AS (
+      SELECT lang,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_tokens >= 10
+                     AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens BETWEEN 2.0 AND 12.0
+                     AND n_punct::DOUBLE / n_chars < 0.2
+                    THEN 1 ELSE 0 END) AS n_keep
+    FROM f GROUP BY lang
+    """,
+    doc="Curation keep-rate per lang from the composite quality predicate "
+        "(operators.text.quality_features).",
+    tags=("documents", "text"),
+)
+def doc_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    feats = X.quality_features(docs)
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+    )
+
+
+@register(
+    "winnowing_fingerprint_stats",
+    oracle=None,  # xxhash64-based fingerprints
+    doc="Winnowing (SIGMOD'03) fingerprint density per doc: selected "
+        "fingerprints / k-grams, expected ~2/(w+1).",
+    tags=("documents", "text", "dedup"),
+)
+def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    fp = X.winnowing_fingerprints(docs)
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fingerprints"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_fingerprints", "n_chars")
+    )
