@@ -49,6 +49,71 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_cdc(spark, sf_dir: str, timings: dict) -> None:
+    """CDC-apply throughput (the reference's core workload): lineitem
+    rows as full-image envelopes -> initial load, then a 15% churn batch
+    (10% updates / 5% deletes) merged into the partitioned lake table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.apply import (
+        apply_cdc_batch,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+        ParquetLakeTable,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def envelopes(df, op: str, ts: str):
+        return df.select(
+            F.struct(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("trans_id"),
+                F.col("l_suppkey").cast("string").alias("customer_id"),
+                F.col("l_returnflag").alias("event"),
+                F.col("l_linestatus").alias("sku"),
+                F.col("l_quantity").cast("int").alias("amount"),
+                F.lit("pc").alias("device"),
+                F.date_format("l_shipdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                    "trans_datetime"
+                ),
+            ).alias("data"),
+            F.struct(
+                F.lit(ts).alias("timestamp"),
+                F.lit("data").alias("record-type"),
+                F.lit(op).alias("operation"),
+                F.lit("primary-key").alias("partition-key-type"),
+                F.lit("bench").alias("schema-name"),
+                F.lit("lineitem").alias("table-name"),
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("transaction-id"),
+            ).alias("metadata"),
+        )
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        table = ParquetLakeTable(spark, f"{work}/t", key_cols=["trans_id"],
+                                 partition_col="event")
+        t0 = time.perf_counter()
+        apply_cdc_batch(envelopes(li, "insert", "2024-01-01T00:00:00.000000"), table)
+        timings["cdc_initial_load"] = round(time.perf_counter() - t0, 3)
+
+        churn_upd = envelopes(
+            li.filter(F.col("l_orderkey") % 10 == 0), "update", "2024-01-02T00:00:00.000000"
+        )
+        churn_del = envelopes(
+            li.filter(F.col("l_orderkey") % 20 == 1), "delete", "2024-01-02T00:00:00.000000"
+        )
+        churn = churn_upd.unionByName(churn_del)
+        t0 = time.perf_counter()
+        apply_cdc_batch(churn, table)
+        timings["cdc_incremental_merge"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="bench")
@@ -64,6 +129,8 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(spec.builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    _bench_cdc(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,65 @@
+"""Plan-hygiene regression tests: pin the Catalyst decisions that matter
+at scale (SURVEY §4). These fail if a future query change silently
+loses pushdown, pruning, a broadcast, or the top-k operator."""
+
+from __future__ import annotations
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark import plans as P
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries import load_all
+
+
+def _q(name, spark, sf_dir):
+    return load_all()[name].builder(spark, sf_dir)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = _q("q1_pricing_summary", spark, sf_dir)
+    pushed = P.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    scans = P.read_schema_columns(df)
+    assert scans and all(
+        "l_orderkey" not in s and "l_partkey" not in s for s in scans
+    ), f"scan reads unused columns: {scans}"
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = _q("q5_local_supplier_volume", spark, sf_dir)
+    assert P.has_broadcast_join(df)
+
+
+def test_q3_uses_take_ordered(spark, sf_dir):
+    assert P.has_take_ordered(_q("q3_shipping_priority", spark, sf_dir))
+    assert P.has_take_ordered(_q("global_topk_orders", spark, sf_dir))
+
+
+def test_semi_join_prunes_probe_columns(spark, sf_dir):
+    df = _q("semi_join_customers_with_orders", spark, sf_dir)
+    scans = P.read_schema_columns(df)
+    order_scans = [s for s in scans if "o_custkey" in s]
+    assert order_scans and all(
+        "o_totalprice" not in s and "o_orderdate" not in s for s in order_scans
+    ), f"semi-join probe side reads payload columns: {scans}"
+
+
+def test_cdc_merge_plans_single_window_shuffle(spark, tmp_path):
+    """The CDC dedup+merge path should shuffle once on the key for the
+    window (plus AQE reads), never a cartesian/nested-loop."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import fixtures
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.envelope import (
+        CDC_ENVELOPE_SCHEMA,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import (
+        flatten_envelope,
+        latest_per_key,
+    )
+
+    df = spark.createDataFrame(fixtures.dml_envelopes(), schema=CDC_ENVELOPE_SCHEMA)
+    deduped = latest_per_key(flatten_envelope(df))
+    plan = P.executed_plan(deduped)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert P.shuffle_count(deduped) == 1
+
+
+def test_wholestage_codegen_active(spark, sf_dir):
+    df = _q("q1_pricing_summary", spark, sf_dir)
+    assert P.wholestage_codegen_spans(df) >= 1

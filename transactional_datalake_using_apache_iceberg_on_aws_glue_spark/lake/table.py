@@ -146,6 +146,16 @@ class ParquetLakeTable:
             self._write(self._with_lineage(initial), "overwrite")
             return
 
+        # the batch lineage (parse -> flatten -> window dedup) is referenced
+        # by the partition probe AND the union; persist it once instead of
+        # recomputing (the reference recomputes per count(), SURVEY §4)
+        batch = batch.persist()
+        try:
+            self._merge_into(batch)
+        finally:
+            batch.unpersist()
+
+    def _merge_into(self, batch: DataFrame) -> None:
         parts = self._affected_partitions(batch)
         target = self.read()
         if parts is not None:
