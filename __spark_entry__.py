@@ -28,6 +28,11 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; load_table guards anyway
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import (
+        ensure_package_shipped,
+    )
+
+    ensure_package_shipped(spark)  # UDF-by-reference needs the pkg on workers
     return spark
 
 

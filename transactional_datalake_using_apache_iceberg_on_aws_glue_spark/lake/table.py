@@ -108,6 +108,41 @@ class ParquetLakeTable:
             out = out.withColumn(TXN_COL, F.lit(None).cast("long"))
         return out
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, target_files_per_partition: int = 1) -> None:
+        """Rewrite each partition into ``target_files_per_partition``
+        files — the open-parquet analogue of Iceberg's
+        ``rewrite_data_files`` (SURVEY §7 hard-part 5: 100 s triggers x
+        tiny batches accumulate small files; run this out-of-band).
+
+        Writes the compacted layout to a sibling directory and swaps it
+        in (read-your-own-overwrite is unsafe, and a cache-then-overwrite
+        wouldn't survive 100 TB) — the snapshot-swap discipline Iceberg
+        gets from its metadata pointer, done with directories here.
+        """
+        df = self.read()
+        if self.partition_col:
+            rewritten = df.repartition(target_files_per_partition, self.partition_col)
+        else:
+            rewritten = df.coalesce(target_files_per_partition)
+        tmp = self.path.rstrip("/") + ".compacting"
+        old = self.path.rstrip("/") + ".old"
+        w = rewritten.write.mode("overwrite")
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def file_count(self) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(self.path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     # -- merge -------------------------------------------------------------
 
     def _affected_partitions(self, batch: DataFrame) -> list | None:

@@ -73,9 +73,16 @@ DECODED_SCHEMA = "media_id long, width int, height int, ok boolean, pixels array
 def decode_images(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Arrow-batched decode: mapInPandas so each Python call handles a
     columnar batch of payloads. Bad payloads yield ok=false rows (dead
-    letter discipline) instead of failing the task."""
+    letter discipline) instead of failing the task.
+
+    ``op`` captures the codec as a local variable so cloudpickle ships
+    it by VALUE — a module-level reference would require this package
+    to be importable on every executor's Python worker."""
+    decode = _decode_stub
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # worker-side import
+
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
@@ -85,14 +92,14 @@ def decode_images(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             pixels, ok = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 try:
-                    pixels.append(_decode_stub(payload, meta["format"]))
+                    pixels.append(decode(payload, meta["format"]))
                     ok.append(True)
                 except Exception:  # noqa: BLE001 — dead-letter, don't fail the task
                     pixels.append(None)
                     ok.append(False)
             out["ok"] = ok
             out["pixels"] = pixels
-            yield pd.DataFrame(out)
+            yield _pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=DECODED_SCHEMA)
 

@@ -49,6 +49,36 @@ def _iceberg_jar_available() -> bool:
     return "iceberg-spark-runtime" in cp
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Functions passed to pandas UDFs / applyInPandasWithState are
+    cloudpickled BY REFERENCE (module path), so workers must be able to
+    import the package. When the engine is used from a source checkout
+    (sys.path manipulation, no pip install), workers can't — so zip the
+    package once and addPyFile it. Idempotent per session.
+    """
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    marker = "_tx_datalake_pkg_shipped"
+    if getattr(sc, marker, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    setattr(sc, marker, True)
+
+
 def build_session(
     app_name: str = "tx-datalake-spark",
     master: str | None = None,
@@ -109,6 +139,7 @@ def build_session(
 
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_package_shipped(spark)
     return spark
 
 
