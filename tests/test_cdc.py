@@ -229,3 +229,23 @@ def test_parse_envelope_bytes_kafka_shape(spark):
     assert {r["trans_id"] for r in flat.select("trans_id").collect()} == set(
         fixtures.INSERT_KEYS
     )
+
+
+def test_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    """A key deleted at ts=T must NOT be resurrected by an older image
+    (ts < T) arriving in a later batch — the tombstone retains the
+    delete's lineage (found by the spec-fold property test; the
+    reference engine has this gap)."""
+    table = _table(spark, tmp_path)
+    dele = fixtures._envelope(fixtures._row(9, amount=1), "delete", seq=100)
+    apply_cdc_batch(_envelope_df(spark, [dele]), table)  # first contact: tombstone only
+    assert 9 not in _state(table)
+    stale = fixtures._envelope(fixtures._row(9, amount=55), "insert", seq=10)  # older ts
+    apply_cdc_batch(_envelope_df(spark, [stale]), table)
+    assert 9 not in _state(table)  # tombstone wins
+    fresh = fixtures._envelope(fixtures._row(9, amount=77), "insert", seq=200)  # newer ts
+    apply_cdc_batch(_envelope_df(spark, [fresh]), table)
+    assert _state(table)[9] == 77  # genuinely newer insert resurrects
+    # purge tombstones once retention allows, table still correct
+    table.compact(purge_tombstones=True)
+    assert _state(table)[9] == 77

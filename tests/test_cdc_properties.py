@@ -1,0 +1,104 @@
+"""Property-based CDC correctness (SURVEY §5: 'random CDC op sequences
+per key -> engine state must equal a sequential fold of ops ordered by
+(ts, txn-id)').
+
+The Python fold below is the spec: for each key the winning record is
+the max by (op_timestamp, txn_id); the key exists iff the winner is not
+a delete. The engine must converge to that state no matter how the op
+stream is sliced into micro-batches — including batches applied with
+internal disorder and replays.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import apply_cdc_batch
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.envelope import (
+    CDC_ENVELOPE_SCHEMA,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.fixtures import (
+    _envelope,
+    _row,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+
+KEYS = list(range(1, 6))  # small key space -> lots of per-key collisions
+
+op_strategy = st.tuples(
+    st.sampled_from(KEYS),                    # key
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(min_value=1, max_value=99),   # amount
+    st.integers(min_value=0, max_value=9),    # coarse ts bucket (forces ties)
+)
+
+
+def _spec_fold(ops):
+    """The specification: winner per key = max (ts, txn); txn is the
+    op's global sequence number (unique, monotonically assigned)."""
+    state = {}
+    best = {}
+    for txn, (key, op, amount, ts) in enumerate(ops):
+        if key not in best or (ts, txn) > best[key]:
+            best[key] = (ts, txn)
+            state[key] = None if op == "delete" else amount
+    return {k: v for k, v in state.items() if v is not None}
+
+
+def _envelopes(ops, start_txn=0):
+    out = []
+    for i, (key, op, amount, ts) in enumerate(ops):
+        e = _envelope(_row(key, amount=amount), op, seq=0)
+        # coarse timestamp (duplicates across ops) + unique monotonic txn
+        e["metadata"]["timestamp"] = f"2023-03-01T00:00:0{ts}.000000"
+        e["metadata"]["transaction-id"] = start_txn + i
+        out.append(e)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(op_strategy, min_size=1, max_size=30),
+       n_batches=st.integers(min_value=1, max_value=4))
+def test_engine_state_equals_spec_fold(spark, tmp_path_factory, ops, n_batches):
+    table = ParquetLakeTable(
+        spark, str(tmp_path_factory.mktemp("prop") / "t"), key_cols=["trans_id"]
+    )
+    envs = _envelopes(ops)
+    # slice the op stream into n consecutive micro-batches
+    size = max(1, len(envs) // n_batches)
+    for i in range(0, len(envs), size):
+        batch = envs[i : i + size]
+        df = spark.createDataFrame(batch, schema=CDC_ENVELOPE_SCHEMA)
+        apply_cdc_batch(df, table)
+    got = {
+        r["trans_id"]: r["amount"]
+        for r in table.read_data().select("trans_id", "amount").collect()
+    }
+    assert got == _spec_fold(ops)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(op_strategy, min_size=2, max_size=20))
+def test_replaying_every_batch_is_idempotent(spark, tmp_path_factory, ops):
+    """Apply each batch TWICE (at-least-once delivery) — state must match
+    the spec fold exactly as if each was applied once."""
+    table = ParquetLakeTable(
+        spark, str(tmp_path_factory.mktemp("prop2") / "t"), key_cols=["trans_id"]
+    )
+    envs = _envelopes(ops)
+    mid = len(envs) // 2
+    for batch in (envs[:mid], envs[mid:]):
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, schema=CDC_ENVELOPE_SCHEMA)
+        apply_cdc_batch(df, table)
+        apply_cdc_batch(df, table)  # replay
+    got = {
+        r["trans_id"]: r["amount"]
+        for r in table.read_data().select("trans_id", "amount").collect()
+    }
+    assert got == _spec_fold(ops)

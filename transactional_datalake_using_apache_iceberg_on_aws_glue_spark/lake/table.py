@@ -30,6 +30,7 @@ key per batch on the source side).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import Sequence
@@ -40,7 +41,13 @@ from pyspark.sql import functions as F
 from ..constants import OP_COL, OP_TS_COL, TXN_COL
 
 #: Lineage columns persisted in the table to power the late-data guard.
-LINEAGE_COLS = (OP_TS_COL, TXN_COL)
+#: _deleted marks TOMBSTONES: deletes are retained (invisible to readers)
+#: so an OLDER image arriving after a delete cannot resurrect the key —
+#: found by property testing (spec fold: winner per key by (ts, txn)).
+#: Tombstones are purged by compact(purge_tombstones=True), bounded by
+#: the max event lateness you accept (log-compaction retention).
+DELETED_COL = "_deleted"
+LINEAGE_COLS = (OP_TS_COL, TXN_COL, DELETED_COL)
 _SRC = "_is_source"
 
 
@@ -75,17 +82,32 @@ class ParquetLakeTable:
     # -- basic IO ----------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
-            n.startswith(f"{self.partition_col}=") if self.partition_col else n.endswith(".parquet")
-            for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
-        )
+        """True only when the table holds data files. A table whose rows
+        were ALL deleted has no partition dirs left (found by property
+        testing: reading such a directory fails schema inference, and
+        semantically the next merge should take the initial-load path)."""
+        return self.file_count() > 0
 
     def read(self) -> DataFrame:
+        """Read the table; a fully-emptied table (every row deleted)
+        yields an empty DataFrame with the schema persisted by the last
+        write — the minimal analogue of Iceberg's metadata file."""
+        if self.file_count() == 0:
+            schema_file = os.path.join(self.path, "_schema.json")
+            if os.path.exists(schema_file):
+                from pyspark.sql import types as T
+
+                with open(schema_file) as f:
+                    schema = T.StructType.fromJson(json.load(f))
+                return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path)
 
     def read_data(self) -> DataFrame:
-        """Read without lineage columns (user-facing schema)."""
+        """Read the LIVE rows (tombstones filtered) without lineage
+        columns — the user-facing relation."""
         df = self.read()
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
 
     def _write(self, df: DataFrame, mode: str) -> None:
@@ -93,6 +115,9 @@ class ParquetLakeTable:
         if self.partition_col:
             w = w.partitionBy(self.partition_col)
         w.parquet(self.path)
+        # persist the schema so an emptied table stays readable (read())
+        with open(os.path.join(self.path, "_schema.json"), "w") as f:
+            json.dump(df.schema.jsonValue(), f)
 
     def create(self, df: DataFrame) -> None:
         """Initial load (the reference's DMS full-load phase)."""
@@ -106,15 +131,22 @@ class ParquetLakeTable:
             out = out.withColumn(OP_TS_COL, F.lit(None).cast("timestamp"))
         if TXN_COL not in df.columns:
             out = out.withColumn(TXN_COL, F.lit(None).cast("long"))
+        if DELETED_COL not in out.columns:
+            out = out.withColumn(DELETED_COL, F.lit(False))
         return out
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self, target_files_per_partition: int = 1) -> None:
+    def compact(self, target_files_per_partition: int = 1,
+                purge_tombstones: bool = False) -> None:
         """Rewrite each partition into ``target_files_per_partition``
         files — the open-parquet analogue of Iceberg's
         ``rewrite_data_files`` (SURVEY §7 hard-part 5: 100 s triggers x
         tiny batches accumulate small files; run this out-of-band).
+
+        ``purge_tombstones=True`` also drops delete tombstones — only
+        safe once no in-flight data can be older than the deletes
+        (retention contract, like Kafka log compaction).
 
         Writes the compacted layout to a sibling directory and swaps it
         in (read-your-own-overwrite is unsafe, and a cache-then-overwrite
@@ -122,6 +154,8 @@ class ParquetLakeTable:
         gets from its metadata pointer, done with directories here.
         """
         df = self.read()
+        if purge_tombstones and DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if self.partition_col:
             rewritten = df.repartition(target_files_per_partition, self.partition_col)
         else:
@@ -177,7 +211,15 @@ class ParquetLakeTable:
         - key unmatched, op != delete                       -> insert row
         """
         if not self.exists():
-            initial = batch.filter(F.col(OP_COL) != "delete").drop(OP_COL)
+            if self.store_lineage:
+                # keep deletes as tombstones even on first contact: their
+                # lineage must outlive the (absent) row to block stale
+                # older images (spec-fold property tests)
+                initial = batch.withColumn(
+                    DELETED_COL, F.col(OP_COL) == "delete"
+                ).drop(OP_COL)
+            else:
+                initial = batch.filter(F.col(OP_COL) != "delete").drop(OP_COL)
             self._write(self._with_lineage(initial), "overwrite")
             return
 
@@ -200,7 +242,18 @@ class ParquetLakeTable:
             if not parts:
                 return
 
-        tgt = self._with_lineage(target).withColumn(OP_COL, F.lit("insert")).withColumn(_SRC, F.lit(0))
+        tgt = (
+            self._with_lineage(target)
+            .withColumn(
+                OP_COL,
+                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), "delete").otherwise(
+                    "insert"
+                )
+                if self.store_lineage
+                else F.lit("insert"),
+            )
+            .withColumn(_SRC, F.lit(0))
+        )
         src = self._with_lineage(batch).withColumn(_SRC, F.lit(1))
         unioned = tgt.unionByName(src.select(*tgt.columns))
 
@@ -209,11 +262,14 @@ class ParquetLakeTable:
         else:
             order = [F.desc(_SRC)]  # no lineage: batch always wins (reference behavior)
         w = Window.partitionBy(*self.key_cols).orderBy(*order)
-        merged = (
-            unioned.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "delete"))
-            .drop("_rn", OP_COL, _SRC)
-        )
+        ranked = unioned.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        if self.store_lineage:
+            # winners persist with a tombstone flag instead of vanishing
+            merged = ranked.withColumn(DELETED_COL, F.col(OP_COL) == "delete").drop(
+                "_rn", OP_COL, _SRC
+            )
+        else:
+            merged = ranked.filter(F.col(OP_COL) != "delete").drop("_rn", OP_COL, _SRC)
         if not self.store_lineage:
             merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
 
