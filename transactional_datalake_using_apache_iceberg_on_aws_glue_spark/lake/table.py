@@ -187,7 +187,13 @@ class ParquetLakeTable:
         to key+partition columns, then prune the scan with IN)."""
         if not self.partition_col:
             return None
-        batch_parts = batch.select(self.partition_col).distinct()
+        batch_parts = {r[0] for r in batch.select(self.partition_col).distinct().collect()}
+        live_parts = self._fs_partitions()
+        if live_parts is not None and live_parts <= {str(v) for v in batch_parts}:
+            # batch already touches every live partition — the key-match
+            # semi-join (a full keyed target scan) can't add any, skip it.
+            # (dir names are strings; stringified compare is cover-only)
+            return sorted(batch_parts)
         key_match = (
             self.read()
             .select(*self.key_cols, self.partition_col)
@@ -195,8 +201,21 @@ class ParquetLakeTable:
             .select(self.partition_col)
             .distinct()
         )
-        rows = batch_parts.unionByName(key_match).distinct().collect()
-        return [r[0] for r in rows]
+        rows = key_match.collect()
+        return sorted(batch_parts | {r[0] for r in rows})
+
+    def _fs_partitions(self) -> set | None:
+        """Partition values from directory names (pure metadata, no scan).
+        Values come back as strings — callers may only use this for
+        set-cover checks against stringified batch values."""
+        if not os.path.isdir(self.path):
+            return set()
+        out = set()
+        prefix = f"{self.partition_col}="
+        for name in os.listdir(self.path):
+            if name.startswith(prefix) and os.path.isdir(os.path.join(self.path, name)):
+                out.add(name[len(prefix):])
+        return out
 
     def merge(self, batch: DataFrame) -> None:
         """Apply a deduped CDC batch (one row per key, carrying
