@@ -249,3 +249,40 @@ def test_tombstone_blocks_stale_resurrection(spark, tmp_path):
     # purge tombstones once retention allows, table still correct
     table.compact(purge_tombstones=True)
     assert _state(table)[9] == 77
+
+
+def test_dead_letter_captures_corrupt_lines(spark, tmp_path):
+    """Unparseable CDC lines must land in the dead-letter dir with the
+    raw payload, not vanish (observability at scale)."""
+    src = tmp_path / "dl_src"
+    src.mkdir()
+    good = fixtures.insert_only_envelopes()[:3]
+    fixtures.write_jsonl(good, str(src / "w.json"))
+    with open(src / "w.json", "a") as f:
+        f.write('{"data": {"trans_id": BROKEN\n')
+        f.write("not json at all\n")
+    table = _table(spark, tmp_path)
+    env = read_envelope_json(spark, str(src / "w.json"))
+    apply_cdc_batch(env, table, batch_id=7)
+    assert len(_state(table)) == 3  # good rows applied
+    dl = spark.read.parquet(str(tmp_path / "retail_trans_dead_letter"))
+    rows = dl.collect()
+    assert len(rows) == 2
+    assert {r["batch_id"] for r in rows} == {7}
+    assert any("BROKEN" in r["raw"] for r in rows)
+    assert any("not json at all" in r["raw"] for r in rows)
+
+
+def test_streaming_dead_letter(spark, tmp_path):
+    """Same through the streaming path (PERMISSIVE capture survives the
+    file stream source)."""
+    src = tmp_path / "sdl_src"
+    src.mkdir()
+    fixtures.write_jsonl(fixtures.insert_only_envelopes()[:2], str(src / "w1.json"))
+    with open(src / "w1.json", "a") as f:
+        f.write('{"oops": \n')
+    table = _table(spark, tmp_path)
+    run_stream_once(spark, str(src), table, str(tmp_path / "ck"))
+    assert len(_state(table)) == 2
+    dl = spark.read.parquet(str(tmp_path / "retail_trans_dead_letter"))
+    assert dl.count() == 1

@@ -44,15 +44,44 @@ def conform_to_target(df: DataFrame, target_cols: list[str]) -> DataFrame:
     return df.select(*target_cols, *OP_COLS)
 
 
-def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int | None = None) -> None:
-    """Full micro-batch pipeline: flatten -> dedup-latest -> merge.
+def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int | None = None,
+                    dead_letter_dir: str | None = None) -> None:
+    """Full micro-batch pipeline: dead-letter split -> flatten ->
+    dedup-latest -> merge.
 
     ``envelopes`` is a bounded DataFrame of CDC envelope rows (the
     foreachBatch argument). Safe under batch replay (T3) and
     out-of-order delivery (T4) — see ``lake.table.ParquetLakeTable.merge``.
+
+    Rows the JSON reader could not parse (captured in
+    ``_corrupt_record`` by PERMISSIVE mode) are appended to
+    ``dead_letter_dir`` (default: ``<table>_dead_letter``) instead of
+    being silently dropped — at scale, silent drops are unobservable
+    data loss.
     """
+    from .envelope import CORRUPT_COL
+
     if envelopes.isEmpty():  # P6 guard, once, without recomputing lineage
         return
+    if CORRUPT_COL in envelopes.columns:
+        # malformed JSON (corrupt col set) AND schema-foreign messages
+        # (valid JSON, no `data` struct) both dead-letter; raw payload is
+        # the corrupt capture or the re-serialized row
+        bad = envelopes.filter(F.col("data").isNull())
+        if not bad.isEmpty():
+            dl = dead_letter_dir or (table.path.rstrip("/") + "_dead_letter")
+            (
+                bad.select(
+                    F.coalesce(
+                        F.col(CORRUPT_COL), F.to_json(F.struct("data", "metadata"))
+                    ).alias("raw"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.current_timestamp().alias("captured_at"),
+                )
+                .write.mode("append")
+                .parquet(dl)
+            )
+        envelopes = envelopes.filter(F.col("data").isNotNull()).drop(CORRUPT_COL)
     flat = flatten_envelope(envelopes)
     deduped = latest_per_key(flat, key_cols=table.key_cols)
     table.merge(deduped)

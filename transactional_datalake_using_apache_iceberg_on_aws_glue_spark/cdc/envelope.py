@@ -60,19 +60,44 @@ __all__ = [
 ]
 
 
-def read_envelope_json(spark: SparkSession, path: str) -> DataFrame:
+#: Corrupt-record capture column (PERMISSIVE mode dead-lettering).
+CORRUPT_COL = "_corrupt_record"
+
+CDC_ENVELOPE_SCHEMA_WITH_CORRUPT = T.StructType(
+    list(CDC_ENVELOPE_SCHEMA.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+)
+
+
+def read_envelope_json(spark: SparkSession, path: str, keep_corrupt: bool = True) -> DataFrame:
     """Batch-read JSON-lines CDC envelopes with the declared schema
-    (replaces the Glue Kinesis source, SURVEY §2.1 S1)."""
-    return spark.read.schema(CDC_ENVELOPE_SCHEMA).json(path)
+    (replaces the Glue Kinesis source, SURVEY §2.1 S1).
+
+    ``keep_corrupt`` captures unparseable lines in ``_corrupt_record``
+    instead of silently nulling them — at 100 TB silent drops are data
+    loss with no signal; the apply pipeline routes them to a dead-letter
+    directory (``apply.apply_cdc_batch``)."""
+    schema = CDC_ENVELOPE_SCHEMA_WITH_CORRUPT if keep_corrupt else CDC_ENVELOPE_SCHEMA
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
 
 
-def read_envelope_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+def read_envelope_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None,
+                         keep_corrupt: bool = True) -> DataFrame:
     """Streaming file source over JSON-lines envelopes (S1 streaming form).
 
     On a real deployment this is ``format("kafka")`` + ``F.from_json``;
     the file source keeps identical downstream semantics.
     """
-    reader = spark.readStream.schema(CDC_ENVELOPE_SCHEMA)
+    schema = CDC_ENVELOPE_SCHEMA_WITH_CORRUPT if keep_corrupt else CDC_ENVELOPE_SCHEMA
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.json(path)

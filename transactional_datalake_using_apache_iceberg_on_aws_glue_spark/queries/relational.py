@@ -427,3 +427,69 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
         F.round(F.avg("o_totalprice"), 2).alias("mean"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT measure, round(sum(val), 2) AS total, count(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+    doc="Unpivot (wide->long) via stack() — the melt operator; oracle is "
+        "the equivalent UNION ALL. One Expand node, single pass over the "
+        "fact table, no join.",
+    tags=("reshape",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'tax', l_tax) AS (measure, val)"
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("val"), 2).alias("total"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "union_all_order_tiers",
+    oracle="""
+    SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (
+      SELECT 'high' AS tier, o_totalprice FROM orders WHERE o_totalprice > 200000
+      UNION ALL
+      SELECT 'low' AS tier, o_totalprice FROM orders WHERE o_totalprice <= 200000
+      UNION ALL
+      SELECT 'urgent' AS tier, o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY tier
+    """,
+    doc="UNION ALL (bag semantics — rows intentionally counted twice "
+        "across overlapping branches), completing the set-op family with "
+        "the non-distinct variant.",
+    tags=("setop",),
+)
+def union_all_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 200000).select(
+        F.lit("high").alias("tier"), "o_totalprice"
+    )
+    low = o.filter(F.col("o_totalprice") <= 200000).select(
+        F.lit("low").alias("tier"), "o_totalprice"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("tier"), "o_totalprice"
+    )
+    return (
+        high.unionAll(low).unionAll(urgent)
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )

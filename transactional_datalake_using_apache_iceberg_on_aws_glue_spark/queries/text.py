@@ -172,3 +172,28 @@ def lang_distribution_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "top_tokens_explode",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Generator/explode operator class (LATERAL VIEW equivalent): "
+        "token frequency top-20 across the corpus. Explode is narrow "
+        "(no shuffle); the count groupBy is the only exchange.",
+    tags=("documents", "text", "generator"),
+)
+def top_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
