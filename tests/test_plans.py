@@ -63,3 +63,28 @@ def test_cdc_merge_plans_single_window_shuffle(spark, tmp_path):
 def test_wholestage_codegen_active(spark, sf_dir):
     df = _q("q1_pricing_summary", spark, sf_dir)
     assert P.wholestage_codegen_spans(df) >= 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located fact join: both sides bucketed on the join key ->
+    SortMergeJoin with ZERO Exchange operators (the write-once,
+    join-free-forever layout for 100 TB fact tables)."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(load_table(spark, sf_dir, "orders"), "t_orders_b", "o_orderkey", 8)
+        write_bucketed(load_table(spark, sf_dir, "lineitem"), "t_lineitem_b", "l_orderkey", 8)
+        j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey", "l_orderkey")
+        plan = P.executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
