@@ -286,3 +286,55 @@ def test_streaming_dead_letter(spark, tmp_path):
     assert len(_state(table)) == 2
     dl = spark.read.parquet(str(tmp_path / "retail_trans_dead_letter"))
     assert dl.count() == 1
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """allow_schema_evolution: a later batch may ADD a column (old rows
+    read back NULL) and omit one (filled NULL) — the DMS add-column
+    scenario the reference cannot handle (SURVEY §1.3)."""
+    from pyspark.sql import functions as F
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL, OP_TS_COL, TXN_COL,
+    )
+
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "evo"), key_cols=["id"], partition_col="part",
+        allow_schema_evolution=True,
+    )
+
+    def mk(rows, schema):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn(OP_COL, F.lit("insert"))
+            .withColumn(OP_TS_COL, F.col("ts").cast("timestamp"))
+            .withColumn(TXN_COL, F.col("txn"))
+            .drop("ts", "txn")
+        )
+
+    w1 = mk([(1, "a", 10, "2024-01-01", 1), (2, "a", 20, "2024-01-01", 2)],
+            "id long, part string, amount int, ts string, txn long")
+    table.merge(w1)
+
+    # wave 2 adds `extra`, drops `amount`
+    w2 = mk([(3, "b", "hello", "2024-01-02", 3)],
+            "id long, part string, extra string, ts string, txn long")
+    table.merge(w2)
+
+    rows = {r["id"]: r for r in table.read_data().collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["extra"] is None and rows[1]["amount"] == 10
+    assert rows[3]["extra"] == "hello" and rows[3]["amount"] is None
+
+
+def test_apply_stats(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    s1 = apply_cdc_batch(
+        _envelope_df(spark, fixtures.insert_only_envelopes()), table, return_stats=True
+    )
+    assert s1 == {"n_rows": 10, "n_upserts": 10, "n_deletes": 0}
+    s2 = apply_cdc_batch(
+        _envelope_df(spark, fixtures.dml_envelopes()), table, return_stats=True
+    )
+    assert s2 == {"n_rows": 13, "n_upserts": 10, "n_deletes": 3}
+    empty = apply_cdc_batch(_envelope_df(spark, []), table, return_stats=True)
+    assert empty == {"n_rows": 0, "n_upserts": 0, "n_deletes": 0}

@@ -45,7 +45,8 @@ def conform_to_target(df: DataFrame, target_cols: list[str]) -> DataFrame:
 
 
 def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int | None = None,
-                    dead_letter_dir: str | None = None) -> None:
+                    dead_letter_dir: str | None = None,
+                    return_stats: bool = False) -> dict | None:
     """Full micro-batch pipeline: dead-letter split -> flatten ->
     dedup-latest -> merge.
 
@@ -62,7 +63,7 @@ def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int
     from .envelope import CORRUPT_COL
 
     if envelopes.isEmpty():  # P6 guard, once, without recomputing lineage
-        return
+        return {"n_rows": 0, "n_upserts": 0, "n_deletes": 0} if return_stats else None
     if CORRUPT_COL in envelopes.columns:
         # malformed JSON (corrupt col set) AND schema-foreign messages
         # (valid JSON, no `data` struct) both dead-letter; raw payload is
@@ -84,4 +85,20 @@ def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int
         envelopes = envelopes.filter(F.col("data").isNotNull()).drop(CORRUPT_COL)
     flat = flatten_envelope(envelopes)
     deduped = latest_per_key(flat, key_cols=table.key_cols)
-    table.merge(deduped)
+    if not return_stats:
+        table.merge(deduped)
+        return None
+    # observability: one cheap aggregate over the (persisted) batch —
+    # the reference's only signal is a job log line
+    deduped = deduped.persist()
+    try:
+        counts = {r[0]: r[1] for r in deduped.groupBy(OP_COL).count().collect()}
+        stats = {
+            "n_rows": int(sum(counts.values())),
+            "n_upserts": int(sum(v for k, v in counts.items() if k != "delete")),
+            "n_deletes": int(counts.get("delete", 0)),
+        }
+        table.merge(deduped)
+        return stats
+    finally:
+        deduped.unpersist()

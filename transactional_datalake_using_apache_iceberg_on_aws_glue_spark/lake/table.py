@@ -72,12 +72,18 @@ class ParquetLakeTable:
         key_cols: Sequence[str] = ("trans_id",),
         partition_col: str | None = "event",
         store_lineage: bool = True,
+        allow_schema_evolution: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
         self.store_lineage = store_lineage
+        #: when True, a batch may add columns (old rows read as NULL) or
+        #: omit existing ones (filled NULL) — additive evolution only,
+        #: the DMS add-column case; type changes still error loudly.
+        #: The reference supports no evolution at all (SURVEY §1.3).
+        self.allow_schema_evolution = allow_schema_evolution
 
     # -- basic IO ----------------------------------------------------------
 
@@ -100,7 +106,12 @@ class ParquetLakeTable:
                 with open(schema_file) as f:
                     schema = T.StructType.fromJson(json.load(f))
                 return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.path)
+        reader = self.spark.read
+        if self.allow_schema_evolution:
+            # evolved tables hold files with different (additive) schemas:
+            # old partitions keep the old footer until rewritten
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path)
 
     def read_data(self) -> DataFrame:
         """Read the LIVE rows (tombstones filtered) without lineage
@@ -245,11 +256,14 @@ class ParquetLakeTable:
         # the batch lineage (parse -> flatten -> window dedup) is referenced
         # by the partition probe AND the union; persist it once instead of
         # recomputing (the reference recomputes per count(), SURVEY §4)
-        batch = batch.persist()
+        already_persisted = batch.storageLevel.useMemory or batch.storageLevel.useDisk
+        if not already_persisted:
+            batch = batch.persist()
         try:
             self._merge_into(batch)
         finally:
-            batch.unpersist()
+            if not already_persisted:
+                batch.unpersist()
 
     def _merge_into(self, batch: DataFrame) -> None:
         parts = self._affected_partitions(batch)
@@ -274,7 +288,12 @@ class ParquetLakeTable:
             .withColumn(_SRC, F.lit(0))
         )
         src = self._with_lineage(batch).withColumn(_SRC, F.lit(1))
-        unioned = tgt.unionByName(src.select(*tgt.columns))
+        if self.allow_schema_evolution:
+            # additive evolution: new batch columns appear (targets NULL),
+            # missing batch columns fill NULL
+            unioned = tgt.unionByName(src, allowMissingColumns=True)
+        else:
+            unioned = tgt.unionByName(src.select(*tgt.columns))
 
         if self.store_lineage:
             order = [F.desc_nulls_last(OP_TS_COL), F.desc_nulls_last(TXN_COL), F.desc(_SRC)]
