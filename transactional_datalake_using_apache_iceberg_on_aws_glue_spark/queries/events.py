@@ -78,7 +78,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
     doc="Sessionization: lag() gap detection with a 30-min threshold "

@@ -156,8 +156,8 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_counts",
     oracle="""
     SELECT source,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
-             AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+             AS BIGINT) AS total_tokens,
            round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4)
              AS avg_tokens
     FROM documents GROUP BY source
@@ -186,10 +186,10 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN n_tokens >= 10
+           CAST(sum(CASE WHEN n_tokens >= 10
                      AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens BETWEEN 2.0 AND 12.0
                      AND n_punct::DOUBLE / n_chars < 0.2
-                    THEN 1 ELSE 0 END) AS n_keep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
     FROM f GROUP BY lang
     """,
     doc="Curation keep-rate per lang from the composite quality predicate "

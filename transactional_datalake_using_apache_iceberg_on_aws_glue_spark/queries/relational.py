@@ -257,7 +257,8 @@ def topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "rk")
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"),
+                F.col("rk").cast("long").alias("rk"))
     )
 
 

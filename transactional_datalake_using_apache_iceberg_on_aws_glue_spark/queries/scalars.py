@@ -18,7 +18,7 @@ from . import register
     SELECT c_custkey,
            upper(c_name)                          AS name_upper,
            substr(c_name, 1, 8)                   AS name_prefix,
-           length(c_name)                         AS name_len,
+           CAST(length(c_name) AS INT)            AS name_len,
            replace(c_name, '#', '-')              AS name_dashed,
            concat(c_mktsegment, ':', c_name)      AS segment_tag,
            CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,

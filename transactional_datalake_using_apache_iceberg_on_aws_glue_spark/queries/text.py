@@ -66,7 +66,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg(ntok), 4).alias("avg_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.max(ntok).alias("max_tokens"),
+        F.max(ntok).cast("long").alias("max_tokens"),
     )
 
 
@@ -146,8 +146,8 @@ def doc_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.filter(n >= 3).select(
         "doc_id",
-        (n - 2).alias("n_shingles"),
-        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+        (n - 2).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
     )
 
 

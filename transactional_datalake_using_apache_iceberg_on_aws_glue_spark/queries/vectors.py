@@ -155,5 +155,6 @@ def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("vec_id", "label", dist.alias("dist"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("vec_id", "label", F.round("dist", 6).alias("dist"), "rk")
+        .select("vec_id", "label", F.round("dist", 6).alias("dist"),
+                F.col("rk").cast("long").alias("rk"))
     )
