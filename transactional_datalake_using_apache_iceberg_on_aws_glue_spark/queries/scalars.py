@@ -168,10 +168,10 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame_prices",
     oracle="""
     SELECT o_orderkey,
-           round(avg(o_totalprice) OVER (
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
-             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 3)
-             AS avg_30d,
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+             AS total_30d_cents,
            count(*) OVER (
              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
@@ -194,10 +194,12 @@ def window_range_frame_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(order_us)
         .rangeBetween(-thirty_days_us, 0)
     )
+    # integer cents: frame sums of doubles accumulate in engine-specific
+    # (even run-specific, under parallel window execution) orders, so any
+    # float emission is a latent hash flake at round()-boundaries
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
         "o_orderkey",
-        # round to 3dp: frame-avgs of 2-decimal prices land exactly on
-        # half-cents, where engines' round(x,2) tie-breaking differs
-        F.round(F.avg("o_totalprice").over(w), 3).alias("avg_30d"),
+        F.sum(cents).over(w).alias("total_30d_cents"),
         F.count("*").over(w).alias("n_30d"),
     )
