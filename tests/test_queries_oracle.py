@@ -55,3 +55,28 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     o = _normalize([tuple(r[i] for i in idx) for r in cur.fetchall()])
     assert len(s) == len(o), f"row count: spark={len(s)} oracle={len(o)}"
     assert s == o
+
+
+#: Spark dtype -> acceptable DuckDB Arrow types (exact width matches;
+#: timestamp_ntz vs timestamp is a naming difference over identical
+#: µs-UTC values under the pinned session timezone).
+_TYPE_OK = {
+    ("bigint", "int64"), ("double", "double"), ("int", "int32"),
+    ("string", "string"), ("string", "large_string"),
+    ("timestamp", "timestamp[us]"), ("timestamp_ntz", "timestamp[us]"),
+    ("date", "date32[day]"), ("boolean", "bool"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(n for n, s in load_all().items() if s.oracle))
+def test_query_types_width_aligned(name, spark, sf_dir, duck):
+    """Arrow-level width audit: a typed value-hash in the driver must
+    never diverge on integer width or timestamp unit (DuckDB widens
+    integer sums to int128 unless explicitly CAST — found by review)."""
+    spec = load_all()[name]
+    sd = dict(spec.builder(spark, sf_dir).dtypes)
+    arrow = duck.execute(spec.oracle).arrow().schema
+    for f in arrow:
+        assert (sd.get(f.name), str(f.type)) in _TYPE_OK, (
+            f"{name}.{f.name}: spark={sd.get(f.name)} duckdb-arrow={f.type}"
+        )

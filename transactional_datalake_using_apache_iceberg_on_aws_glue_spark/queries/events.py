@@ -111,9 +111,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(round(value * 100) AS BIGINT) AS cents,
                       ts::TIMESTAMP AS ts FROM events)
     SELECT user_id, event_id,
-           sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_cents,
+             AS BIGINT) AS running_cents,
            lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS next_event_id
     FROM e

@@ -168,10 +168,10 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame_prices",
     oracle="""
     SELECT o_orderkey,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
-             AS total_30d_cents,
+             AS BIGINT) AS total_30d_cents,
            count(*) OVER (
              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
