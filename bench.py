@@ -126,9 +126,14 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        _force(spec.builder(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of 2 runs: first run pays JIT/codegen/broadcast warm-up that
+        # a resident engine never re-pays; min is the steady-state number
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(spec.builder(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     _bench_cdc(spark, sf_dir, timings)
 

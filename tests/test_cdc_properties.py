@@ -102,3 +102,44 @@ def test_replaying_every_batch_is_idempotent(spark, tmp_path_factory, ops):
         for r in table.read_data().select("trans_id", "amount").collect()
     }
     assert got == _spec_fold(ops)
+
+
+def test_streaming_soak_20_batches(spark, tmp_path_factory):
+    """Soak: 20 micro-batch files of pseudo-random ops drained through
+    the REAL streaming path (file source -> foreachBatch -> merge), one
+    run per file batch with checkpointed restarts in between; final
+    state must equal the spec fold."""
+    import random
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.fixtures import (
+        write_jsonl,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.streaming import (
+        run_stream_once,
+    )
+
+    rng = random.Random(4242)
+    ops = [
+        (rng.choice(KEYS), rng.choice(["insert", "update", "delete"]),
+         rng.randint(1, 99), rng.randint(0, 9))
+        for _ in range(120)
+    ]
+    envs = _envelopes(ops)
+
+    base = tmp_path_factory.mktemp("soak")
+    src = base / "in"
+    src.mkdir()
+    table = ParquetLakeTable(spark, str(base / "t"), key_cols=["trans_id"])
+    per_batch = 6
+    for b in range(0, len(envs), per_batch):
+        write_jsonl(envs[b : b + per_batch], str(src / f"b{b:03d}.json"))
+        # drain after every 4th file so several files form one micro-batch
+        if (b // per_batch) % 4 == 3:
+            run_stream_once(spark, str(src), table, str(base / "ck"))
+    run_stream_once(spark, str(src), table, str(base / "ck"))  # drain the tail
+
+    got = {
+        r["trans_id"]: r["amount"]
+        for r in table.read_data().select("trans_id", "amount").collect()
+    }
+    assert got == _spec_fold(ops)

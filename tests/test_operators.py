@@ -205,3 +205,31 @@ def test_multimodal_decode_plumbing(spark):
     assert vids == {0, 10, 20, 30, 40}
     per = [r for r in frames if r["media_id"] == 0]
     assert [f["frame_index"] for f in per] == [0, 10, 20]
+
+
+def test_ivf_topk_finds_planted_cluster(spark):
+    """IVF with enough probes must recover planted near-query vectors;
+    assignment must be a partition of the corpus."""
+    import random
+
+    def vec(seed, dim=16):
+        rng = random.Random(seed)
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    qv = vec(777)
+    rows = [(i, vec(i)) for i in range(300)]
+    for j in range(5):
+        noise = vec(9000 + j)
+        rows.append((1000 + j, [x + 0.05 * n for x, n in zip(qv, noise)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(qv,)], "qv array<float>")
+
+    assigned, cents = S.ivf_assign(emb, n_cells=8)
+    assert assigned.count() == 305  # partition: every vector exactly one cell
+    assert assigned.select("_cell").distinct().count() <= 8
+
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=5).collect()}
+    assert exact == {1000 + j for j in range(5)}
+    approx = {r["vec_id"] for r in S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()}
+    recall = len(exact & approx) / 5
+    assert recall >= 0.8, f"IVF recall too low: {recall}"

@@ -110,3 +110,97 @@ def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10, planes: int = 8,
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 16, iters: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> tuple:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+
+    Init: the vectors whose xxhash64(id) are smallest become the seed
+    centroids (reproducible, no RNG). Then ``iters`` Lloyd rounds, each
+    one = a broadcast-join assignment pass + a posexplode/groupBy
+    centroid update — all distributed, centroids themselves are tiny
+    (n_cells x dim) and travel by broadcast.
+
+    Returns (assigned_df with `_cell`, centroids_df(cell, c)).
+    """
+    from pyspark.sql import functions as F
+
+    seeds = (
+        emb.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(F.col(vec_col).alias("c"))
+        .withColumn("cell", F.monotonically_increasing_id())
+        .select("cell", F.transform("c", lambda x: x.cast("double")).alias("c"))
+    )
+    centroids = seeds
+    for _ in range(iters):
+        assigned = _assign_cells(emb, centroids, vec_col, id_col)
+        centroids = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("i", "v"))
+            .groupBy("_cell", "i")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("p"))
+            .select(F.col("_cell").alias("cell"), F.transform("p", lambda s: s.m).alias("c"))
+        )
+    return _assign_cells(emb, centroids, vec_col, id_col), centroids
+
+
+def _assign_cells(emb: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + per-group min."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d2 = F.aggregate(
+        F.zip_with(vec_col, "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy("_d2", "cell")
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*emb.columns, F.col("cell").alias("_cell"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query: DataFrame, k: int = 10, n_cells: int = 16,
+             n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: assign corpus to cells once (in a real
+    pipeline this is persisted as a partition column at write time),
+    probe only the ``n_probe`` cells nearest the query, exact cosine
+    inside. Cost ~ n_probe/n_cells of brute force, recall tuned by
+    n_probe.
+    """
+    from pyspark.sql import functions as F
+
+    assigned, centroids = ivf_assign(emb, n_cells=n_cells, vec_col=vec_col, id_col=id_col)
+    qd2 = F.aggregate(
+        F.zip_with("qv", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_cells = [
+        r["cell"]
+        for r in query.crossJoin(F.broadcast(centroids))
+        .withColumn("_d2", qd2)
+        .orderBy("_d2")
+        .limit(n_probe)
+        .select("cell")
+        .collect()
+    ]
+    cand = assigned.filter(F.col("_cell").isin(probe_cells))
+    sim = cosine_sim_cols(F.col(vec_col), F.col("qv"))
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select(id_col, sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -221,3 +221,21 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "n_chars"), "doc_id")
         .select("doc_id", "n_fingerprints", "n_chars")
     )
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=None,  # approximate by construction (deterministic k-means cells)
+    doc="IVF approximate top-10: deterministic k-means coarse quantizer "
+        "(operators.similarity.ivf_assign), probe the 4 nearest of 16 "
+        "cells, exact cosine inside — the persisted-partition ANN "
+        "architecture at corpus scale. Recall asserted vs exact search "
+        "in tests/test_operators.py.",
+    tags=("embeddings", "vector", "approx"),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return S.ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=10).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
