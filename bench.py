@@ -110,6 +110,19 @@ def _bench_cdc(spark, sf_dir: str, timings: dict) -> None:
         t0 = time.perf_counter()
         apply_cdc_batch(churn, table)
         timings["cdc_incremental_merge"] = round(time.perf_counter() - t0, 3)
+
+        # merge-on-read mode: same churn batch as a delta append (write
+        # cost O(batch), ~4x faster than COW at sf0.1) plus the read it
+        # defers to (fold base+delta) — both sides of the tradeoff billed
+        mor = ParquetLakeTable(spark, f"{work}/t_mor", key_cols=["trans_id"],
+                               partition_col="event", merge_mode="mor")
+        apply_cdc_batch(envelopes(li, "insert", "2024-01-01T00:00:00.000000"), mor)
+        t0 = time.perf_counter()
+        apply_cdc_batch(churn, mor)
+        timings["cdc_mor_incremental_merge"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _force(mor.read_data())
+        timings["cdc_mor_read_after_merge"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -196,11 +196,16 @@ def test_streaming_two_wave_golden(spark, tmp_path):
 
 
 def test_compaction_preserves_content(spark, tmp_path):
-    """SURVEY §7 hard-part 5: many small merge-produced files; compact()
-    must shrink file count without changing table content."""
-    table = _table(spark, tmp_path)
+    """SURVEY §7 hard-part 5: small files accumulate per merge; compact()
+    must fold them without changing table content. COW merges already
+    rewrite affected partitions whole, so genuine accumulation lives in
+    MOR mode: every micro-batch appends a delta file set."""
+    table = ParquetLakeTable(
+        spark, str(tmp_path / "t_mor"), key_cols=["trans_id"], merge_mode="mor"
+    )
     apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
-    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    for i in range(0, 13, 5):  # dml wave in 3 micro-batches -> 3 deltas
+        apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()[i : i + 5]), table)
     before_state = _state(table)
     before_files = table.file_count()
     table.compact(target_files_per_partition=1)

@@ -1,31 +1,60 @@
-"""Partitioned-parquet lake table with keyed MERGE semantics.
+"""Snapshot-versioned partitioned-parquet lake table with keyed MERGE.
 
 The reference delegates MERGE to the Iceberg Spark extension
 (/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:59,
 118-136): Iceberg rewrites only the data files containing matched keys
-(copy-on-write). This module reproduces those semantics over plain
-parquet, which is what the test image supports (no Iceberg jar):
+(copy-on-write) and commits a new table *snapshot* via an atomic
+metadata-pointer swap (the DynamoDB lock at :57-58 guards that swap).
+This module reproduces both halves over plain parquet, which is what
+the test image supports (no Iceberg jar):
 
-- the table directory is hive-partitioned by a partition column
-  (``PARTITIONED BY (event)`` in the reference's Athena DDL,
-  README.md:355-368);
-- a merge rewrites ONLY the partitions that contain matched keys or
-  receive new rows (computed from partition-value metadata, never a
-  full-table rewrite), via ``partitionOverwriteMode=dynamic``;
-- merge itself is ONE shuffle: union(target-slice, batch) followed by
-  latest-per-key — not a join cascade. Ordering is
-  (op_timestamp, txn_id, is_source) descending, which simultaneously
-  implements UPDATE SET * / INSERT * / DELETE *and* the late-data guard
-  the reference lacks (SURVEY §2.9 T4): an older image arriving in a
-  later batch loses to the newer row already in the table.
-- replay idempotence (SURVEY T3): re-applying the same batch converges
-  to the same state because the winner of (ts, txn, src) is stable.
+**Commit protocol (the Iceberg-metadata analogue).** Every mutation
+writes data files into a fresh immutable ``snap-NNNNNN/`` directory and
+publishes a JSON manifest ``_versions/vNNNNNN.json`` mapping each
+partition value to the snapshot directory that currently holds its
+files; ``_versions/CURRENT`` is swapped atomically (``os.replace``) to
+point at the new manifest. Consequences, exactly as in Iceberg:
 
-Scale: the per-merge cost is O(affected partitions), exactly like
-Iceberg COW. Partition values (not rows) are collected to the driver —
-bounded metadata. At 100 TB with 1000 executors the shuffle is on the
-primary key, AQE-coalesced; skew is impossible post-dedup (one row per
-key per batch on the source side).
+- readers never see a half-written table (they resolve CURRENT once);
+- every historical version stays readable -> time travel
+  (``read(as_of_version=...)`` / ``as_of_timestamp_ms=...``),
+  O(1) ``rollback()``, and ``history()``;
+- old file sets are garbage-collected explicitly
+  (``expire_snapshots``, Iceberg's ``expire_snapshots`` procedure);
+- a concurrent commit is detected at publish time and raises
+  ``CommitConflictError`` (optimistic concurrency; the reference
+  instead serializes writers with max_concurrent_runs=1,
+  cdk_stacks/glue_streaming_job.py:62-64 — single-writer remains the
+  supported discipline here, the check is a tripwire).
+
+**Two merge modes**, mirroring Iceberg's copy-on-write vs
+merge-on-read (format v2):
+
+- ``merge_mode="cow"`` (default): a merge rewrites ONLY the partitions
+  that contain matched keys or receive new rows (computed from
+  partition metadata, never a full-table rewrite). Merge itself is ONE
+  shuffle: union(target-slice, batch) followed by latest-per-key — not
+  a join cascade. Write cost O(affected partitions), read cost zero.
+- ``merge_mode="mor"``: a merge appends the deduped batch as a
+  ``delta-NNNNNN/`` file set — write cost O(batch), no target scan at
+  all. Readers fold base + deltas with the same latest-per-key window;
+  ``compact()`` folds deltas back into a clean base. This is the
+  right default for high-frequency small CDC batches (SURVEY §7
+  hard-part 5: 100 s triggers x tiny batches), where COW write
+  amplification is ~|partition|/|batch| per trigger.
+
+Ordering in both modes is (op_timestamp, txn_id, commit-seq)
+descending, which simultaneously implements UPDATE SET * / INSERT * /
+DELETE *and* the late-data guard the reference lacks (SURVEY §2.9 T4):
+an older image arriving in a later batch loses to the newer row already
+in the table. Replay idempotence (T3): re-applying the same batch
+converges because the winner of (ts, txn, seq) is stable.
+
+Scale: per-merge cost is O(affected partitions) (COW) or O(batch)
+(MOR), exactly like Iceberg. Partition values (not rows) are collected
+to the driver — bounded metadata. At 100 TB with 1000 executors the
+merge shuffle is on the primary key, AQE-coalesced; skew is impossible
+post-dedup (one row per key per batch on the source side).
 """
 
 from __future__ import annotations
@@ -33,10 +62,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..constants import OP_COL, OP_TS_COL, TXN_COL
 
@@ -49,20 +81,31 @@ from ..constants import OP_COL, OP_TS_COL, TXN_COL
 DELETED_COL = "_deleted"
 LINEAGE_COLS = (OP_TS_COL, TXN_COL, DELETED_COL)
 _SRC = "_is_source"
+_SEQ = "_commit_seq"
+#: pseudo-partition key used in manifests of unpartitioned tables
+_ALL = "__ALL__"
+_VERSIONS_DIR = "_versions"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published a version since this operation began."""
 
 
 class ParquetLakeTable:
-    """A keyed, partitioned lake table supporting CDC merge.
+    """A keyed, partitioned, snapshot-versioned lake table for CDC merge.
 
     Parameters
     ----------
-    path: table root directory (hive layout ``part_col=value/``).
+    path: table root directory.
     key_cols: merge key (reference: ``trans_id``, README.md:85).
-    partition_col: hive partition column (reference: ``event``).
+    partition_col: hive partition column (reference: ``event``,
+        README.md:364 ``PARTITIONED BY (event)``).
     store_lineage: persist ``_op_timestamp``/``_txn_id`` so merges can
         reject out-of-order images (T4 guard). When False the table has
         exactly the reference's 7-column schema and the batch always
         wins (reference behavior).
+    merge_mode: ``"cow"`` (partition rewrite) or ``"mor"``
+        (delta append + fold-on-read; requires ``store_lineage``).
     """
 
     def __init__(
@@ -73,7 +116,15 @@ class ParquetLakeTable:
         partition_col: str | None = "event",
         store_lineage: bool = True,
         allow_schema_evolution: bool = False,
+        merge_mode: str = "cow",
     ) -> None:
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
+        if merge_mode == "mor" and not store_lineage:
+            # MOR deltas need ordering metadata to fold correctly, the
+            # same reason Iceberg v2 row-level deletes carry sequence
+            # numbers — refuse a silently-wrong configuration.
+            raise ValueError("merge_mode='mor' requires store_lineage=True")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
@@ -84,55 +135,244 @@ class ParquetLakeTable:
         #: the DMS add-column case; type changes still error loudly.
         #: The reference supports no evolution at all (SURVEY §1.3).
         self.allow_schema_evolution = allow_schema_evolution
+        self.merge_mode = merge_mode
+
+    # -- version metadata --------------------------------------------------
+
+    def _versions_path(self) -> str:
+        return os.path.join(self.path, _VERSIONS_DIR)
+
+    def _manifest_file(self, version: int) -> str:
+        return os.path.join(self._versions_path(), f"v{version:06d}.json")
+
+    def current_version(self) -> int:
+        """Latest committed version number (0 = never written)."""
+        f = os.path.join(self._versions_path(), "CURRENT")
+        try:
+            with open(f) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _manifest(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v <= 0:
+            return None
+        try:
+            with open(self._manifest_file(v)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            if version is None:
+                return None
+            raise ValueError(
+                f"version {version} does not exist (expired or never committed)"
+            )
+
+    def _resolve_as_of(self, as_of_version: int | None,
+                       as_of_timestamp_ms: int | None) -> dict | None:
+        if as_of_version is not None:
+            return self._manifest(as_of_version)
+        if as_of_timestamp_ms is None:
+            return self._manifest()
+        best = None
+        for m in self._iter_manifests():
+            if m["committed_at_ms"] <= as_of_timestamp_ms and (
+                best is None or m["version"] > best["version"]
+            ):
+                best = m
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {as_of_timestamp_ms}"
+            )
+        return best
+
+    def _iter_manifests(self):
+        vdir = self._versions_path()
+        if not os.path.isdir(vdir):
+            return
+        for name in sorted(os.listdir(vdir)):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(vdir, name)) as fh:
+                    yield json.load(fh)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version / wall-clock time /
+        operation / summary — Iceberg's ``table.history()``."""
+        return [
+            {
+                "version": m["version"],
+                "committed_at_ms": m["committed_at_ms"],
+                "operation": m["operation"],
+                "summary": m.get("summary", {}),
+            }
+            for m in self._iter_manifests()
+        ]
+
+    def _commit(self, base_version: int, operation: str, base: dict,
+                deltas: list, schema: T.StructType,
+                summary: dict | None = None) -> int:
+        """Publish a new version. Atomicity = ``os.replace`` of the
+        CURRENT pointer; optimistic-concurrency check against
+        ``base_version`` (the version this operation planned on)."""
+        new_v = base_version + 1
+        vdir = self._versions_path()
+        os.makedirs(vdir, exist_ok=True)
+        manifest = {
+            "version": new_v,
+            "committed_at_ms": int(time.time() * 1000),
+            "operation": operation,
+            "base": base,
+            "deltas": deltas,
+            "schema": schema.jsonValue(),
+            "summary": summary or {},
+        }
+        mf = self._manifest_file(new_v)
+        if os.path.exists(mf) or self.current_version() != base_version:
+            raise CommitConflictError(
+                f"table advanced past version {base_version} during commit"
+            )
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mf)
+        cur, cur_tmp = os.path.join(vdir, "CURRENT"), os.path.join(vdir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as fh:
+            fh.write(str(new_v))
+        os.replace(cur_tmp, cur)
+        return new_v
+
+    # -- physical file IO --------------------------------------------------
+
+    def _write_files(self, df: DataFrame, dirname: str) -> list[str]:
+        """Write ``df`` into a fresh immutable snapshot/delta directory;
+        return the partition values present (dir-name encoded)."""
+        dest = os.path.join(self.path, dirname)
+        w = df.write.mode("overwrite")
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(dest)
+        return self._list_partition_dirs(dest)
+
+    def _list_partition_dirs(self, dest: str) -> list[str]:
+        if not self.partition_col:
+            return [_ALL]
+        prefix = f"{self.partition_col}="
+        return sorted(
+            name[len(prefix):]
+            for name in os.listdir(dest)
+            if name.startswith(prefix) and os.path.isdir(os.path.join(dest, name))
+        )
+
+    def _read_snapshot_slice(self, dirname: str, part_values: list[str],
+                             schema: T.StructType) -> DataFrame:
+        """Read the subset of one snapshot directory that the manifest
+        maps to it. Leaf partition dirs are enumerated explicitly (from
+        manifest keys, which came from listdir at write time — so names
+        match byte-for-byte); ``basePath`` re-derives the partition
+        column, and a cast to the manifest schema removes partition
+        type-inference drift (e.g. "123" inferred int)."""
+        base = os.path.join(self.path, dirname)
+        if not self.partition_col:
+            df = self.spark.read.parquet(base)
+        else:
+            leaves = [
+                os.path.join(base, f"{self.partition_col}={v}") for v in part_values
+            ]
+            df = self.spark.read.option("basePath", base).parquet(*leaves)
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                # additive evolution: old snapshots predate the column
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def _assemble(self, manifest: dict) -> DataFrame:
+        """Materialize a manifest as a DataFrame: per-snapshot reads
+        (partition-pruned to the slices the manifest references) folded
+        with deltas if present."""
+        schema = T.StructType.fromJson(manifest["schema"])
+        base_map: dict = manifest["base"]
+        by_snap: dict[str, list[str]] = {}
+        for part_value, snap in base_map.items():
+            by_snap.setdefault(snap, []).append(part_value)
+        parts = [
+            self._read_snapshot_slice(snap, values, schema)
+            for snap, values in sorted(by_snap.items())
+        ]
+        deltas = [
+            self._read_snapshot_slice(d, self._list_partition_dirs(
+                os.path.join(self.path, d)), schema)
+            for d in manifest["deltas"]
+        ]
+        if not parts and not deltas:
+            return self.spark.createDataFrame([], schema)
+        if not deltas:
+            return reduce(DataFrame.unionByName, parts)
+        base_df = (
+            reduce(DataFrame.unionByName, parts)
+            if parts
+            else self.spark.createDataFrame([], schema)
+        )
+        return self._fold([base_df, *deltas])
+
+    def _fold(self, layers: list[DataFrame]) -> DataFrame:
+        """MOR read-side merge: later layers win per key under the same
+        (ts, txn, seq) order the COW merge uses, so both modes are
+        bit-identical on the same input stream."""
+        seqd = [df.withColumn(_SEQ, F.lit(i)) for i, df in enumerate(layers)]
+        u = reduce(DataFrame.unionByName, seqd)
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.desc_nulls_last(OP_TS_COL), F.desc_nulls_last(TXN_COL), F.desc(_SEQ)
+        )
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", _SEQ)
+        )
 
     # -- basic IO ----------------------------------------------------------
 
     def exists(self) -> bool:
-        """True only when the table holds data files. A table whose rows
-        were ALL deleted has no partition dirs left (found by property
-        testing: reading such a directory fails schema inference, and
-        semantically the next merge should take the initial-load path)."""
+        """True only when the current snapshot references data files. A
+        table whose rows were ALL deleted references none (the next
+        merge takes the initial-load path, as before versioning)."""
         return self.file_count() > 0
 
-    def read(self) -> DataFrame:
-        """Read the table; a fully-emptied table (every row deleted)
-        yields an empty DataFrame with the schema persisted by the last
-        write — the minimal analogue of Iceberg's metadata file."""
-        if self.file_count() == 0:
-            schema_file = os.path.join(self.path, "_schema.json")
-            if os.path.exists(schema_file):
-                from pyspark.sql import types as T
+    def read(self, as_of_version: int | None = None,
+             as_of_timestamp_ms: int | None = None) -> DataFrame:
+        """Read the table (tombstones included, lineage columns intact).
 
-                with open(schema_file) as f:
-                    schema = T.StructType.fromJson(json.load(f))
-                return self.spark.createDataFrame([], schema)
-        reader = self.spark.read
-        if self.allow_schema_evolution:
-            # evolved tables hold files with different (additive) schemas:
-            # old partitions keep the old footer until rewritten
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(self.path)
+        Time travel: ``as_of_version`` pins an exact version;
+        ``as_of_timestamp_ms`` resolves the newest version committed at
+        or before that wall-clock instant (Iceberg's
+        ``VERSION AS OF`` / ``TIMESTAMP AS OF``).
+        """
+        m = self._resolve_as_of(as_of_version, as_of_timestamp_ms)
+        if m is None:
+            raise ValueError(f"table at {self.path} has no committed versions")
+        return self._assemble(m)
 
-    def read_data(self) -> DataFrame:
+    def read_data(self, as_of_version: int | None = None,
+                  as_of_timestamp_ms: int | None = None) -> DataFrame:
         """Read the LIVE rows (tombstones filtered) without lineage
         columns — the user-facing relation."""
-        df = self.read()
+        df = self.read(as_of_version, as_of_timestamp_ms)
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
 
-    def _write(self, df: DataFrame, mode: str) -> None:
-        w = df.write.mode(mode)
-        if self.partition_col:
-            w = w.partitionBy(self.partition_col)
-        w.parquet(self.path)
-        # persist the schema so an emptied table stays readable (read())
-        with open(os.path.join(self.path, "_schema.json"), "w") as f:
-            json.dump(df.schema.jsonValue(), f)
-
     def create(self, df: DataFrame) -> None:
         """Initial load (the reference's DMS full-load phase)."""
-        self._write(self._with_lineage(df), "overwrite")
+        base_v = self.current_version()
+        data = self._with_lineage(df)
+        snap = f"snap-{base_v + 1:06d}"
+        written = self._write_files(data, snap)
+        self._commit(
+            base_v, "create", {v: snap for v in written}, [], data.schema,
+            summary={"partitions": len(written)},
+        )
 
     def _with_lineage(self, df: DataFrame) -> DataFrame:
         if not self.store_lineage:
@@ -150,20 +390,20 @@ class ParquetLakeTable:
 
     def compact(self, target_files_per_partition: int = 1,
                 purge_tombstones: bool = False) -> None:
-        """Rewrite each partition into ``target_files_per_partition``
-        files — the open-parquet analogue of Iceberg's
-        ``rewrite_data_files`` (SURVEY §7 hard-part 5: 100 s triggers x
-        tiny batches accumulate small files; run this out-of-band).
+        """Rewrite the table into ``target_files_per_partition`` files
+        per partition — the analogue of Iceberg's ``rewrite_data_files``
+        (SURVEY §7 hard-part 5: 100 s triggers x tiny batches accumulate
+        small files). In MOR mode this also folds all deltas into a
+        clean base (Iceberg's minor+major compaction in one).
 
         ``purge_tombstones=True`` also drops delete tombstones — only
         safe once no in-flight data can be older than the deletes
         (retention contract, like Kafka log compaction).
 
-        Writes the compacted layout to a sibling directory and swaps it
-        in (read-your-own-overwrite is unsafe, and a cache-then-overwrite
-        wouldn't survive 100 TB) — the snapshot-swap discipline Iceberg
-        gets from its metadata pointer, done with directories here.
+        The rewrite is just another snapshot commit: prior versions stay
+        time-travelable until ``expire_snapshots``.
         """
+        base_v = self.current_version()
         df = self.read()
         if purge_tombstones and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -171,35 +411,98 @@ class ParquetLakeTable:
             rewritten = df.repartition(target_files_per_partition, self.partition_col)
         else:
             rewritten = df.coalesce(target_files_per_partition)
-        tmp = self.path.rstrip("/") + ".compacting"
-        old = self.path.rstrip("/") + ".old"
-        w = rewritten.write.mode("overwrite")
-        if self.partition_col:
-            w = w.partitionBy(self.partition_col)
-        w.parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        snap = f"snap-{base_v + 1:06d}"
+        written = self._write_files(rewritten, snap)
+        self._commit(
+            base_v, "compact", {v: snap for v in written}, [], df.schema,
+            summary={"purged_tombstones": purge_tombstones},
+        )
+
+    def rollback(self, version: int) -> None:
+        """Reset the table to a prior snapshot — O(1), no data movement:
+        a new manifest re-pointing at the old file sets (Iceberg's
+        ``rollback_to_snapshot``). History is preserved (roll forward by
+        rolling 'back' to a later version)."""
+        target = self._manifest(version)
+        if target is None:
+            raise ValueError(f"version {version} does not exist")
+        self._commit(
+            self.current_version(), "rollback", target["base"], target["deltas"],
+            T.StructType.fromJson(target["schema"]),
+            summary={"rolled_back_to": version},
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Garbage-collect file sets unreachable from the last
+        ``keep_last`` versions (Iceberg's ``expire_snapshots``). Returns
+        the directories removed. Time travel older than the horizon
+        stops working — by design, that is what reclaims space."""
+        cur = self.current_version()
+        keep_from = max(1, cur - keep_last + 1)
+        referenced: set[str] = set()
+        removed: list[str] = []
+        for m in self._iter_manifests():
+            if m["version"] >= keep_from:
+                referenced.update(m["base"].values())
+                referenced.update(m["deltas"])
+        for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
+            if (
+                (name.startswith("snap-") or name.startswith("delta-"))
+                and os.path.isdir(full)
+                and name not in referenced
+            ):
+                shutil.rmtree(full)
+                removed.append(name)
+        for m in list(self._iter_manifests()):
+            if m["version"] < keep_from:
+                os.remove(self._manifest_file(m["version"]))
+        return removed
 
     def file_count(self) -> int:
+        """Data files referenced by the CURRENT snapshot (not what is on
+        disk — expired/unreferenced files don't count)."""
+        m = self._manifest()
+        if m is None:
+            return 0
         n = 0
-        for root, _dirs, files in os.walk(self.path):
-            n += sum(1 for f in files if f.endswith(".parquet"))
+        seen: set[str] = set()
+        for part_value, snap in m["base"].items():
+            d = os.path.join(self.path, snap) if part_value == _ALL else os.path.join(
+                self.path, snap, f"{self.partition_col}={part_value}"
+            )
+            if d not in seen and os.path.isdir(d):
+                seen.add(d)
+                for root, _dirs, files in os.walk(d):
+                    n += sum(1 for f in files if f.endswith(".parquet"))
+        for delta in m["deltas"]:
+            d = os.path.join(self.path, delta)
+            for root, _dirs, files in os.walk(d):
+                n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
     # -- merge -------------------------------------------------------------
 
+    def _live_partitions(self) -> set | None:
+        """Partition values from the current manifest (pure metadata, no
+        scan). Values are dir-name-encoded strings — callers may only
+        use this for set-cover checks against stringified batch values."""
+        m = self._manifest()
+        if m is None:
+            return set()
+        return set(m["base"].keys())
+
     def _affected_partitions(self, batch: DataFrame) -> list | None:
-        """Partition values whose files a merge must rewrite: partitions
-        receiving batch rows plus partitions currently holding matched
-        keys (a key may move across partitions on update — Iceberg finds
-        this via file-level stats; we find it via a semi-join restricted
-        to key+partition columns, then prune the scan with IN)."""
+        """Partition values whose files a COW merge must rewrite:
+        partitions receiving batch rows plus partitions currently
+        holding matched keys (a key may move across partitions on
+        update — Iceberg finds this via file-level stats; we find it via
+        a semi-join restricted to key+partition columns, then prune the
+        scan with IN)."""
         if not self.partition_col:
             return None
         batch_parts = {r[0] for r in batch.select(self.partition_col).distinct().collect()}
-        live_parts = self._fs_partitions()
+        live_parts = self._live_partitions()
         if live_parts is not None and live_parts <= {str(v) for v in batch_parts}:
             # batch already touches every live partition — the key-match
             # semi-join (a full keyed target scan) can't add any, skip it.
@@ -214,19 +517,6 @@ class ParquetLakeTable:
         )
         rows = key_match.collect()
         return sorted(batch_parts | {r[0] for r in rows})
-
-    def _fs_partitions(self) -> set | None:
-        """Partition values from directory names (pure metadata, no scan).
-        Values come back as strings — callers may only use this for
-        set-cover checks against stringified batch values."""
-        if not os.path.isdir(self.path):
-            return set()
-        out = set()
-        prefix = f"{self.partition_col}="
-        for name in os.listdir(self.path):
-            if name.startswith(prefix) and os.path.isdir(os.path.join(self.path, name)):
-                out.add(name[len(prefix):])
-        return out
 
     def merge(self, batch: DataFrame) -> None:
         """Apply a deduped CDC batch (one row per key, carrying
@@ -250,7 +540,11 @@ class ParquetLakeTable:
                 ).drop(OP_COL)
             else:
                 initial = batch.filter(F.col(OP_COL) != "delete").drop(OP_COL)
-            self._write(self._with_lineage(initial), "overwrite")
+            self.create(initial)
+            return
+
+        if self.merge_mode == "mor":
+            self._merge_append_delta(batch)
             return
 
         # the batch lineage (parse -> flatten -> window dedup) is referenced
@@ -260,12 +554,40 @@ class ParquetLakeTable:
         if not already_persisted:
             batch = batch.persist()
         try:
-            self._merge_into(batch)
+            self._merge_cow(batch)
         finally:
             if not already_persisted:
                 batch.unpersist()
 
-    def _merge_into(self, batch: DataFrame) -> None:
+    def _merge_append_delta(self, batch: DataFrame) -> None:
+        """MOR merge: write the deduped batch as a delta file set and
+        commit. No target scan, no rewrite — O(batch) total. The
+        late-data guard moves to read time: _fold orders the delta
+        against existing rows by (ts, txn, commit-seq)."""
+        base_v = self.current_version()
+        m = self._manifest()
+        stored = T.StructType.fromJson(m["schema"])
+        delta = self._with_lineage(
+            batch.withColumn(DELETED_COL, F.col(OP_COL) == "delete").drop(OP_COL)
+        )
+        if self.allow_schema_evolution:
+            for f in stored.fields:  # missing stored columns fill NULL
+                if f.name not in delta.columns:
+                    delta = delta.withColumn(f.name, F.lit(None).cast(f.dataType))
+            new_fields = [f for f in delta.schema.fields if f.name not in stored.names]
+            schema = T.StructType(list(stored.fields) + new_fields)
+        else:
+            delta = delta.select(*stored.names)  # errors loudly on drift
+            schema = stored
+        dname = f"delta-{base_v + 1:06d}"
+        self._write_files(delta, dname)
+        self._commit(
+            base_v, "merge-mor", m["base"], m["deltas"] + [dname], schema,
+            summary={"deltas_outstanding": len(m["deltas"]) + 1},
+        )
+
+    def _merge_cow(self, batch: DataFrame) -> None:
+        base_v = self.current_version()
         parts = self._affected_partitions(batch)
         target = self.read()
         if parts is not None:
@@ -311,21 +633,22 @@ class ParquetLakeTable:
         if not self.store_lineage:
             merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
 
-        merged = merged.cache()
-        try:
-            remaining = {
-                r[0]
-                for r in merged.select(self.partition_col).distinct().collect()
-            } if self.partition_col else None
-            self._write(merged, "overwrite")
-            if parts is not None and remaining is not None:
-                # dynamic overwrite can't express "this partition is now
-                # empty" — drop emptied partition dirs explicitly (the
-                # analogue of Iceberg committing a snapshot without them).
-                for v in parts:
-                    if v not in remaining:
-                        d = os.path.join(self.path, f"{self.partition_col}={v}")
-                        if os.path.isdir(d):
-                            shutil.rmtree(d)
-        finally:
-            merged.unpersist()
+        m = self._manifest()
+        snap = f"snap-{base_v + 1:06d}"
+        written = self._write_files(merged, snap)
+        # new manifest: affected partitions re-point at the new snapshot;
+        # a partition that came out EMPTY simply isn't referenced any
+        # more (the old code had to rmtree it; the pointer swap makes
+        # "this partition no longer exists" a pure metadata statement).
+        new_base = dict(m["base"])
+        if parts is not None:
+            for v in parts:
+                new_base.pop(str(v), None)
+            for v in written:
+                new_base[v] = snap
+        else:
+            new_base = {v: snap for v in written}
+        self._commit(
+            base_v, "merge", new_base, m["deltas"], merged.schema,
+            summary={"rewritten_partitions": len(written)},
+        )
