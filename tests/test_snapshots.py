@@ -110,6 +110,57 @@ def test_commit_conflict_detected(spark, tmp_path):
         table._commit(stale_version, "merge", {}, [], table.read().schema)
 
 
+def test_read_changes_between_snapshots(spark, tmp_path):
+    """Incremental changelog (Iceberg create_changelog_view parity):
+    diffing the two golden waves must yield exactly the dml wave's
+    inserts / updates / deletes."""
+    table = _two_wave_table(spark, tmp_path)
+    changes = {
+        r["trans_id"]: (r["_change_type"], r["amount"])
+        for r in table.read_changes(1, 2).collect()
+    }
+    assert {k for k, (t, _) in changes.items() if t == "insert"} == set(
+        fixtures.DML_INSERT_KEYS
+    )
+    assert {k for k, (t, _) in changes.items() if t == "delete"} == set(
+        fixtures.DELETE_KEYS
+    )
+    assert {
+        k: a for k, (t, a) in changes.items() if t == "update_postimage"
+    } == fixtures.UPDATE_AMOUNTS
+    # identical snapshots diff to nothing
+    assert table.read_changes(2, 2).count() == 0
+
+
+def test_manifest_key_stats_prune_merge_probe(spark, tmp_path):
+    """Key-range stats harvested from parquet footers must (a) land in
+    the manifest, (b) prune the probe semi-join to zero partitions for
+    an out-of-range batch, and (c) never prune a partition that holds a
+    matched key — including the key-moves-partition case."""
+    table = _two_wave_table(spark, tmp_path)
+    stats = table._manifest().get("stats", {})
+    assert stats, "expected footer-derived key stats in the manifest"
+    for ranges in stats.values():
+        lo, hi = ranges["trans_id"]
+        assert lo <= hi
+
+    live = table._live_partitions()
+    far_batch = spark.createDataFrame([(100_000, "visit")], "trans_id long, event string")
+    # no live partition's trans_id range reaches 100000 -> nothing to scan
+    assert table._stats_overlapping_partitions(far_batch, {"visit"}, live) == set()
+    assert table._affected_partitions(far_batch) == ["visit"]
+
+    # key 19 lives in its id-derived partition; an update that MOVES it
+    # to another partition must still rewrite the old partition
+    row = fixtures._row(19, amount=99)
+    old_event, row["event"] = row["event"], "purchase"
+    move = fixtures._envelope(row, "update", seq=500)
+    apply_cdc_batch(_envelope_df(spark, [move]), table)
+    rows = table.read_data().filter("trans_id = 19").collect()
+    assert [(r["amount"], r["event"]) for r in rows] == [(99, "purchase")]
+    assert old_event != "purchase"
+
+
 @pytest.mark.parametrize("n_batches", [1, 4])
 def test_mor_equals_cow(spark, tmp_path, n_batches):
     """The two merge modes must be observationally identical on the same

@@ -210,7 +210,7 @@ class ParquetLakeTable:
 
     def _commit(self, base_version: int, operation: str, base: dict,
                 deltas: list, schema: T.StructType,
-                summary: dict | None = None) -> int:
+                summary: dict | None = None, stats: dict | None = None) -> int:
         """Publish a new version. Atomicity = ``os.replace`` of the
         CURRENT pointer; optimistic-concurrency check against
         ``base_version`` (the version this operation planned on)."""
@@ -225,6 +225,7 @@ class ParquetLakeTable:
             "deltas": deltas,
             "schema": schema.jsonValue(),
             "summary": summary or {},
+            "stats": stats or {},
         }
         mf = self._manifest_file(new_v)
         if os.path.exists(mf) or self.current_version() != base_version:
@@ -252,6 +253,62 @@ class ParquetLakeTable:
             w = w.partitionBy(self.partition_col)
         w.parquet(dest)
         return self._list_partition_dirs(dest)
+
+    def _collect_key_stats(self, dirname: str, part_values: list[str]) -> dict:
+        """Per-partition [min, max] of each key column, harvested from
+        parquet FOOTERS of the just-written snapshot — no data scan, the
+        same place Iceberg's write tasks get their manifest stats. Only
+        JSON-safe orderable types (int/float/str) are kept; a missing
+        entry means "unknown — cannot prune". On a cluster this harvest
+        belongs in the write tasks; here footer reads are local and
+        bounded by the new snapshot's file count."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        out: dict = {}
+        for v in part_values:
+            pdir = (
+                os.path.join(self.path, dirname)
+                if v == _ALL
+                else os.path.join(self.path, dirname, f"{self.partition_col}={v}")
+            )
+            ranges: dict = {}
+            complete = True
+            for root, _dirs, files in os.walk(pdir):
+                for fname in files:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    try:
+                        md = pq.ParquetFile(os.path.join(root, fname)).metadata
+                    except Exception:  # noqa: BLE001 — stats are optional
+                        complete = False
+                        continue
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            col = md.row_group(rg).column(ci)
+                            name = col.path_in_schema
+                            if name not in self.key_cols:
+                                continue
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                complete = False
+                                continue
+                            lo, hi = st.min, st.max
+                            # numeric only: parquet writers may TRUNCATE
+                            # string min/max (prefix stats), which would
+                            # make range pruning unsound for strings
+                            if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                                complete = False
+                                continue
+                            if name in ranges:
+                                ranges[name] = [min(ranges[name][0], lo),
+                                                max(ranges[name][1], hi)]
+                            else:
+                                ranges[name] = [lo, hi]
+            if complete and len(ranges) == len(self.key_cols):
+                out[v] = ranges
+        return out
 
     def _list_partition_dirs(self, dest: str) -> list[str]:
         if not self.partition_col:
@@ -363,6 +420,40 @@ class ParquetLakeTable:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
 
+    def read_changes(self, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Incremental changelog between two snapshots — Iceberg's
+        ``create_changelog_view`` / incremental read, the read-side twin
+        of CDC ingest: one row per key whose LIVE state changed, tagged
+        ``_change_type`` in {insert, update_postimage, delete}, carrying
+        the post-image (pre-image for deletes).
+
+        Cost: one full-outer join on the key between the two snapshot
+        reads — partition-pruned reads, single shuffle per side; no
+        per-version log replay needed because snapshots are complete
+        states (same reason Iceberg's changelog is a snapshot diff).
+        """
+        old = self.read_data(as_of_version=from_version)
+        new = self.read_data(as_of_version=to_version)
+        data_cols = [c for c in new.columns if c not in self.key_cols]
+        o = old.select(*self.key_cols,
+                       F.struct(*data_cols).alias("_old"))
+        n = new.select(*self.key_cols,
+                       F.struct(*data_cols).alias("_new"))
+        j = o.join(n, self.key_cols, "full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), "insert")
+            .when(F.col("_new").isNull(), "delete")
+            .when(~(F.col("_old").eqNullSafe(F.col("_new"))), "update_postimage")
+        )
+        img = F.coalesce(F.col("_new"), F.col("_old"))
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*self.key_cols, "_change_type", img.alias("_img"))
+            .select(*self.key_cols, "_change_type", "_img.*")
+        )
+
     def create(self, df: DataFrame) -> None:
         """Initial load (the reference's DMS full-load phase)."""
         base_v = self.current_version()
@@ -372,6 +463,7 @@ class ParquetLakeTable:
         self._commit(
             base_v, "create", {v: snap for v in written}, [], data.schema,
             summary={"partitions": len(written)},
+            stats=self._collect_key_stats(snap, written),
         )
 
     def _with_lineage(self, df: DataFrame) -> DataFrame:
@@ -416,6 +508,7 @@ class ParquetLakeTable:
         self._commit(
             base_v, "compact", {v: snap for v in written}, [], df.schema,
             summary={"purged_tombstones": purge_tombstones},
+            stats=self._collect_key_stats(snap, written),
         )
 
     def rollback(self, version: int) -> None:
@@ -430,6 +523,7 @@ class ParquetLakeTable:
             self.current_version(), "rollback", target["base"], target["deltas"],
             T.StructType.fromJson(target["schema"]),
             summary={"rolled_back_to": version},
+            stats=target.get("stats", {}),
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
@@ -508,8 +602,17 @@ class ParquetLakeTable:
             # semi-join (a full keyed target scan) can't add any, skip it.
             # (dir names are strings; stringified compare is cover-only)
             return sorted(batch_parts)
+
+        # manifest key-range stats (harvested from parquet footers at
+        # write time) prune the probe the way Iceberg prunes data files:
+        # a partition whose [min,max] per key column doesn't overlap the
+        # batch's range cannot hold a matched key — skip scanning it.
+        candidates = self._stats_overlapping_partitions(batch, batch_parts, live_parts)
+        if not candidates:
+            return sorted(batch_parts)
         key_match = (
             self.read()
+            .filter(F.col(self.partition_col).isin(sorted(candidates)))
             .select(*self.key_cols, self.partition_col)
             .join(F.broadcast(batch.select(*self.key_cols).distinct()), self.key_cols, "left_semi")
             .select(self.partition_col)
@@ -517,6 +620,41 @@ class ParquetLakeTable:
         )
         rows = key_match.collect()
         return sorted(batch_parts | {r[0] for r in rows})
+
+    def _stats_overlapping_partitions(self, batch: DataFrame, batch_parts: set,
+                                      live_parts: set) -> set:
+        """Live partitions (outside the batch's own) whose stored key
+        ranges overlap the batch's key range — the only ones the probe
+        semi-join must scan. Partitions without stats are kept
+        (unknown = unprunable)."""
+        stats = (self._manifest() or {}).get("stats", {})
+        others = live_parts - {str(v) for v in batch_parts}
+        if not others:
+            return set()
+        if not any(p in stats for p in others):
+            return others  # no stats at all — scan everything as before
+        agg = batch.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in self.key_cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in self.key_cols],
+        ).collect()[0]
+        out = set()
+        for p in others:
+            ranges = stats.get(p)
+            if ranges is None:
+                out.add(p)
+                continue
+            overlap = True
+            for c in self.key_cols:
+                lo, hi = ranges[c]
+                blo, bhi = agg[f"_lo_{c}"], agg[f"_hi_{c}"]
+                if blo is None or bhi is None:
+                    continue
+                if bhi < lo or blo > hi:
+                    overlap = False
+                    break
+            if overlap:
+                out.add(p)
+        return out
 
     def merge(self, batch: DataFrame) -> None:
         """Apply a deduped CDC batch (one row per key, carrying
@@ -584,6 +722,7 @@ class ParquetLakeTable:
         self._commit(
             base_v, "merge-mor", m["base"], m["deltas"] + [dname], schema,
             summary={"deltas_outstanding": len(m["deltas"]) + 1},
+            stats=m.get("stats", {}),  # base files unchanged
         )
 
     def _merge_cow(self, batch: DataFrame) -> None:
@@ -641,14 +780,19 @@ class ParquetLakeTable:
         # more (the old code had to rmtree it; the pointer swap makes
         # "this partition no longer exists" a pure metadata statement).
         new_base = dict(m["base"])
+        new_stats = dict(m.get("stats", {}))
         if parts is not None:
             for v in parts:
                 new_base.pop(str(v), None)
+                new_stats.pop(str(v), None)
             for v in written:
                 new_base[v] = snap
         else:
             new_base = {v: snap for v in written}
+            new_stats = {}
+        new_stats.update(self._collect_key_stats(snap, written))
         self._commit(
             base_v, "merge", new_base, m["deltas"], merged.schema,
             summary={"rewritten_partitions": len(written)},
+            stats=new_stats,
         )
