@@ -278,6 +278,23 @@ def test_dead_letter_captures_corrupt_lines(spark, tmp_path):
     assert any("not json at all" in r["raw"] for r in rows)
 
 
+def test_dead_letter_byte_exact_for_foreign_json(spark, tmp_path):
+    """A VALID-JSON-but-foreign message (parses fine, no `data` struct)
+    must dead-letter as the byte-exact original line, not a lossy
+    re-serialization — the text-first read path (ROADMAP #3)."""
+    src = tmp_path / "fj_src"
+    src.mkdir()
+    fixtures.write_jsonl(fixtures.insert_only_envelopes()[:2], str(src / "w.json"))
+    foreign = '{"control":{"op":"checkpoint"},"lsn":"0/16B3748","xid":42}'
+    with open(src / "w.json", "a") as f:
+        f.write(foreign + "\n")
+    table = _table(spark, tmp_path)
+    apply_cdc_batch(read_envelope_json(spark, str(src / "w.json")), table, batch_id=1)
+    assert len(_state(table)) == 2
+    dl = spark.read.parquet(str(tmp_path / "retail_trans_dead_letter"))
+    assert [r["raw"] for r in dl.collect()] == [foreign]
+
+
 def test_streaming_dead_letter(spark, tmp_path):
     """Same through the streaming path (PERMISSIVE capture survives the
     file stream source)."""
