@@ -133,6 +133,38 @@ def test_lang_id_marker_argmax(spark):
     assert out == {1: "en", 2: "de", 3: "fr"}
 
 
+def test_lang_id_script_stage(spark):
+    """Unsegmented/non-Latin scripts resolve by character ranges (the
+    stopword stage can't see them); kana presence separates ja from zh.
+    Spark prediction must equal the generated DuckDB oracle's."""
+    import duckdb
+
+    rows = [
+        (1, "数据 表 在 大规模 下 合并 分区 与 排序"),          # zh: Han only
+        (2, "データ の 結合 は 大規模 でも 高速 です"),        # ja: kana present
+        (3, "데이터 병합 은 대규모 에서도 빠르다"),             # ko: Hangul
+        (4, "данные таблицы быстро соединяются при масштабе"),  # ru: Cyrillic
+        (5, "يتم دمج البيانات بسرعة على نطاق واسع"),            # ar: Arabic
+        (6, "the quick data table joins fast at scale"),        # en: Latin fallback
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", X.lang_id(F.col("text")).alias("pred")).collect()
+    }
+    assert out == {1: "zh", 2: "ja", 3: "ko", 4: "ru", 5: "ar", 6: "en"}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i, _ in rows) + ") t(lang, text)",
+                [t for _, t in rows])
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(X.lang_id_oracle_sql()).fetchall()
+    }
+    assert oracle == {i: out[i] for i in out}
+
+
 def test_bpe_token_count(spark):
     df = spark.createDataFrame([(1, "Hello, world! x2")], "id long, text string")
     n = df.select(X.bpe_token_count(F.col("text")).alias("n")).first()["n"]

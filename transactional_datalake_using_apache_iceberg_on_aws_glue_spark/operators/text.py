@@ -11,16 +11,45 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Marker-word profiles for the n-gram/stopword language heuristic.
-#: Tiny on purpose — the operator's value is the *shape* (profile scoring
-#: scales to real profiles); the fixture texts are synthetic anyway.
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "and", "of", "to"),
-    "de": ("der", "die", "das", "und", "nicht"),
-    "fr": ("le", "la", "les", "et", "ne"),
-    "es": ("el", "la", "los", "y", "no"),
-    "zh": ("的", "了", "是", "在", "我"),
+#: Stopword profiles for segmented (space-delimited) languages — the
+#: highest-frequency function words of each language (public wordlist
+#: knowledge). Function words are the standard langid signal: they are
+#: closed-class, extremely frequent, and rarely shared verbatim across
+#: languages. Scoring = token-hit count per profile, argmax, ties
+#: alphabetical (stable).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "mit",
+           "ein", "zu", "den", "von", "auf", "für", "sich"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you",
+           "that", "was", "for", "on", "with", "as"),
+    "es": ("el", "los", "las", "y", "no", "que", "en", "un", "una",
+           "por", "con", "para", "es", "su", "al"),
+    "fr": ("le", "la", "les", "et", "ne", "une", "que", "pas", "pour",
+           "dans", "ce", "il", "au", "est", "vous"),
+    "it": ("il", "di", "che", "e", "per", "non", "sono", "del", "si",
+           "mi", "ma", "con", "una", "della", "questo"),
+    "nl": ("de", "het", "een", "van", "ik", "te", "dat", "je", "niet",
+           "zijn", "op", "aan", "met", "voor", "er"),
+    "pt": ("o", "os", "as", "não", "um", "uma", "do", "da", "em",
+           "para", "com", "por", "se", "mais", "como"),
 }
+
+#: Unicode block ranges for unsegmented / non-Latin scripts — the
+#: char-n-gram fallback (ROADMAP #4): these languages can't be detected
+#: by whitespace-token stopwords, but their script is unambiguous at the
+#: character level. A text whose dominant script covers >=30% of its
+#: non-space characters is classified by script; kana beats han within
+#: a text (Japanese uses both, Chinese never uses kana).
+SCRIPT_RANGES: dict[str, str] = {
+    "ar": "؀-ۿ",  # Arabic
+    "ja": "぀-ヿ",  # Hiragana + Katakana
+    "ko": "가-힯",  # Hangul syllables
+    "ru": "Ѐ-ӿ",  # Cyrillic
+    "zh": "一-鿿",  # CJK unified ideographs
+}
+
+#: Backward-compatible alias (pre-upgrade name).
+LANG_MARKERS = LANG_PROFILES
 
 #: BPE-ish pre-tokenizer: word pieces OR single non-space symbols —
 #: the standard GPT-2-style pre-split shape, regex-only.
@@ -38,7 +67,8 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts over the token set."""
+    """Per-language stopword-hit counts over the token set (segmented
+    languages only — see ``script_char_counts`` for the rest)."""
     toks = F.split(F.lower(text), r"\s+")
 
     def _hit(markers):
@@ -48,24 +78,76 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
     return {
         lang: F.size(F.filter(toks, _hit(markers)))
-        for lang, markers in LANG_MARKERS.items()
+        for lang, markers in LANG_PROFILES.items()
     }
 
 
-def lang_id(text: Column) -> Column:
-    """argmax over marker profiles; ties resolve alphabetically (stable).
+def script_char_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (single-char regex matches)."""
+    return {
+        lang: F.size(F.regexp_extract_all(text, F.lit(f"[{rng}]"), F.lit(0)))
+        for lang, rng in SCRIPT_RANGES.items()
+    }
 
-    Implemented as a sort over (score desc, lang asc) structs — one
-    expression tree, no UDF.
+
+def _argmax_entries(scores: dict[str, Column]) -> Column:
+    """array_sort over (-score, lang) structs: [0] is the argmax with
+    alphabetical tie-break — one expression tree, no UDF."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct((-scores[lang]).alias("n"), F.lit(lang).alias("l"))
+                for lang in sorted(scores)
+            ]
+        )
+    )[0]
+
+
+def lang_id(text: Column) -> Column:
+    """Two-stage language ID, pure expressions (no UDF):
+
+    1. **Script stage** (unsegmented/non-Latin): if the dominant
+       ``SCRIPT_RANGES`` script covers >=30% of non-space characters,
+       classify by script (integer compare: cnt*10 >= nonspace*3).
+    2. **Stopword stage** (segmented): argmax of ``LANG_PROFILES``
+       token-hit counts; ties alphabetical (stable).
     """
-    scores = lang_scores(text)
-    entries = F.array(
-        *[
-            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
-            for lang in sorted(scores)
-        ]
+    best_script = _argmax_entries(script_char_counts(text))
+    script_cnt = -best_script["n"]
+    nonspace = F.size(F.regexp_extract_all(text, F.lit(r"\S"), F.lit(0)))
+    latin = _argmax_entries(lang_scores(text))["l"]
+    return F.when(
+        (script_cnt > 0) & (script_cnt * 10 >= nonspace * 3), best_script["l"]
+    ).otherwise(latin)
+
+
+def lang_id_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB SQL computing the SAME two-stage prediction, generated
+    from the same profile tables so the engines cannot drift — the
+    oracle half of the ``lang_id_confusion`` gate. Returns a SELECT
+    yielding (``lang``, ``predicted``) per row."""
+    script_entries = ", ".join(
+        "{n: -len(regexp_extract_all(%s, '[%s]')), l: '%s'}"
+        % (text_col, SCRIPT_RANGES[lang], lang)
+        for lang in sorted(SCRIPT_RANGES)
     )
-    return F.array_sort(entries)[0]["lang"]
+    latin_entries = ", ".join(
+        "{n: -len(list_filter(regexp_split_to_array(lower(%s), '\\s+'), t -> t IN (%s))), l: '%s'}"
+        % (text_col, ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]), lang)
+        for lang in sorted(LANG_PROFILES)
+    )
+    return f"""
+    SELECT lang,
+           CASE WHEN -s.n > 0 AND -s.n * 10 >= ns * 3 THEN s.l ELSE latin END
+             AS predicted
+    FROM (
+      SELECT lang,
+             list_sort([{script_entries}])[1] AS s,
+             len(regexp_extract_all({text_col}, '\\S')) AS ns,
+             list_sort([{latin_entries}])[1].l AS latin
+      FROM {table}
+    )
+    """
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -118,29 +118,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lang_id_confusion",
-    oracle="""
-    WITH scored AS (
-      SELECT lang,
-             [
-                {n: -len(list_filter(string_split(lower(text), ' '),
-                      t -> t IN ('der','die','das','und','nicht'))), l: 'de'},
-                {n: -len(list_filter(string_split(lower(text), ' '),
-                      t -> t IN ('the','a','and','of','to'))), l: 'en'},
-                {n: -len(list_filter(string_split(lower(text), ' '),
-                      t -> t IN ('el','la','los','y','no'))), l: 'es'},
-                {n: -len(list_filter(string_split(lower(text), ' '),
-                      t -> t IN ('le','la','les','et','ne'))), l: 'fr'},
-                {n: -len(list_filter(string_split(lower(text), ' '),
-                      t -> t IN ('的','了','是','在','我'))), l: 'zh'}
-             ] AS entries
-      FROM documents
-    )
-    SELECT lang, list_sort(entries)[1].l AS predicted, count(*) AS n
-    FROM scored GROUP BY lang, list_sort(entries)[1].l
+    # the oracle SQL is GENERATED from the same profile tables the Spark
+    # expression uses (operators/text.py), so the two engines cannot
+    # drift on wordlists or tie rules
+    oracle=f"""
+    WITH scored AS ({X.lang_id_oracle_sql()})
+    SELECT lang, predicted, count(*) AS n
+    FROM scored GROUP BY lang, predicted
     """,
-    doc="Marker-profile language-ID (argmax over stopword hit counts, "
-        "alphabetical tie-break) cross-tabbed against the labeled lang "
-        "column — the curation-pipeline langid health check.",
+    doc="Two-stage language-ID (Unicode-script detection for "
+        "unsegmented scripts, stopword-profile argmax for segmented "
+        "ones, alphabetical tie-break) cross-tabbed against the labeled "
+        "lang column — the curation-pipeline langid health check.",
     tags=("documents", "text"),
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
