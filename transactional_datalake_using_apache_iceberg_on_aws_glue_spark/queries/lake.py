@@ -1,0 +1,175 @@
+"""Oracle-gated queries over the TRANSACTIONAL LAKE itself.
+
+The other query modules gate the analytic read surface; these gate the
+engine's core capability — the reference's MERGE-INTO pipeline
+(/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:118-136)
+plus the snapshot features Iceberg supplies around it — against DuckDB:
+
+A deterministic two-wave CDC history is derived from the ``orders``
+fixture (wave 1: every order as an insert; wave 2: updates for
+``o_orderkey % 10 = 0``, deletes for ``% 20 = 1``, fresh inserts keyed
+``o_orderkey + 10_000_000`` for ``% 30 = 2``), applied through the real
+``ParquetLakeTable.merge`` path. Because the waves are pure functions
+of ``orders``, the post-merge state, the time-traveled v1 state, and
+the v1->v2 changelog are each expressible as ANSI SQL over ``orders`` —
+so the merge/tombstone/time-travel/changelog machinery itself goes
+through the value-hash oracle gate, not just pytest.
+
+The built table is cached per (sf_dir, mode) in a temp dir: queries are
+pure reads after the first call.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ..constants import OP_COL, OP_TS_COL, TXN_COL
+from ..lake import ParquetLakeTable
+from ..session import load_table
+
+_CACHE: dict[tuple[str, str], ParquetLakeTable] = {}
+
+#: offset for wave-2 fresh inserts (disjoint from any o_orderkey)
+_NEW = 10_000_000
+
+#: integer cents — cross-engine float-rounding discipline (see
+#: queries/__init__ docstring): o_totalprice has 2 decimals, so
+#: round(x*100) is exact in both engines
+_CENTS_SQL = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def _cents(col: str = "o_totalprice"):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _lake(spark: SparkSession, sf_dir: str, mode: str) -> ParquetLakeTable:
+    key = (sf_dir, mode)
+    t = _CACHE.get(key)
+    if t is not None and os.path.isdir(t.path):
+        return t
+    base = tempfile.mkdtemp(prefix=f"lake_query_{mode}_")
+    t = ParquetLakeTable(
+        spark, os.path.join(base, "t"), key_cols=["trans_id"],
+        partition_col="event", merge_mode=mode,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    img = orders.select(
+        F.col("o_orderkey").alias("trans_id"),
+        F.col("o_orderstatus").alias("event"),
+        _cents().alias("amount_cents"),
+    )
+    wave1 = (
+        img.withColumn(OP_COL, F.lit("insert"))
+        .withColumn(OP_TS_COL, F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn(TXN_COL, F.col("trans_id"))
+    )
+    t.merge(wave1)
+    updates = img.filter(F.col("trans_id") % 10 == 0).withColumn(
+        "amount_cents", F.col("amount_cents") + 100_000
+    ).withColumn(OP_COL, F.lit("update"))
+    deletes = img.filter(F.col("trans_id") % 20 == 1).withColumn(
+        OP_COL, F.lit("delete")
+    )
+    inserts = img.filter(F.col("trans_id") % 30 == 2).select(
+        (F.col("trans_id") + _NEW).alias("trans_id"),
+        F.col("event"),
+        (F.col("amount_cents") + 7).alias("amount_cents"),
+    ).withColumn(OP_COL, F.lit("insert"))
+    wave2 = (
+        updates.unionByName(deletes).unionByName(inserts)
+        .withColumn(OP_TS_COL, F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .withColumn(TXN_COL, F.col("trans_id"))
+    )
+    t.merge(wave2)
+    _CACHE[key] = t
+    return t
+
+
+_CURRENT_STATE_ORACLE = f"""
+    SELECT o_orderkey AS trans_id, o_orderstatus AS event,
+           {_CENTS_SQL}
+             + CASE WHEN o_orderkey % 10 = 0 THEN 100000 ELSE 0 END
+             AS amount_cents
+    FROM orders WHERE o_orderkey % 20 <> 1
+    UNION ALL
+    SELECT o_orderkey + {_NEW}, o_orderstatus, {_CENTS_SQL} + 7
+    FROM orders WHERE o_orderkey % 30 = 2
+    """
+
+
+def _current_state(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    return _lake(spark, sf_dir, mode).read_data().select(
+        "trans_id", "event", "amount_cents"
+    )
+
+
+@register(
+    "lake_cdc_current_state",
+    oracle=_CURRENT_STATE_ORACLE,
+    doc="Post-merge live state of the COW lake table after the "
+        "deterministic two-wave CDC history, value-hashed against the "
+        "equivalent pure SQL over orders — the MERGE INTO semantics "
+        "gate (upsert + delete + late-data ordering in one).",
+    tags=("cdc", "lake"),
+)
+def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _current_state(spark, sf_dir, "cow")
+
+
+@register(
+    "lake_cdc_current_state_mor",
+    oracle=_CURRENT_STATE_ORACLE,
+    doc="Same contract through merge_mode='mor': the delta-append + "
+        "fold-on-read path must hash-match the identical oracle.",
+    tags=("cdc", "lake"),
+)
+def lake_cdc_current_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _current_state(spark, sf_dir, "mor")
+
+
+@register(
+    "lake_time_travel_v1",
+    oracle=f"""
+    SELECT o_orderkey AS trans_id, o_orderstatus AS event,
+           {_CENTS_SQL} AS amount_cents
+    FROM orders
+    """,
+    doc="read_data(as_of_version=1): the pre-DML snapshot must equal "
+        "the plain orders projection — time travel under the oracle "
+        "gate (Iceberg VERSION AS OF parity).",
+    tags=("cdc", "lake", "time-travel"),
+)
+def lake_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lake(spark, sf_dir, "cow").read_data(as_of_version=1).select(
+        "trans_id", "event", "amount_cents"
+    )
+
+
+@register(
+    "lake_changelog_v1_v2",
+    oracle=f"""
+    SELECT o_orderkey AS trans_id, 'update_postimage' AS _change_type,
+           o_orderstatus AS event, {_CENTS_SQL} + 100000 AS amount_cents
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, 'delete', o_orderstatus, {_CENTS_SQL}
+    FROM orders WHERE o_orderkey % 20 = 1
+    UNION ALL
+    SELECT o_orderkey + {_NEW}, 'insert', o_orderstatus, {_CENTS_SQL} + 7
+    FROM orders WHERE o_orderkey % 30 = 2
+    """,
+    doc="read_changes(1, 2): the snapshot diff must reproduce the DML "
+        "wave exactly (insert/update_postimage/delete tagged rows) — "
+        "incremental changelog read under the oracle gate (Iceberg "
+        "create_changelog_view parity).",
+    tags=("cdc", "lake", "changelog"),
+)
+def lake_changelog_v1_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lake(spark, sf_dir, "cow").read_changes(1, 2).select(
+        "trans_id", "_change_type", "event", "amount_cents"
+    )
