@@ -31,14 +31,14 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_revenue",
     "topk_suppliers_per_nation",
-    "rollup_lineitem_status",
+    "rollup_grouping_sets_lineitem",
     "distinct_counts_lineitem",
     "events_daily_rollup",
     "events_sessionization",
-    "events_running_value",
+    "window_frames_orders",
     "events_asof_signup",
     "dedup_exact_documents",
-    "doc_ngram_shingles",
+    "doc_token_stats",
     "doc_quality_scores",
     "cosine_topk_bruteforce",
     "knn_per_label_centroid",

@@ -33,7 +33,7 @@ def test_q3_uses_take_ordered(spark, sf_dir):
 
 
 def test_semi_join_prunes_probe_columns(spark, sf_dir):
-    df = _q("semi_join_customers_with_orders", spark, sf_dir)
+    df = _q("semi_anti_join_customers", spark, sf_dir)
     scans = P.read_schema_columns(df)
     order_scans = [s for s in scans if "o_custkey" in s]
     assert order_scans and all(

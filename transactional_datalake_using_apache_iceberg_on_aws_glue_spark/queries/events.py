@@ -105,38 +105,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_running_value",
-    oracle="""
-    WITH e AS (SELECT user_id, event_id,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
-                      ts::TIMESTAMP AS ts FROM events)
-    SELECT user_id, event_id,
-           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS running_cents,
-           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS next_event_id
-    FROM e
-    """,
-    doc="Aggregate-over-window with an explicit ROWS frame + lead() — the "
-        "frame/analytic surface absent from the reference (SURVEY §2.5).",
-    tags=("events", "window"),
-)
-def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # integer cents — window sums of doubles are engine/run-order
-    # sensitive at round() boundaries (see window_range_frame_prices)
-    cents = F.round(F.col("value") * 100).cast("long")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_cents"),
-        F.lead("event_id").over(w).alias("next_event_id"),
-    )
-
-
-@register(
     "events_asof_signup",
     oracle="""
     WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts FROM events)

@@ -110,26 +110,30 @@ def _current_state(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
 
 @register(
     "lake_cdc_current_state",
-    oracle=_CURRENT_STATE_ORACLE,
-    doc="Post-merge live state of the COW lake table after the "
-        "deterministic two-wave CDC history, value-hashed against the "
-        "equivalent pure SQL over orders — the MERGE INTO semantics "
-        "gate (upsert + delete + late-data ordering in one).",
+    oracle=f"""
+    WITH s AS ({_CURRENT_STATE_ORACLE})
+    SELECT 'cow' AS mode, trans_id, event, amount_cents FROM s
+    UNION ALL
+    SELECT 'mor' AS mode, trans_id, event, amount_cents FROM s
+    """,
+    doc="Post-merge live state of the lake table after the deterministic "
+        "two-wave CDC history, value-hashed against the equivalent pure "
+        "SQL over orders — the MERGE INTO semantics gate (upsert + "
+        "delete + late-data ordering in one). Runs through BOTH merge "
+        "modes (COW rewrite and MOR delta-append + fold-on-read) tagged "
+        "into one union: the driver hash itself proves MOR == COW. "
+        "(Registry consolidation r2: former lake_cdc_current_state + "
+        "lake_cdc_current_state_mor.)",
     tags=("cdc", "lake"),
 )
 def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _current_state(spark, sf_dir, "cow")
-
-
-@register(
-    "lake_cdc_current_state_mor",
-    oracle=_CURRENT_STATE_ORACLE,
-    doc="Same contract through merge_mode='mor': the delta-append + "
-        "fold-on-read path must hash-match the identical oracle.",
-    tags=("cdc", "lake"),
-)
-def lake_cdc_current_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _current_state(spark, sf_dir, "mor")
+    cow = _current_state(spark, sf_dir, "cow").select(
+        F.lit("cow").alias("mode"), "trans_id", "event", "amount_cents"
+    )
+    mor = _current_state(spark, sf_dir, "mor").select(
+        F.lit("mor").alias("mode"), "trans_id", "event", "amount_cents"
+    )
+    return cow.unionByName(mor)
 
 
 @register(

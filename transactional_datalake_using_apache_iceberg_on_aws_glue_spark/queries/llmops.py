@@ -34,6 +34,7 @@ from . import register
       WHERE len(t) >= 3
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(a.sh) AS n_shingles_a, len(b.sh) AS n_shingles_b,
            round(len(list_intersect(a.sh, b.sh))::DOUBLE
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
              AS jaccard
@@ -43,7 +44,10 @@ from . import register
     """,
     doc="Exact n-gram Jaccard similarity for a bounded doc subset "
         "(all-pairs is the oracle-able tier; at scale the same "
-        "jaccard_pairs() runs only on LSH candidates).",
+        "jaccard_pairs() runs only on LSH candidates). Distinct-shingle "
+        "counts per side ride along, oracle-checking the 3-gram "
+        "shingling itself. (Registry consolidation r2: absorbs former "
+        "doc_ngram_shingles.)",
     tags=("documents", "dedup"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,9 +60,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
+    # shingle_hashes emits distinct hashes per doc, so count == |sh set|
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     j = D.jaccard_pairs(pairs, sh)
-    return j.filter(F.col("jaccard") >= 0.02).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    return (
+        j.filter(F.col("jaccard") >= 0.02)
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_shingles_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_shingles_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_shingles_a", "n_shingles_b",
+                F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -138,59 +154,6 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", X.lang_id(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "bpe_token_counts",
-    oracle="""
-    SELECT source,
-           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
-             AS BIGINT) AS total_tokens,
-           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4)
-             AS avg_tokens
-    FROM documents GROUP BY source
-    """,
-    doc="BPE-ish pre-tokenizer counts (GPT-2-style regex pre-split) per "
-        "source — tokenizer cost estimation over a corpus, regex-only.",
-    tags=("documents", "text"),
-)
-def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    n = X.bpe_token_count(F.col("text"))
-    return docs.groupBy("source").agg(
-        F.sum(n).alias("total_tokens"), F.round(F.avg(n), 4).alias("avg_tokens")
-    )
-
-
-@register(
-    "doc_quality_keep_rate",
-    oracle="""
-    WITH f AS (
-      SELECT lang,
-             len(string_split_regex(text, '\\s+')) AS n_tokens,
-             length(text) AS n_chars,
-             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
-      FROM documents
-    )
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(CASE WHEN n_tokens >= 10
-                     AND (n_chars - n_tokens + 1)::DOUBLE / n_tokens BETWEEN 2.0 AND 12.0
-                     AND n_punct::DOUBLE / n_chars < 0.2
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-    FROM f GROUP BY lang
-    """,
-    doc="Curation keep-rate per lang from the composite quality predicate "
-        "(operators.text.quality_features).",
-    tags=("documents", "text"),
-)
-def doc_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    feats = X.quality_features(docs)
-    return feats.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("keep").cast("int")).alias("n_keep"),
     )
 
 

@@ -190,44 +190,37 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semi / anti joins (SURVEY §2.3 notes them as required surface).
 # --------------------------------------------------------------------------
 @register(
-    "semi_join_customers_with_orders",
+    "semi_anti_join_customers",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'has_f_order' AS tag, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderstatus = 'F')
-    """,
-    doc="LEFT SEMI join == EXISTS. Shuffles only the key column of the "
-        "probe side after Catalyst column-prunes.",
-    tags=("join",),
-)
-def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "anti_join_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_mktsegment
+    UNION ALL
+    SELECT 'no_big_order' AS tag, c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_totalprice > 300000)
     """,
-    doc="LEFT ANTI join == NOT EXISTS (customers with no high-value "
-        "order) — the same primitive the manual merge fallback uses "
-        "(SURVEY §2.3 J2 fallback).",
+    doc="LEFT SEMI (== EXISTS) and LEFT ANTI (== NOT EXISTS) branches in "
+        "one tagged union — both shuffle only the key column of the probe "
+        "side after Catalyst column-prunes; ANTI is the same primitive "
+        "the manual merge fallback uses (SURVEY §2.3 J2 fallback). "
+        "(Registry consolidation r2: former semi_join_customers_with_"
+        "orders + anti_join_customers_without_orders.)",
     tags=("join",),
 )
-def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
+    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    semi = cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi").select(
+        F.lit("has_f_order").alias("tag"), "c_custkey", "c_name"
     )
+    anti = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        F.lit("no_big_order").alias("tag"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 # --------------------------------------------------------------------------
@@ -266,21 +259,34 @@ def topk_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rollup / cube (grouping sets).
 # --------------------------------------------------------------------------
 @register(
-    "rollup_lineitem_status",
+    "rollup_grouping_sets_lineitem",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+           CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+           CAST(grouping(l_linestatus) AS INT)  AS g_status
     FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
-    doc="ROLLUP grouping sets. Spark expands to a single Expand+Aggregate "
-        "— one shuffle for all grouping levels.",
+    doc="ROLLUP expressed as explicit GROUPING SETS with grouping() "
+        "indicators, exercised through the SQL parser path. Spark expands "
+        "to a single Expand+Aggregate — one shuffle for all grouping "
+        "levels. (Registry consolidation r2: former rollup_lineitem_"
+        "status + grouping_sets_explicit; CUBE coverage stays in "
+        "cube_orders_status_priority via the DataFrame API.)",
     tags=("agg",),
 )
-def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+def rollup_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
     )
 
 
@@ -308,22 +314,56 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_ops_segment_customers",
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    SELECT 'union_distinct' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    UNION ALL
+    SELECT 'union_all' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    UNION ALL
+    SELECT 'intersect' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'except' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
     """,
-    doc="UNION (distinct) + EXCEPT. Spark plans both as hash aggregations/"
-        "anti-joins on the key — no row explosion.",
+    doc="The full set-op family in one tagged union: UNION (distinct), "
+        "UNION ALL (bag semantics — duplicates intentionally survive), "
+        "INTERSECT, EXCEPT. Spark plans the distinct variants as hash "
+        "aggregations/semi-anti joins on the key — no row explosion. "
+        "(Registry consolidation r2: former set_ops_segment_customers + "
+        "union_all_order_tiers + intersect_segments.)",
     tags=("setop",),
 )
 def set_ops_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    rich5k = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    rich1k = cust.filter(F.col("c_acctbal") > 1000).select("c_custkey")
     machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
-    return building.union(rich).distinct().subtract(machinery)  # EXCEPT DISTINCT
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    branches = [
+        ("union_distinct", building.union(rich5k).distinct()),
+        ("union_all", building.unionAll(rich5k)),
+        ("intersect", rich1k.intersect(f_orders)),
+        ("except", building.subtract(machinery)),  # EXCEPT DISTINCT
+    ]
+    out = None
+    for tag, df in branches:
+        tagged = df.select(F.lit(tag).alias("tag"), "c_custkey")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -387,112 +427,74 @@ def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pivot_qty_by_status",
+    "pivot_unpivot_lineitem",
     oracle="""
-    SELECT l_returnflag,
-           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS O,
-           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS F
-    FROM lineitem GROUP BY l_returnflag
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS o_qty,
+             round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS f_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'O' AS l_linestatus, o_qty AS sum_qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F' AS l_linestatus, f_qty AS sum_qty FROM wide
     """,
-    doc="Pivot (wide conditional aggregation). Spark's pivot with explicit "
-        "values avoids the extra distinct-values job.",
-    tags=("agg",),
+    doc="Pivot (wide conditional aggregation, explicit value list so no "
+        "extra distinct-values job) immediately unpivoted back to long "
+        "form via stack() — both reshape operators in one plan, melt as "
+        "a single Expand node. (Registry consolidation r2: former "
+        "pivot_qty_by_status + unpivot_lineitem_measures.)",
+    tags=("agg", "reshape"),
 )
-def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pivot_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'O', `O`, 'F', `F`) AS (l_linestatus, sum_qty)",
+    )
 
 
 @register(
-    "percentiles_order_price",
+    "stats_percentiles_orders",
     oracle="""
     SELECT o_orderpriority,
            round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
            round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
-           round(avg(o_totalprice), 2)                 AS mean
+           round(avg(o_totalprice), 2)                 AS mean,
+           round(stddev_samp(o_totalprice), 4)         AS sd_price,
+           round(var_samp(o_totalprice), 4)            AS var_price,
+           round(corr(o_totalprice, o_custkey), 6)     AS corr_price_cust,
+           round(covar_samp(o_totalprice, o_custkey), 4) AS cov_price_cust,
+           round(min(o_totalprice), 2)                 AS min_price,
+           round(max(o_totalprice), 2)                 AS max_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Exact continuous percentiles (Spark percentile == DuckDB "
-        "quantile_cont). At 100 TB prefer approx_percentile — same API "
-        "shape, sketch-based.",
-    tags=("agg",),
+        "quantile_cont) plus the statistical aggregate family — stddev/"
+        "variance/correlation/covariance, single-pass distributed "
+        "moments (Welford-style partial merge in both engines). At "
+        "100 TB prefer approx_percentile — same API shape, sketch-based. "
+        "(Registry consolidation r2: former percentiles_order_price + "
+        "stats_aggregates.)",
+    tags=("agg", "stats"),
 )
-def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
         F.round(F.avg("o_totalprice"), 2).alias("mean"),
-    )
-
-
-@register(
-    "unpivot_lineitem_measures",
-    oracle="""
-    SELECT measure, round(sum(val), 2) AS total, count(*) AS n
-    FROM (
-      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
-      UNION ALL
-      SELECT 'extendedprice', l_extendedprice FROM lineitem
-      UNION ALL
-      SELECT 'tax', l_tax FROM lineitem
-    )
-    GROUP BY measure
-    """,
-    doc="Unpivot (wide->long) via stack() — the melt operator; oracle is "
-        "the equivalent UNION ALL. One Expand node, single pass over the "
-        "fact table, no join.",
-    tags=("reshape",),
-)
-def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    long = li.selectExpr(
-        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
-        "'tax', l_tax) AS (measure, val)"
-    )
-    return long.groupBy("measure").agg(
-        F.round(F.sum("val"), 2).alias("total"), F.count("*").alias("n")
-    )
-
-
-@register(
-    "union_all_order_tiers",
-    oracle="""
-    SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
-    FROM (
-      SELECT 'high' AS tier, o_totalprice FROM orders WHERE o_totalprice > 200000
-      UNION ALL
-      SELECT 'low' AS tier, o_totalprice FROM orders WHERE o_totalprice <= 200000
-      UNION ALL
-      SELECT 'urgent' AS tier, o_totalprice FROM orders
-      WHERE o_orderpriority = '1-URGENT'
-    )
-    GROUP BY tier
-    """,
-    doc="UNION ALL (bag semantics — rows intentionally counted twice "
-        "across overlapping branches), completing the set-op family with "
-        "the non-distinct variant.",
-    tags=("setop",),
-)
-def union_all_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    high = o.filter(F.col("o_totalprice") > 200000).select(
-        F.lit("high").alias("tier"), "o_totalprice"
-    )
-    low = o.filter(F.col("o_totalprice") <= 200000).select(
-        F.lit("low").alias("tier"), "o_totalprice"
-    )
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.lit("urgent").alias("tier"), "o_totalprice"
-    )
-    return (
-        high.unionAll(low).unionAll(urgent)
-        .groupBy("tier")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias("cov_price_cust"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
 
 
@@ -528,24 +530,57 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q6_forecast_revenue",
+    "revenue_kpis_q6_q14_q19",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT 'q6_forecast' AS kpi,
+           round(sum(l_extendedprice * l_discount), 2) AS value,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
+    UNION ALL
+    SELECT 'q14_promo_pct',
+           round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4),
+           count(*)
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    UNION ALL
+    SELECT 'q19_disjunctive',
+           round(sum(l_extendedprice * (1 - l_discount)), 2),
+           count(*)
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+         (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 11)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+          AND l_quantity BETWEEN 10 AND 20)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+          AND l_quantity BETWEEN 20 AND 30))
     """,
-    doc="TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown "
-        "benchmark — all four predicates reach the parquet reader, "
-        "no shuffle except the final single-group reduce.",
-    tags=("agg", "pushdown"),
+    doc="Three single-row revenue KPIs in one tagged union. Q6 shape: "
+        "pure scan-filter-aggregate, the pushdown benchmark — all four "
+        "predicates reach the parquet reader. Q14 shape: date-sliced "
+        "fact x broadcast part, conditional revenue percentage in one "
+        "pass. Q19 shape: OR-of-ANDs mixed-table predicate — the "
+        "join-key conjunct is extracted by Catalyst so the equi-join "
+        "still hashes on p_partkey; the disjunction evaluates post-join. "
+        "(Registry consolidation r2: former q6_forecast_revenue + "
+        "q14_promo_revenue + q19_disjunctive_revenue.)",
+    tags=("agg", "join", "pushdown"),
 )
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_kpis_q6_q14_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    q6 = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
@@ -553,10 +588,41 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("value"),
             F.count("*").alias("n"),
         )
+        .select(F.lit("q6_forecast").alias("kpi"), "value", "n")
     )
+    q14 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.lit("q14_promo_pct").alias("kpi"), "value", "n")
+    )
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    q19 = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(block("Brand#1", 15, 1, 11) | block("Brand#2", 25, 10, 20)
+                | block("Brand#3", 35, 20, 30))
+        .agg(F.round(F.sum(vol), 2).alias("value"), F.count("*").alias("n"))
+        .select(F.lit("q19_disjunctive").alias("kpi"), "value", "n")
+    )
+    return q6.unionByName(q14).unionByName(q19)
 
 
 @register(
@@ -597,63 +663,6 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(25)
-    )
-
-
-@register(
-    "stats_aggregates",
-    oracle="""
-    SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 4) AS sd_price,
-           round(var_samp(l_quantity), 4)         AS var_qty,
-           round(corr(l_extendedprice, l_quantity), 6)       AS corr_pq,
-           round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq,
-           round(min(l_extendedprice), 2)         AS min_price,
-           round(max(l_extendedprice), 2)         AS max_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Statistical aggregate family: stddev/variance/correlation/"
-        "covariance — single-pass distributed moments (Welford-style "
-        "partial merge in both engines).",
-    tags=("agg", "stats"),
-)
-def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_pq"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-    )
-
-
-@register(
-    "grouping_sets_explicit",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n,
-           CAST(grouping(l_returnflag) AS INT)  AS g_flag,
-           CAST(grouping(l_linestatus) AS INT)  AS g_status
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    doc="Explicit GROUPING SETS with grouping() indicators — the general "
-        "form beneath rollup/cube, exercised through the SQL parser.",
-    tags=("agg",),
-)
-def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               count(*) AS n,
-               CAST(grouping(l_returnflag) AS INT) AS g_flag,
-               CAST(grouping(l_linestatus) AS INT) AS g_status
-        FROM lineitem_v
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
     )
 
 
@@ -783,43 +792,6 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14_promo_revenue",
-    oracle="""
-    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-    FROM lineitem, part
-    WHERE l_partkey = p_partkey
-      AND l_shipdate >= TIMESTAMP '1996-09-01'
-      AND l_shipdate < TIMESTAMP '1996-10-01'
-    """,
-    doc="TPC-H Q14 shape: date-sliced fact x broadcast part, conditional "
-        "revenue percentage in one pass (no second scan for the "
-        "denominator).",
-    tags=("join", "agg"),
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
-        )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
-                4,
-            ).alias("promo_revenue")
-        )
-    )
-
-
-@register(
     "q15_top_supplier",
     oracle="""
     WITH revenue AS (
@@ -889,41 +861,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         """
-    )
-
-
-@register(
-    "q19_disjunctive_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem, part
-    WHERE p_partkey = l_partkey AND (
-         (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-          AND l_quantity BETWEEN 1 AND 11)
-      OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
-          AND l_quantity BETWEEN 10 AND 20)
-      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
-          AND l_quantity BETWEEN 20 AND 30))
-    """,
-    doc="TPC-H Q19 shape: OR-of-ANDs mixed-table predicate. The "
-        "join-key conjunct is extracted by Catalyst so the equi-join "
-        "still hashes on p_partkey; the disjunction evaluates "
-        "post-join (broadcast part).",
-    tags=("join",),
-)
-def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
-    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
-        (F.col("p_brand") == brand)
-        & F.col("p_size").between(1, smax)
-        & F.col("l_quantity").between(qlo, qhi)
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .filter(block("Brand#1", 15, 1, 11) | block("Brand#2", 25, 10, 20)
-                | block("Brand#3", 35, 20, 30))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
     )
 
 

@@ -13,127 +13,66 @@ from . import register
 
 
 @register(
-    "scalar_string_functions",
+    "scalar_functions",
     oracle="""
-    SELECT c_custkey,
-           upper(c_name)                          AS name_upper,
-           substr(c_name, 1, 8)                   AS name_prefix,
-           CAST(length(c_name) AS INT)            AS name_len,
-           replace(c_name, '#', '-')              AS name_dashed,
-           concat(c_mktsegment, ':', c_name)      AS segment_tag,
-           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
-           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
-    FROM customer WHERE c_custkey <= 50
+    SELECT o_orderkey,
+           upper(o_orderpriority)                     AS prio_upper,
+           substr(o_orderpriority, 1, 3)              AS prio_prefix,
+           CAST(length(o_orderpriority) AS INT)       AS prio_len,
+           replace(o_orderpriority, '-', ':')         AS prio_colon,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_tag,
+           CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 ELSE 0 END AS is_urgent,
+           lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+           EXTRACT(year FROM o_orderdate)::INT        AS yr,
+           EXTRACT(month FROM o_orderdate)::INT       AS mo,
+           CAST(o_orderdate AS DATE)                  AS order_day,
+           dayofweek(o_orderdate)::INT                AS dow,
+           round(sqrt(o_totalprice), 4)               AS sqrt_price,
+           round(ln(o_totalprice), 4)                 AS ln_price,
+           round(abs(o_totalprice - 100000), 2)       AS abs_dev,
+           round(pow(o_totalprice / 100000, 2), 6)    AS price_sq,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS price_kbucket,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kfloor,
+           round(greatest(o_totalprice, 100000.0), 2) AS gmax,
+           round(least(o_totalprice, 100000.0), 2)    AS lmin
+    FROM orders WHERE o_orderkey <= 200
     """,
-    doc="String-function coverage: upper/substr/length/replace/concat/"
-        "LIKE/lpad — all codegen'd, no UDFs.",
+    doc="Scalar-function coverage in one row-wise pass: string "
+        "(upper/substr/length/replace/concat/LIKE/lpad), date (extract "
+        "year/month, date cast, day-of-week), math (sqrt/ln/abs/pow/"
+        "ceil/floor/greatest/least) — all codegen'd, no UDFs, key "
+        "predicate pushed to the scan. (Registry consolidation r2: "
+        "former scalar_string_functions + scalar_date_functions + "
+        "scalar_math_functions.)",
     tags=("scalar",),
 )
-def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
-        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
-        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("segment_tag"),
-        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
-        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
-    )
-
-
-@register(
-    "scalar_date_functions",
-    oracle="""
-    SELECT EXTRACT(year FROM o_orderdate)::INT    AS yr,
-           EXTRACT(month FROM o_orderdate)::INT   AS mo,
-           count(*)                               AS n,
-           round(sum(o_totalprice), 2)            AS total,
-           min(CAST(o_orderdate AS DATE))         AS first_day,
-           max(dayofweek(o_orderdate))::INT       AS max_dow
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    GROUP BY 1, 2
-    """,
-    doc="Date-function coverage: extract year/month, date cast, "
-        "day-of-week, with a pushed range predicate.",
-    tags=("scalar",),
-)
-def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
-    )
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
     # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 -> shift
-    return o.groupBy(
-        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-    ).agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.min(F.to_date("o_orderdate")).alias("first_day"),
-        F.max(F.dayofweek("o_orderdate") - 1).alias("max_dow"),
-    )
-
-
-@register(
-    "scalar_math_functions",
-    oracle="""
-    SELECT l_linenumber,
-           round(avg(sqrt(l_extendedprice)), 4)           AS avg_sqrt_price,
-           round(avg(ln(l_extendedprice)), 4)             AS avg_ln_price,
-           round(avg(abs(l_discount - 0.05)), 6)          AS avg_abs_disc_dev,
-           round(avg(pow(l_quantity, 2)), 2)              AS avg_qty_sq,
-           round(avg(CAST(ceil(l_extendedprice / 1000) AS DOUBLE)), 4) AS avg_price_kbucket,
-           round(avg(CAST(floor(l_quantity / 10) AS DOUBLE)), 4)       AS avg_qty_decile,
-           max(greatest(l_tax, l_discount))               AS max_rate,
-           min(least(l_tax, l_discount))                  AS min_rate
-    FROM lineitem GROUP BY l_linenumber
-    """,
-    doc="Math-function coverage: sqrt/ln/abs/pow/ceil/floor/greatest/"
-        "least over grouped aggregates.",
-    tags=("scalar",),
-)
-def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linenumber").agg(
-        F.round(F.avg(F.sqrt("l_extendedprice")), 4).alias("avg_sqrt_price"),
-        F.round(F.avg(F.log("l_extendedprice")), 4).alias("avg_ln_price"),
-        F.round(F.avg(F.abs(F.col("l_discount") - 0.05)), 6).alias("avg_abs_disc_dev"),
-        F.round(F.avg(F.pow("l_quantity", F.lit(2))), 2).alias("avg_qty_sq"),
-        F.round(F.avg(F.ceil(F.col("l_extendedprice") / 1000).cast("double")), 4).alias(
-            "avg_price_kbucket"
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit(":")).alias("prio_colon"),
+        F.concat(F.col("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")).alias(
+            "status_tag"
         ),
-        F.round(F.avg(F.floor(F.col("l_quantity") / 10).cast("double")), 4).alias(
-            "avg_qty_decile"
-        ),
-        F.max(F.greatest("l_tax", "l_discount")).alias("max_rate"),
-        F.min(F.least("l_tax", "l_discount")).alias("min_rate"),
+        F.when(F.col("o_orderpriority").like("%URGENT%"), 1).otherwise(0).alias("is_urgent"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("padded_key"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.to_date("o_orderdate").alias("order_day"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log("o_totalprice"), 4).alias("ln_price"),
+        F.round(F.abs(F.col("o_totalprice") - 100000), 2).alias("abs_dev"),
+        F.round(F.pow(F.col("o_totalprice") / 100000, F.lit(2)), 6).alias("price_sq"),
+        F.ceil(F.col("o_totalprice") / 1000).cast("long").alias("price_kbucket"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_kfloor"),
+        F.round(F.greatest("o_totalprice", F.lit(100000.0)), 2).alias("gmax"),
+        F.round(F.least("o_totalprice", F.lit(100000.0)), 2).alias("lmin"),
     )
-
-
-@register(
-    "intersect_segments",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
-    INTERSECT
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-    doc="INTERSECT (distinct) — completes the set-op family "
-        "(SURVEY §2.7: absent in the reference, required surface).",
-    tags=("setop",),
-)
-def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rich = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 1000)
-        .select("c_custkey")
-    )
-    f_orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    return rich.intersect(f_orders)
 
 
 @register(
@@ -165,31 +104,45 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_range_frame_prices",
+    "window_frames_orders",
     oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      epoch_us(o_orderdate) AS ts_us FROM orders)
     SELECT o_orderkey,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+           CAST(sum(cents) OVER (
+             PARTITION BY o_custkey ORDER BY ts_us, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS running_cents,
+           lead(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
+             AS next_orderkey,
+           CAST(sum(cents) OVER (
+             PARTITION BY o_custkey ORDER BY ts_us
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
              AS BIGINT) AS total_30d_cents,
            count(*) OVER (
-             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             PARTITION BY o_custkey ORDER BY ts_us
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
              AS n_30d
-    FROM orders
+    FROM o
     """,
-    doc="RANGE window frame (trailing 30 days per customer) — the "
-        "value-based frame class, distinct from ROWS frames "
-        "(events_running_value).",
+    doc="Both window frame classes plus an analytic in one pass: ROWS "
+        "frame (running sum with deterministic tie-break), lead(), and a "
+        "value-based RANGE frame (trailing 30 days per customer). One "
+        "hash exchange on o_custkey serves all four expressions. "
+        "(Registry consolidation r2: former window_range_frame_prices + "
+        "events_running_value.)",
     tags=("window",),
 )
-def window_range_frame_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_frames_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     thirty_days_us = 30 * 24 * 3600 * 1_000_000
     # o_orderdate is TIMESTAMP_NTZ in parquet; unix_micros needs TIMESTAMP
     # (identity conversion under the pinned UTC session timezone)
     order_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    w = (
+    w_rows = Window.partitionBy("o_custkey").orderBy(order_us, "o_orderkey")
+    w_range = (
         Window.partitionBy("o_custkey")
         .orderBy(order_us)
         .rangeBetween(-thirty_days_us, 0)
@@ -200,6 +153,10 @@ def window_range_frame_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
         "o_orderkey",
-        F.sum(cents).over(w).alias("total_30d_cents"),
-        F.count("*").over(w).alias("n_30d"),
+        F.sum(cents)
+        .over(w_rows.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+        F.lead("o_orderkey").over(w_rows).alias("next_orderkey"),
+        F.sum(cents).over(w_range).alias("total_30d_cents"),
+        F.count("*").over(w_range).alias("n_30d"),
     )

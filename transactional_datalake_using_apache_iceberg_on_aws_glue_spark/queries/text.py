@@ -51,126 +51,82 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            round(avg(len(string_split(text, ' '))), 4)  AS avg_tokens,
            round(avg(n_chars), 4)                       AS avg_chars,
-           max(len(string_split(text, ' ')))            AS max_tokens
+           max(len(string_split(text, ' ')))            AS max_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+             AS BIGINT) AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4)
+             AS avg_bpe_tokens
     FROM documents
     GROUP BY lang
     """,
-    doc="Token counting (whitespace tokenizer) + length stats per lang — "
-        "the basic text-quality signal set. Pure codegen'd string ops.",
+    doc="Token counting + length stats per lang: whitespace tokenizer "
+        "AND the BPE-ish pre-tokenizer (GPT-2-style regex pre-split) in "
+        "one grouped pass — the basic text-quality signal set plus "
+        "tokenizer cost estimation. Pure codegen'd string/regex ops. "
+        "(Registry consolidation r2: former doc_token_stats + "
+        "bpe_token_counts.)",
     tags=("documents", "text"),
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
     docs = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.col("text"), " "))
+    nbpe = X.bpe_token_count(F.col("text"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(ntok), 4).alias("avg_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.max(ntok).cast("long").alias("max_tokens"),
+        F.sum(nbpe).alias("total_bpe_tokens"),
+        F.round(F.avg(nbpe), 4).alias("avg_bpe_tokens"),
     )
 
 
 @register(
     "doc_quality_scores",
     oracle="""
-    WITH scored AS (
+    WITH f AS (
       SELECT source,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_filter(string_split(text, ' '),
-                             t -> t IN ('the', 'a'))) AS n_stop
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+             round(len(list_filter(string_split_regex(text, '\\s+'),
+                   t -> t IN ('the', 'a', 'and', 'of', 'to')))::DOUBLE
+                   / len(string_split_regex(text, '\\s+')), 6) AS stopword_ratio
       FROM documents
     )
     SELECT source,
-           round(avg(CAST(n_stop AS DOUBLE) / n_tokens), 4) AS avg_stopword_ratio,
+           count(*) AS n_docs,
+           round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
            round(avg(n_tokens), 2) AS avg_len,
-           count(*) FILTER (WHERE n_tokens >= 30) AS n_long_docs
-    FROM scored GROUP BY source
+           count(*) FILTER (WHERE n_tokens >= 30) AS n_long_docs,
+           CAST(sum(CASE WHEN n_tokens >= 10
+                     AND round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 4)
+                         BETWEEN 2.0 AND 12.0
+                     AND round(n_punct::DOUBLE / n_chars, 6) < 0.2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM f GROUP BY source
     """,
-    doc="Quality scoring: stopword ratio + length filters per source "
-        "(LLM-data curation heuristics). Array higher-order functions "
-        "(F.filter) keep it JVM-side.",
+    doc="Quality scoring per source: stopword ratio, length stats, AND "
+        "the composite curation keep-rate from the same "
+        "operators.text.quality_features predicate (LLM-data curation "
+        "heuristics). Array higher-order functions (F.filter) keep it "
+        "JVM-side. (Registry consolidation r2: former doc_quality_scores "
+        "+ doc_quality_keep_rate.)",
     tags=("documents", "text"),
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
     docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return (
-        docs.select("source", n_tokens.alias("n_tokens"), n_stop.alias("n_stop"))
-        .groupBy("source")
-        .agg(
-            F.round(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens")), 4).alias(
-                "avg_stopword_ratio"
-            ),
-            F.round(F.avg("n_tokens"), 2).alias("avg_len"),
-            F.sum(F.when(F.col("n_tokens") >= 30, 1).otherwise(0)).alias("n_long_docs"),
-        )
-    )
-
-
-@register(
-    "doc_ngram_shingles",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      WHERE len(string_split(text, ' ')) >= 3
-    )
-    SELECT doc_id,
-           len(t) - 2 AS n_shingles,
-           len(list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct_shingles
-    FROM toks
-    """,
-    doc="3-gram shingling (the MinHash precursor): distinct-shingle "
-        "counts per doc. Spark: transform over token index array -> "
-        "explode -> distinct count; all built-ins.",
-    tags=("documents", "text", "dedup"),
-)
-def doc_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # Shingles via zip_with over three shifted slices. NOT element_at
-    # inside a transform lambda: lambda bodies re-evaluate captured
-    # expressions per element, turning split() into O(tokens^2) work per
-    # doc (measured 8s -> 0.4s at sf0.1 for this query).
-    sh = F.zip_with(
-        F.zip_with(
-            F.slice(toks, 1, n - 2),
-            F.slice(toks, 2, n - 2),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-        F.slice(toks, 3, n - 2),
-        lambda xy, z: F.concat_ws(" ", xy, z),
-    )
-    return docs.filter(n >= 3).select(
-        "doc_id",
-        (n - 2).cast("long").alias("n_shingles"),
-        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
-    )
-
-
-@register(
-    "lang_distribution_filtered",
-    oracle="""
-    SELECT lang, source, count(*) AS n
-    FROM documents
-    WHERE n_chars BETWEEN 100 AND 2000
-      AND regexp_matches(text, '^[a-z]')
-    GROUP BY lang, source
-    """,
-    doc="Language/length filter pipeline (curation-style predicate "
-        "pushdown: n_chars range reaches the parquet scan).",
-    tags=("documents", "text"),
-)
-def lang_distribution_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("n_chars").between(100, 2000))
-        .filter(F.col("text").rlike("^[a-z]"))
-        .groupBy("lang", "source")
-        .agg(F.count("*").alias("n"))
+    feats = X.quality_features(docs)
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_len"),
+        F.sum(F.when(F.col("n_tokens") >= 30, 1).otherwise(0)).alias("n_long_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
     )
 
 

@@ -36,29 +36,6 @@ def _norm(a):
 
 
 @register(
-    "embedding_norms_by_label",
-    oracle="""
-    SELECT label,
-           count(*) AS n,
-           round(avg(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
-           round(avg(embedding[1]::DOUBLE), 6) AS avg_first_dim
-    FROM embeddings GROUP BY label
-    """,
-    doc="Array reductions (L2 norm) per label — the vector-column health "
-        "check. F.aggregate/F.transform keep it codegen'd JVM array math.",
-    tags=("embeddings", "vector"),
-)
-def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
-    return emb.groupBy("label").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
-        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_first_dim"),
-    )
-
-
-@register(
     "cosine_topk_bruteforce",
     oracle="""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -115,21 +92,34 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> (e.embedding[i]::DOUBLE - c.c[i]) * (e.embedding[i]::DOUBLE - c.c[i]))))
                AS dist
       FROM embeddings e JOIN cent c ON e.label = c.label
+    ),
+    norms AS (
+      SELECT label,
+             round(avg(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS label_avg_norm
+      FROM embeddings GROUP BY label
     )
-    SELECT vec_id, label, round(dist, 6) AS dist,
-           rk
-    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rk FROM d)
+    SELECT vec_id, d.label, round(dist, 6) AS dist,
+           rk, label_avg_norm
+    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rk FROM d) d
+    JOIN norms ON d.label = norms.label
     WHERE rk <= 5
     """,
     doc="Per-label centroid + 5 nearest members: the IVF building block "
         "(centroid assignment = coarse quantizer). Centroids computed "
-        "distributed via posexplode+groupBy, then broadcast back.",
+        "distributed via posexplode+groupBy, then broadcast back. The "
+        "per-label mean L2 norm (array-reduction health check) rides "
+        "along via a second broadcast agg. (Registry consolidation r2: "
+        "absorbs former embedding_norms_by_label.)",
     tags=("embeddings", "vector", "topk"),
 )
 def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.groupBy("label").agg(
+        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("label_avg_norm")
+    )
     # distributed centroid: explode to (label, dim, value), mean per cell,
     # re-assemble — no driver collect, scales to any vector count
     cent = (
@@ -155,6 +145,7 @@ def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("vec_id", "label", dist.alias("dist"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
+        .join(F.broadcast(norms), "label")
         .select("vec_id", "label", F.round("dist", 6).alias("dist"),
-                F.col("rk").cast("long").alias("rk"))
+                F.col("rk").cast("long").alias("rk"), "label_avg_norm")
     )
