@@ -221,6 +221,24 @@ def test_asof_join_backward_semantics(spark):
     assert m[103] is None  # and after 6
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    """The latest right row must win as a WHOLE row: a NULL payload
+    column in it must NOT be back-filled from an older right row
+    (pd.merge_asof backward semantics; advisor finding r1)."""
+    left = spark.createDataFrame([(1, 20, 100)], "k long, t long, lid long").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "lid"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900, 7), (1, 15, 901, None)],
+        "k long, t long, rid long, extra long",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid", "extra")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    left_seq="lid", right_seq="rid")
+    row = out.collect()[0]
+    assert row["rid"] == 901
+    assert row["extra"] is None  # NOT 7 from the older right row
+
+
 def test_multimodal_decode_plumbing(spark):
     base = spark.range(0, 50).select(F.col("id"))
     media = MM.attach_fake_media(base, "id")

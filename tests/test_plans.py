@@ -33,12 +33,17 @@ def test_q3_uses_take_ordered(spark, sf_dir):
 
 
 def test_semi_join_prunes_probe_columns(spark, sf_dir):
+    """Each probe-side orders scan must read ONLY the join key plus its
+    own filter column — the semi branch filters o_orderstatus, the anti
+    branch o_totalprice; anything else (o_orderdate, o_comment, ...) in
+    ReadSchema means Catalyst failed to column-prune the probe."""
     df = _q("semi_anti_join_customers", spark, sf_dir)
     scans = P.read_schema_columns(df)
     order_scans = [s for s in scans if "o_custkey" in s]
+    allowed = [{"o_custkey", "o_orderstatus"}, {"o_custkey", "o_totalprice"}]
     assert order_scans and all(
-        "o_totalprice" not in s and "o_orderdate" not in s for s in order_scans
-    ), f"semi-join probe side reads payload columns: {scans}"
+        s in allowed for s in order_scans
+    ), f"semi/anti probe side reads payload columns: {scans}"
 
 
 def test_cdc_merge_plans_single_window_shuffle(spark, tmp_path):

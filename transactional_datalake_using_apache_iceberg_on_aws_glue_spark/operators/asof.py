@@ -73,16 +73,28 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col(_SIDE).desc(), F.col("_seq").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # ALL payload columns ride in ONE struct, so the latest right row wins
+    # atomically — filling columns independently would mix values from
+    # different right rows whenever the latest right row has NULLs in some
+    # payload columns (merge_asof takes the whole latest row, NULLs
+    # included).
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
     filled = unioned.select(
         *on,
         "_ts",
         "_seq",
         _SIDE,
         *left_only,
-        *[
-            F.last(F.when(F.col(_SIDE) == 1, F.col(c)), ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        F.last(F.when(F.col(_SIDE) == 1, payload_struct), ignorenulls=True)
+        .over(w)
+        .alias("_payload"),
     )
-    out = filled.filter(F.col(_SIDE) == 0).drop(_SIDE, "_ts", "_seq")
+    out = (
+        filled.filter(F.col(_SIDE) == 0)
+        .select(
+            *on,
+            *left_only,
+            *[F.col(f"_payload.{c}").alias(c) for c in payload_cols],
+        )
+    )
     return out
