@@ -1,0 +1,178 @@
+"""Spark-catalog registration for :class:`ParquetLakeTable`.
+
+The reference addresses its lake table by a THREE-PART CATALOG NAME in
+plain SQL (``MERGE INTO iceberg_demo.cdc_iceberg_demo_db.retail_trans``,
+/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:91-136);
+``ParquetLakeTable`` is path-addressed, so without this module
+``spark.sql("SELECT ... FROM db.t")`` over a lake table is impossible.
+
+The bridge is a GENERATED SQL VIEW: ``view_select_sql`` compiles the
+table's current manifest into pure ANSI-ish Spark SQL —
+
+- one ``parquet.`<snapshot dir>``` scan per referenced snapshot,
+  filtered to the partitions the manifest maps to it (an IN-list on the
+  partition column, which Spark turns into directory-level partition
+  pruning, same as the DataFrame read path);
+- columns cast to the manifest schema (partition type-inference drift)
+  and NULL-filled where an old snapshot predates a column (additive
+  evolution), mirroring ``_read_snapshot_slice``;
+- for MOR tables with outstanding deltas, the same fold the DataFrame
+  path uses: ``ROW_NUMBER() OVER (PARTITION BY <keys> ORDER BY
+  _op_timestamp DESC NULLS LAST, _txn_id DESC NULLS LAST, _layer
+  DESC)`` keeping row 1;
+- tombstones filtered, lineage columns projected away.
+
+``register_view`` publishes that text as ``CREATE OR REPLACE VIEW
+db.name`` in the session catalog, and ``ParquetLakeTable`` re-registers
+after every successful commit, so the catalog name always reads the
+CURRENT version — the Iceberg-catalog user experience without the
+Iceberg runtime. The view text pins concrete snapshot paths, so a
+registered reader never sees a half-committed state (same guarantee the
+manifest gives the DataFrame path).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import types as T
+
+from ..constants import OP_TS_COL, TXN_COL
+
+_LAYER = "_layer"
+
+
+def _q_ident(name: str) -> str:
+    """Backtick-quote a SQL identifier."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _q_str(value: str) -> str:
+    """Single-quote a SQL string literal."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _q_path(path: str) -> str:
+    """``parquet.`path``` table identifier for a direct file read."""
+    return "parquet." + _q_ident(path)
+
+
+def _empty_select(schema: T.StructType) -> str:
+    cols = ", ".join(
+        f"CAST(NULL AS {f.dataType.simpleString()}) AS {_q_ident(f.name)}"
+        for f in schema.fields
+    )
+    return f"SELECT {cols} WHERE 1 = 0"
+
+
+def _partition_predicate(partition_col: str, values: list) -> str | None:
+    """Filter limiting a whole-snapshot scan to the partitions the
+    manifest maps to it. Values arrive DECODED (``None`` for the Hive
+    NULL token); comparison is on the column cast to string so the
+    same predicate works for any partition type — it references only
+    the partition column, so Spark still prunes directories."""
+    non_null = sorted(v for v in values if v is not None)
+    clauses = []
+    if non_null:
+        in_list = ", ".join(_q_str(v) for v in non_null)
+        clauses.append(
+            f"CAST({_q_ident(partition_col)} AS STRING) IN ({in_list})"
+        )
+    if any(v is None for v in values):
+        clauses.append(f"{_q_ident(partition_col)} IS NULL")
+    if not clauses:
+        return "1 = 0"  # snapshot referenced by zero partitions
+    return " OR ".join(clauses)
+
+
+def view_select_sql(table, as_of_version: int | None = None,
+                    as_of_timestamp_ms: int | None = None) -> str:
+    """The SELECT equivalent of ``table.read_data(...)`` as SQL text."""
+    from .table import (  # local import — table.py imports this module's user
+        DELETED_COL,
+        LINEAGE_COLS,
+        _decode_part,
+    )
+
+    m = table._resolve_as_of(as_of_version, as_of_timestamp_ms)
+    if m is None:
+        raise ValueError(f"table at {table.path} has no committed versions")
+    schema = T.StructType.fromJson(m["schema"])
+    data_fields = [f for f in schema.fields if f.name not in LINEAGE_COLS]
+    out_cols = ", ".join(_q_ident(f.name) for f in data_fields)
+
+    base_map: dict = m["base"]
+    by_snap: dict[str, list] = {}
+    for part_enc, snap in base_map.items():
+        by_snap.setdefault(snap, []).append(_decode_part(part_enc))
+
+    def layer_sql(dirname: str, part_values: list | None, layer: int) -> str:
+        root = os.path.join(table.path, dirname)
+        # physical columns of this snapshot (driver metadata probe, no
+        # job) — old snapshots may predate additively-evolved columns
+        phys = set(table.spark.read.parquet(root).columns)
+        sel = ", ".join(
+            (
+                f"CAST({_q_ident(f.name)} AS {f.dataType.simpleString()})"
+                f" AS {_q_ident(f.name)}"
+                if f.name in phys
+                else f"CAST(NULL AS {f.dataType.simpleString()})"
+                f" AS {_q_ident(f.name)}"
+            )
+            for f in schema.fields
+        )
+        sql = f"SELECT {sel}, {layer} AS {_q_ident(_LAYER)} FROM {_q_path(root)}"
+        if table.partition_col and part_values is not None:
+            pred = _partition_predicate(table.partition_col, part_values)
+            sql += f" WHERE {pred}"
+        return sql
+
+    layers = [
+        layer_sql(snap, None if not table.partition_col else values, 0)
+        for snap, values in sorted(by_snap.items())
+    ]
+    layers += [
+        layer_sql(d, None, i + 1) for i, d in enumerate(m["deltas"])
+    ]
+    if not layers:
+        return _empty_select(
+            T.StructType(data_fields) if data_fields else schema
+        )
+
+    union = "\nUNION ALL\n".join(layers)
+    live_pred = f"NOT COALESCE({_q_ident(DELETED_COL)}, FALSE)" \
+        if DELETED_COL in schema.names else "TRUE"
+
+    if len(m["deltas"]) == 0:
+        return (
+            f"SELECT {out_cols} FROM (\n{union}\n) WHERE {live_pred}"
+        )
+
+    # MOR fold: latest layer wins per key under the same (ts, txn,
+    # layer) order _fold uses, so SQL and DataFrame reads are identical
+    keys = ", ".join(_q_ident(k) for k in table.key_cols)
+    order = (
+        f"{_q_ident(OP_TS_COL)} DESC NULLS LAST, "
+        f"{_q_ident(TXN_COL)} DESC NULLS LAST, "
+        f"{_q_ident(_LAYER)} DESC"
+    )
+    return (
+        f"SELECT {out_cols} FROM (\n"
+        f"  SELECT *, ROW_NUMBER() OVER ("
+        f"PARTITION BY {keys} ORDER BY {order}) AS `_rn` FROM (\n"
+        f"{union}\n"
+        f"  )\n"
+        f") WHERE `_rn` = 1 AND {live_pred}"
+    )
+
+
+def register_view(table, name: str, database: str = "lakehouse",
+                  as_of_version: int | None = None) -> str:
+    """Publish ``database.name`` as a catalog view over the table's
+    current (or pinned) version. Returns the qualified name."""
+    qualified = f"{_q_ident(database)}.{_q_ident(name)}"
+    table.spark.sql(f"CREATE DATABASE IF NOT EXISTS {_q_ident(database)}")
+    sql = view_select_sql(table, as_of_version=as_of_version)
+    table.spark.sql(f"CREATE OR REPLACE VIEW {qualified} AS {sql}")
+    return qualified

@@ -189,6 +189,10 @@ class ParquetLakeTable:
         #: unconditional broadcast was OOM-grade for backfill batches —
         #: judge finding r1)
         self.broadcast_key_limit = broadcast_key_limit
+        #: (database, name) once registered in the Spark catalog —
+        #: every commit re-publishes the view so SQL readers always see
+        #: the current version (see lake/catalog.py)
+        self._catalog_ident: tuple[str, str] | None = None
 
     # -- version metadata --------------------------------------------------
 
@@ -293,6 +297,13 @@ class ParquetLakeTable:
         cur, cur_tmp = os.path.join(vdir, "CURRENT"), os.path.join(vdir, "CURRENT.tmp")
         self.fs.write_text(cur_tmp, str(new_v))
         self.fs.replace(cur_tmp, cur)
+        if self._catalog_ident is not None:
+            # keep the SQL surface current: the registered view's text
+            # pins the previous version's snapshot paths
+            from .catalog import register_view
+
+            db, name = self._catalog_ident
+            register_view(self, name, database=db)
         return new_v
 
     # -- physical file IO --------------------------------------------------
@@ -465,6 +476,29 @@ class ParquetLakeTable:
             .filter(F.col("_rn") == 1)
             .drop("_rn", _SEQ)
         )
+
+    # -- catalog -----------------------------------------------------------
+
+    def register_sql(self, name: str, database: str = "lakehouse",
+                     as_of_version: int | None = None) -> str:
+        """Register this table in the Spark catalog as a view, so plain
+        SQL can address it by name the way the reference addresses its
+        Iceberg table (``catalog.db.table``,
+        /root/reference/src/main/python/spark_sql_merge_into_iceberg.py:91-136):
+
+            spark.sql("SELECT ... FROM lakehouse.retail_trans")
+
+        Unpinned registrations re-publish after every commit on this
+        handle, so the name always reads the CURRENT version; pass
+        ``as_of_version`` for a frozen time-travel view (not refreshed).
+        Returns the qualified name."""
+        from .catalog import register_view
+
+        qualified = register_view(self, name, database=database,
+                                  as_of_version=as_of_version)
+        if as_of_version is None:
+            self._catalog_ident = (database, name)
+        return qualified
 
     # -- basic IO ----------------------------------------------------------
 

@@ -137,6 +137,38 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_sql_read",
+    oracle=f"""
+    WITH s AS ({_CURRENT_STATE_ORACLE})
+    SELECT 'cow' AS mode, event, COUNT(*) AS n_rows,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY event
+    UNION ALL
+    SELECT 'mor' AS mode, event, COUNT(*) AS n_rows,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY event
+    """,
+    doc="The lake table read through its CATALOG NAME: register_sql "
+        "publishes a generated view (lake/catalog.py) and this query is "
+        "plain spark.sql over lakehouse.<name> — three-part-name parity "
+        "with the reference's Iceberg catalog tables "
+        "(spark_sql_merge_into_iceberg.py:91-136). Covers BOTH "
+        "generators: the COW union view and the MOR window-fold view, "
+        "value-hashed against pure SQL over orders.",
+    tags=("cdc", "lake", "catalog"),
+)
+def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = []
+    for mode in ("cow", "mor"):
+        name = _lake(spark, sf_dir, mode).register_sql(f"orders_cdc_{mode}")
+        out.append(spark.sql(
+            f"SELECT '{mode}' AS mode, event, COUNT(*) AS n_rows, "
+            f"SUM(amount_cents) AS total_cents FROM {name} GROUP BY event"
+        ))
+    return out[0].unionByName(out[1])
+
+
+@register(
     "lake_time_travel_v1",
     oracle=f"""
     SELECT o_orderkey AS trans_id, o_orderstatus AS event,
