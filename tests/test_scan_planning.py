@@ -1,0 +1,215 @@
+"""Scan planning: manifest column stats -> partition/file pruning.
+
+The invariant under test everywhere: ``scan(filters)`` returns exactly
+``read_data().filter(same predicate)`` — stats shrink IO, never decide
+rows — while ``plan_scan`` proves the IO actually shrank.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    ParquetLakeTable,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.scan import (
+    encode_stat_value,
+    prune_entry,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, path, rows, partition_col="event", **kw):
+    df = spark.createDataFrame(
+        rows, "trans_id long, event string, amount int, ts timestamp"
+    )
+    t = ParquetLakeTable(spark, path, key_cols=["trans_id"],
+                         partition_col=partition_col, **kw)
+    t.create(df)
+    return t
+
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _row(k, event, amount, day_offset=0):
+    return (k, event, amount, TS + dt.timedelta(days=day_offset))
+
+
+@pytest.fixture(scope="module")
+def disjoint_table(spark, tmp_path_factory):
+    """Three partitions with DISJOINT key ranges: a..0-99, b..100-199,
+    c..200-299 — the shape stats pruning exists for."""
+    rows = (
+        [_row(k, "a", k, 0) for k in range(0, 100)]
+        + [_row(k, "b", k, 1) for k in range(100, 200)]
+        + [_row(k, "c", k, 2) for k in range(200, 300)]
+    )
+    return _mk(spark, str(tmp_path_factory.mktemp("scan") / "t"), rows)
+
+
+def test_partition_equality_prunes_by_manifest_key(disjoint_table):
+    plan = disjoint_table.plan_scan([("event", "=", "b")])
+    assert plan["parts_kept"] == 1 and plan["parts_total"] == 3
+    got = _rows(disjoint_table.scan([("event", "=", "b")]))
+    assert len(got) == 100 and all(r[1] == "b" for r in got)
+
+
+def test_key_range_prunes_partitions(disjoint_table):
+    plan = disjoint_table.plan_scan([("trans_id", ">=", 250)])
+    assert plan["parts_kept"] == 1  # only partition c overlaps
+    assert _rows(disjoint_table.scan([("trans_id", ">=", 250)])) == _rows(
+        disjoint_table.read_data().filter(F.col("trans_id") >= 250)
+    )
+
+
+def test_key_in_list_prunes(disjoint_table):
+    plan = disjoint_table.plan_scan([("trans_id", "in", [5, 7])])
+    assert plan["parts_kept"] == 1
+    got = _rows(disjoint_table.scan([("trans_id", "in", [5, 7])]))
+    assert [r[0] for r in got] == [5, 7]
+
+
+def test_non_key_column_prunes_on_cow(disjoint_table):
+    # amount mirrors the key ranges, so a tight amount predicate prunes
+    # even though amount is not a key — sound because no deltas exist
+    plan = disjoint_table.plan_scan([("amount", "<", 50)])
+    assert plan["parts_kept"] == 1
+    assert _rows(disjoint_table.scan([("amount", "<", 50)])) == _rows(
+        disjoint_table.read_data().filter(F.col("amount") < 50)
+    )
+
+
+def test_timestamp_predicate_prunes(disjoint_table):
+    cutoff = TS + dt.timedelta(days=2)
+    plan = disjoint_table.plan_scan([("ts", ">=", cutoff)])
+    assert plan["parts_kept"] == 1
+    assert _rows(disjoint_table.scan([("ts", ">=", cutoff)])) == _rows(
+        disjoint_table.read_data().filter(F.col("ts") >= cutoff)
+    )
+
+
+def test_contradiction_prunes_everything(disjoint_table):
+    plan = disjoint_table.plan_scan([("trans_id", ">", 10_000)])
+    assert plan["parts_kept"] == 0
+    assert disjoint_table.scan([("trans_id", ">", 10_000)]).count() == 0
+
+
+def test_file_level_pruning(spark, tmp_path):
+    """Multiple files per partition with disjoint key ranges (range
+    repartition before write) -> a point predicate keeps one file."""
+    df = spark.createDataFrame(
+        [(k, "a", k, TS) for k in range(1000)],
+        "trans_id long, event string, amount int, ts timestamp",
+    ).repartitionByRange(4, "trans_id")
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"],
+                         partition_col="event")
+    t.create(df)
+    plan = t.plan_scan([("trans_id", "=", 7)])
+    assert plan["files_total"] == 4
+    assert plan["files_kept"] == 1
+    got = _rows(t.scan([("trans_id", "=", 7)]))
+    assert len(got) == 1 and got[0][0] == 7
+
+
+def test_scan_equals_filtered_read_after_merge(spark, tmp_path):
+    """Pruning stays sound across COW merges (stats are re-harvested
+    for rewritten partitions)."""
+    t = _mk(spark, str(tmp_path / "t"),
+            [_row(k, "a" if k < 50 else "b", k) for k in range(100)])
+    batch = spark.createDataFrame(
+        [(7, "a", 777, TS, "update", TS, 1),
+         (200, "b", 200, TS, "insert", TS, 2),
+         (60, "b", 60, TS, "delete", TS, 3)],
+        "trans_id long, event string, amount int, ts timestamp, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    t.merge(batch)
+    for filters, pred in [
+        ([("trans_id", "<=", 10)], F.col("trans_id") <= 10),
+        ([("amount", ">", 100)], F.col("amount") > 100),
+        ([("event", "=", "b")], F.col("event") == "b"),
+    ]:
+        assert _rows(t.scan(filters)) == _rows(t.read_data().filter(pred))
+
+
+def test_mor_deltas_block_non_key_pruning_but_not_key_pruning(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"),
+            [_row(k, "a" if k < 50 else "b", k) for k in range(100)],
+            merge_mode="mor")
+    late = dt.datetime(2024, 2, 1)
+    batch = spark.createDataFrame(
+        [(7, "a", 777, TS, "update", late, 1)],
+        "trans_id long, event string, amount int, ts timestamp, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    t.merge(batch)
+    # non-key predicate: must NOT prune (delta outstanding), and the
+    # updated row's new amount must be visible
+    plan = t.plan_scan([("amount", ">", 700)])
+    assert plan["parts_kept"] == plan["parts_total"]
+    got = _rows(t.scan([("amount", ">", 700)]))
+    assert [(r[0], r[2]) for r in got] == [(7, 777)]
+    # key predicate: MAY prune base partitions; fold winner unchanged
+    plan = t.plan_scan([("trans_id", "=", 7)])
+    assert plan["parts_kept"] == 1
+    got = _rows(t.scan([("trans_id", "=", 7)]))
+    assert [(r[0], r[2]) for r in got] == [(7, 777)]
+
+
+def test_merge_probe_uses_new_stats_shape(spark, tmp_path):
+    """The COW merge probe prunes by key range through the same stats."""
+    t = _mk(spark, str(tmp_path / "t"),
+            [_row(k, "a", k) for k in range(100)]
+            + [_row(k, "b", k) for k in range(1000, 1100)])
+    batch = spark.createDataFrame(
+        [(5, "a", -5, TS, "update", TS, 1)],
+        "trans_id long, event string, amount int, ts timestamp, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    # partition b's key range [1000,1100) cannot overlap key 5: the
+    # probe must not add it, so only partition a is rewritten
+    t.merge(batch)
+    m = t._manifest()
+    assert m["summary"]["rewritten_partitions"] == 1
+    assert _rows(t.read_data().filter(F.col("trans_id") == 5))[0][2] == -5
+
+
+def test_unpartitioned_table_scan(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"),
+            [_row(k, "x", k) for k in range(100)], partition_col=None)
+    plan = t.plan_scan([("trans_id", ">", 10_000)])
+    assert plan["parts_kept"] == 0
+    assert t.scan([("trans_id", ">", 10_000)]).count() == 0
+    assert _rows(t.scan([("amount", "<", 5)])) == _rows(
+        t.read_data().filter(F.col("amount") < 5)
+    )
+
+
+def test_encode_stat_value_types():
+    assert encode_stat_value(True) is None  # bool is not orderable data
+    assert encode_stat_value("s") is None  # strings: truncation-unsound
+    assert encode_stat_value(3) == 3
+    assert encode_stat_value(dt.date(1970, 1, 11)) == 10
+    micros = encode_stat_value(dt.datetime(1970, 1, 1, 0, 0, 1))
+    assert micros == 1_000_000
+    # tz-aware normalizes to UTC before encoding
+    aware = dt.datetime(1970, 1, 1, 1, 0, 1, tzinfo=dt.timezone(dt.timedelta(hours=1)))
+    assert encode_stat_value(aware) == 1_000_000
+
+
+def test_prune_entry_unknown_bounds_kept():
+    entry = {"cols": {"k": [0, 10]},
+             "files": {"f1": {"k": [0, 5]}, "f2": {}}}  # f2: no stats
+    keep, subset = prune_entry(entry, [("k", "=", 7)])
+    assert keep and subset == ["f2"]  # f1 excluded, stats-less f2 kept
+    keep, _ = prune_entry(entry, [("k", ">", 10)])
+    assert not keep
+    keep, subset = prune_entry(None, [("k", "=", 1)])
+    assert keep and subset is None

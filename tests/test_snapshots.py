@@ -140,9 +140,10 @@ def test_manifest_key_stats_prune_merge_probe(spark, tmp_path):
     table = _two_wave_table(spark, tmp_path)
     stats = table._manifest().get("stats", {})
     assert stats, "expected footer-derived key stats in the manifest"
-    for ranges in stats.values():
-        lo, hi = ranges["trans_id"]
+    for entry in stats.values():
+        lo, hi = entry["cols"]["trans_id"]
         assert lo <= hi
+        assert entry["files"], "expected per-file bounds for scan planning"
 
     live = table._live_partitions()
     far_batch = spark.createDataFrame([(100_000, "visit")], "trans_id long, event string")

@@ -71,6 +71,13 @@ from pyspark.sql import types as T
 
 from ..constants import OP_COL, OP_TS_COL, TXN_COL
 from .fsio import LocalFileSystem
+from .scan import (
+    encode_predicate,
+    encode_stat_value,
+    harvest_stats,
+    normalize_filters,
+    prune_entry,
+)
 
 #: Lineage columns persisted in the table to power the late-data guard.
 #: _deleted marks TOMBSTONES: deletes are retained (invisible to readers)
@@ -319,84 +326,17 @@ class ParquetLakeTable:
         return self._list_partition_dirs(dest)
 
     def _collect_key_stats(self, dirname: str, part_values: list[str]) -> dict:
-        """Per-partition [min, max] of each key column, harvested from
-        parquet FOOTERS of the just-written snapshot — no data scan, the
-        same place Iceberg's write tasks get their manifest stats.
-
-        The harvest runs EXECUTOR-SIDE: the file list (one metadata
-        listing) fans out as an RDD, each task reads only its files'
-        footers, and the driver merges one small (partition, ranges)
-        tuple per file — bounded metadata, no driver os.walk, no local
-        pyarrow reads on the commit path (judge finding r1). Only
-        JSON-safe orderable numeric types are kept; a missing entry
-        means "unknown — cannot prune" (parquet writers may TRUNCATE
-        string min/max to prefixes, which would make range pruning
-        unsound for strings)."""
+        """Per-partition AND per-file [min, max] column bounds for a
+        just-written snapshot, harvested executor-side from parquet
+        footers (lake/scan.py docstring has the full story). All
+        soundly-orderable columns are kept — keys power the merge
+        probe's partition pruning, the rest power ``scan`` planning."""
         files = self.fs.walk_files(os.path.join(self.path, dirname), ".parquet")
-        if not files:
-            return {}
-        key_cols = list(self.key_cols)
         part_prefix = f"{self.partition_col}=" if self.partition_col else None
-        all_token = _ALL
-
-        def harvest(paths):
-            import pyarrow.parquet as pq
-
-            for fp in paths:
-                part = all_token
-                if part_prefix:
-                    for comp in fp.replace("\\", "/").split("/"):
-                        if comp.startswith(part_prefix):
-                            part = comp[len(part_prefix):]
-                ranges: dict = {}
-                ok = True
-                try:
-                    md = pq.ParquetFile(fp).metadata
-                    for rg in range(md.num_row_groups):
-                        for ci in range(md.num_columns):
-                            col = md.row_group(rg).column(ci)
-                            name = col.path_in_schema
-                            if name not in key_cols:
-                                continue
-                            st = col.statistics
-                            if st is None or not st.has_min_max:
-                                ok = False
-                                continue
-                            lo, hi = st.min, st.max
-                            if isinstance(lo, bool) or not isinstance(lo, (int, float)):
-                                ok = False
-                                continue
-                            if name in ranges:
-                                ranges[name] = [min(ranges[name][0], lo),
-                                                max(ranges[name][1], hi)]
-                            else:
-                                ranges[name] = [lo, hi]
-                except Exception:  # noqa: BLE001 — stats are optional
-                    ok = False
-                yield (part, ok and len(ranges) == len(key_cols), ranges)
-
-        sc = self.spark.sparkContext
-        slices = max(1, min(len(files), sc.defaultParallelism))
-        results = (
-            sc.parallelize(files, slices)
-            .mapPartitions(lambda it: harvest(list(it)))
-            .collect()
+        return harvest_stats(
+            self.spark, files, os.path.join(self.path, dirname),
+            part_prefix, _ALL,
         )
-        out: dict = {}
-        incomplete: set = set()
-        for part, ok, ranges in results:
-            if not ok:
-                incomplete.add(part)
-                continue
-            cur = out.setdefault(part, {})
-            for c, (lo, hi) in ranges.items():
-                if c in cur:
-                    cur[c] = [min(cur[c][0], lo), max(cur[c][1], hi)]
-                else:
-                    cur[c] = [lo, hi]
-        for part in incomplete:
-            out.pop(part, None)
-        return out
 
     def _list_partition_dirs(self, dest: str) -> list[str]:
         if not self.partition_col:
@@ -530,6 +470,150 @@ class ParquetLakeTable:
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
+
+    # -- scan planning -------------------------------------------------------
+
+    def plan_scan(self, filters=(), as_of_version: int | None = None,
+                  as_of_timestamp_ms: int | None = None) -> dict:
+        """Iceberg-style scan planning: intersect simple predicates with
+        the manifest's column bounds and return the (partition, file)
+        subset a ``scan`` must read — pure metadata, no Spark job.
+
+        ``filters`` is an iterable of ``(column, op, value)`` with op in
+        ``=, <, <=, >, >=, in``. Soundness tiers (lake/scan.py):
+
+        - partition-column equality/IN prunes by manifest key;
+        - key-column predicates prune base partitions AND files always
+          (a key's value is constant across layers, so the fold winner
+          of any surviving key is unaffected);
+        - other columns prune only when the snapshot has NO outstanding
+          MOR deltas (otherwise pruning the fold winner could surface
+          an older delta row) — with deltas they stay residual-only.
+
+        Returns ``{"base": {part: (snap, relpaths|None)}, "deltas":
+        [...], "schema": ..., "parts_total": n, "parts_kept": n,
+        "files_total": n, "files_kept": n}`` where ``relpaths=None``
+        means "read the whole partition slice".
+        """
+        m = self._resolve_as_of(as_of_version, as_of_timestamp_ms)
+        if m is None:
+            raise ValueError(f"table at {self.path} has no committed versions")
+        preds = normalize_filters(filters)
+        has_deltas = bool(m["deltas"])
+        part_eq: list = []      # partition-col =/in predicates
+        stat_preds: list = []   # (col, op, encoded_value) usable against bounds
+        for col, op, value in preds:
+            if self.partition_col is not None and col == self.partition_col:
+                if op == "=":
+                    part_eq.append({_encode_part(value)})
+                elif op == "in":
+                    part_eq.append({_encode_part(v) for v in value})
+                continue  # range ops on the partition col: residual only
+            if col not in self.key_cols and has_deltas:
+                continue  # non-key pruning is unsound under deltas
+            enc = encode_predicate(op, value)
+            if enc is not None:
+                stat_preds.append((col, op, enc))
+        stats = m.get("stats", {})
+        base: dict = {}
+        files_total = files_kept = 0
+        for part, snap in m["base"].items():
+            entry = stats.get(part)
+            n_files = len((entry or {}).get("files", {}))
+            files_total += n_files
+            if any(part not in s for s in part_eq):
+                continue
+            keep, subset = prune_entry(entry, stat_preds)
+            if not keep:
+                continue
+            base[part] = (snap, subset)
+            files_kept += len(subset) if subset is not None else n_files
+        return {
+            "base": base,
+            "deltas": list(m["deltas"]),
+            "schema": m["schema"],
+            "parts_total": len(m["base"]),
+            "parts_kept": len(base),
+            "files_total": files_total,
+            "files_kept": files_kept,
+        }
+
+    def scan(self, filters=(), as_of_version: int | None = None,
+             as_of_timestamp_ms: int | None = None) -> DataFrame:
+        """Predicate-pruned read of the LIVE rows: ``read_data`` plus
+        manifest-level data skipping. The full predicate is re-applied
+        to the assembled DataFrame (stats only shrink IO, never decide
+        rows), so ``scan(f)`` ≡ ``read_data().filter(f)`` by
+        construction — property-tested in tests/test_scan_planning.py."""
+        plan = self.plan_scan(filters, as_of_version, as_of_timestamp_ms)
+        schema = T.StructType.fromJson(plan["schema"])
+        by_snap: dict[str, list[str]] = {}
+        file_slices: list[tuple[str, list[str]]] = []
+        for part, (snap, subset) in plan["base"].items():
+            if subset is None:
+                by_snap.setdefault(snap, []).append(part)
+            elif subset:
+                file_slices.append((snap, subset))
+        parts = [
+            self._read_snapshot_slice(snap, values, schema)
+            for snap, values in sorted(by_snap.items())
+        ] + [
+            self._read_files_slice(snap, rels, schema)
+            for snap, rels in sorted(file_slices)
+        ]
+        deltas = [
+            self._read_snapshot_slice(d, self._list_partition_dirs(
+                os.path.join(self.path, d)), schema)
+            for d in plan["deltas"]
+        ]
+        if not parts and not deltas:
+            df = self.spark.createDataFrame([], schema)
+        elif not deltas:
+            df = reduce(DataFrame.unionByName, parts)
+        else:
+            base_df = (
+                reduce(DataFrame.unionByName, parts)
+                if parts
+                else self.spark.createDataFrame([], schema)
+            )
+            df = self._fold([base_df, *deltas])
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        df = df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
+        residual = self._residual_predicate(filters)
+        return df.filter(residual) if residual is not None else df
+
+    @staticmethod
+    def _residual_predicate(filters):
+        cond = None
+        for col, op, value in normalize_filters(filters):
+            c = F.col(col)
+            this = {
+                "=": lambda: c == value,
+                "<": lambda: c < value,
+                "<=": lambda: c <= value,
+                ">": lambda: c > value,
+                ">=": lambda: c >= value,
+                "in": lambda: c.isin(list(value)),
+            }[op]()
+            cond = this if cond is None else (cond & this)
+        return cond
+
+    def _read_files_slice(self, dirname: str, relpaths: list[str],
+                          schema: T.StructType) -> DataFrame:
+        """Read an explicit file subset of one snapshot directory (the
+        output of file-level pruning); ``basePath`` re-derives the
+        partition column from the directory names."""
+        base = os.path.join(self.path, dirname)
+        paths = [os.path.join(base, rel) for rel in relpaths]
+        df = self.spark.read.option("basePath", base).parquet(*paths)
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None) -> DataFrame:
@@ -777,14 +861,14 @@ class ParquetLakeTable:
         ).collect()[0]
         out = set()
         for p in others:
-            ranges = stats.get(p)
-            if ranges is None:
-                out.add(p)
-                continue
+            ranges = (stats.get(p) or {}).get("cols", {})
             overlap = True
             for c in self.key_cols:
+                if c not in ranges:
+                    continue  # unknown bounds — cannot prune on this column
                 lo, hi = ranges[c]
-                blo, bhi = agg[f"_lo_{c}"], agg[f"_hi_{c}"]
+                blo = encode_stat_value(agg[f"_lo_{c}"])
+                bhi = encode_stat_value(agg[f"_hi_{c}"])
                 if blo is None or bhi is None:
                     continue
                 if bhi < lo or blo > hi:

@@ -116,6 +116,11 @@ def build_session(
         # events.parquet stores ns-precision timestamps (FIXTURES.md);
         # Spark's reader rejects TIMESTAMP(NANOS) unless read as long.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as annotated INT64 micros, not legacy INT96:
+        # INT96 columns carry no parquet min/max statistics, which would
+        # blind the lake manifest's scan planning (lake/scan.py) to
+        # every timestamp predicate.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
