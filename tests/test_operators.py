@@ -283,3 +283,52 @@ def test_ivf_topk_finds_planted_cluster(spark):
     approx = {r["vec_id"] for r in S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()}
     recall = len(exact & approx) / 5
     assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+# ------------------------------------------------ connected components
+
+
+def test_connected_components_transitive_chain(spark):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 1-2, 2-3 plus disjoint pair 10-11: two components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_path_graph_converges(spark):
+    """A 16-node path is the worst case for naive propagation (O(n)
+    rounds); pointer jumping must close it within max_iter=6 (~log2)."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["doc_a", "doc_b"]
+    )
+    rows = connected_components(edges, max_iter=6).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 16
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators.components import (
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 4), (4, 5)], ["doc_a", "doc_b"])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[0]["cluster_id"] == 0 and rows[4]["cluster_id"] == 0
+    assert rows[5]["cluster_id"] == 0 and rows[5]["cluster_size"] == 3
+    assert rows[1]["cluster_size"] == 1 and rows[1]["is_canonical"]
+    assert rows[4]["is_canonical"] is False
+    assert sum(1 for r in rows.values() if r["is_canonical"]) == 4

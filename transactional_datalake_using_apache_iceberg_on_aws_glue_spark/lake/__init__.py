@@ -1,8 +1,19 @@
 """Lake-table layer: the ACID-merge target the reference gets from
 Iceberg-on-S3 (spark_sql_merge_into_iceberg.py:51-63,118-136), rebuilt
 over partitioned parquet with snapshot-versioned manifest commits
-(time travel, rollback, expire) and COW/MOR merge modes."""
+(time travel, rollback, expire), COW/MOR merge modes, hidden
+partitioning transforms, and manifest-stats scan planning."""
 
 from .table import CommitConflictError, ParquetLakeTable
+from .transforms import Transform, bucket, days, hours, months, truncate
 
-__all__ = ["CommitConflictError", "ParquetLakeTable"]
+__all__ = [
+    "CommitConflictError",
+    "ParquetLakeTable",
+    "Transform",
+    "bucket",
+    "days",
+    "hours",
+    "months",
+    "truncate",
+]

@@ -99,7 +99,11 @@ def view_select_sql(table, as_of_version: int | None = None,
     if m is None:
         raise ValueError(f"table at {table.path} has no committed versions")
     schema = T.StructType.fromJson(m["schema"])
-    data_fields = [f for f in schema.fields if f.name not in LINEAGE_COLS]
+    hidden = set(table.hidden_partition_cols())
+    data_fields = [
+        f for f in schema.fields
+        if f.name not in LINEAGE_COLS and f.name not in hidden
+    ]
     out_cols = ", ".join(_q_ident(f.name) for f in data_fields)
 
     base_map: dict = m["base"]

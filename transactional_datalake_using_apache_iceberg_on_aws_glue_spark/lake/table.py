@@ -78,6 +78,7 @@ from .scan import (
     normalize_filters,
     prune_entry,
 )
+from .transforms import Transform
 
 #: Lineage columns persisted in the table to power the late-data guard.
 #: _deleted marks TOMBSTONES: deletes are retained (invisible to readers)
@@ -169,6 +170,7 @@ class ParquetLakeTable:
         merge_mode: str = "cow",
         fs=None,
         broadcast_key_limit: int = 500_000,
+        partition_by: Transform | None = None,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -180,7 +182,18 @@ class ParquetLakeTable:
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
-        self.partition_col = partition_col
+        #: HIDDEN PARTITIONING (Iceberg transforms, lake/transforms.py):
+        #: ``partition_by=days("ts")`` derives the physical partition
+        #: column at write time, hides it from reads, and lets
+        #: ``plan_scan`` prune partitions from predicates on the raw
+        #: source column. ``partition_col`` stays the identity-
+        #: partitioned legacy spelling (the reference's PARTITIONED BY).
+        if partition_by is not None:
+            self.partition_transform = partition_by if partition_by.hidden else None
+            self.partition_col = partition_by.partition_col
+        else:
+            self.partition_transform = None
+            self.partition_col = partition_col
         self.store_lineage = store_lineage
         #: when True, a batch may add columns (old rows read as NULL) or
         #: omit existing ones (filled NULL) — additive evolution only,
@@ -469,7 +482,8 @@ class ParquetLakeTable:
         df = self.read(as_of_version, as_of_timestamp_ms)
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
+        return df.drop(*[c for c in LINEAGE_COLS if c in df.columns],
+                       *self.hidden_partition_cols())
 
     # -- scan planning -------------------------------------------------------
 
@@ -500,7 +514,16 @@ class ParquetLakeTable:
             raise ValueError(f"table at {self.path} has no committed versions")
         preds = normalize_filters(filters)
         has_deltas = bool(m["deltas"])
+        t = self.partition_transform
+        src_dtype = None
+        if t is not None:
+            schema_types = {
+                f.name: f.dataType.simpleString()
+                for f in T.StructType.fromJson(m["schema"]).fields
+            }
+            src_dtype = schema_types.get(t.source_col)
         part_eq: list = []      # partition-col =/in predicates
+        part_proj: list = []    # transform-projected (op, value) on tokens
         stat_preds: list = []   # (col, op, encoded_value) usable against bounds
         for col, op, value in preds:
             if self.partition_col is not None and col == self.partition_col:
@@ -509,6 +532,11 @@ class ParquetLakeTable:
                 elif op == "in":
                     part_eq.append({_encode_part(v) for v in value})
                 continue  # range ops on the partition col: residual only
+            if t is not None and col == t.source_col:
+                proj = t.project(op, value, src_dtype)
+                if proj is not None:
+                    part_proj.append(proj)
+                # fall through: the source column also has footer stats
             if col not in self.key_cols and has_deltas:
                 continue  # non-key pruning is unsound under deltas
             enc = encode_predicate(op, value)
@@ -522,6 +550,8 @@ class ParquetLakeTable:
             n_files = len((entry or {}).get("files", {}))
             files_total += n_files
             if any(part not in s for s in part_eq):
+                continue
+            if part_proj and not self._token_matches(part, part_proj):
                 continue
             keep, subset = prune_entry(entry, stat_preds)
             if not keep:
@@ -579,9 +609,30 @@ class ParquetLakeTable:
             df = self._fold([base_df, *deltas])
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        df = df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
+        df = df.drop(*[c for c in LINEAGE_COLS if c in df.columns],
+                     *self.hidden_partition_cols())
         residual = self._residual_predicate(filters)
         return df.filter(residual) if residual is not None else df
+
+    def _token_matches(self, part_enc: str, part_proj: list) -> bool:
+        """Evaluate transform-projected predicates against one manifest
+        partition token. A NULL token can never satisfy a predicate on
+        the source column (SQL comparisons with NULL are never true),
+        so NULL partitions prune under any projection."""
+        raw = _decode_part(part_enc)
+        if raw is None:
+            return False
+        v = self.partition_transform.decode(raw)
+        for op, pv in part_proj:
+            if op == "=" and v != pv:
+                return False
+            if op == "in" and v not in pv:
+                return False
+            if op == ">=" and v < pv:
+                return False
+            if op == "<=" and v > pv:
+                return False
+        return True
 
     @staticmethod
     def _residual_predicate(filters):
@@ -666,7 +717,7 @@ class ParquetLakeTable:
     def create(self, df: DataFrame) -> None:
         """Initial load (the reference's DMS full-load phase)."""
         base_v = self.current_version()
-        data = self._with_lineage(df)
+        data = self._with_lineage(df)  # also derives the partition transform column
         snap = f"snap-{base_v + 1:06d}"
         written = self._write_files(data, snap)
         self._commit(
@@ -675,7 +726,28 @@ class ParquetLakeTable:
             stats=self._collect_key_stats(snap, written),
         )
 
+    def hidden_partition_cols(self) -> list[str]:
+        """Physical partition columns invisible to readers (non-empty
+        only under a hidden transform)."""
+        return [self.partition_col] if self.partition_transform is not None else []
+
+    def _with_partition(self, df: DataFrame) -> DataFrame:
+        """Derive the physical partition column from the transform's
+        source column (no-op for identity partitioning or when the
+        column is already present, e.g. a re-read target slice)."""
+        t = self.partition_transform
+        if t is None or self.partition_col in df.columns:
+            return df
+        dtype = dict(df.dtypes).get(t.source_col)
+        if dtype is None:
+            raise ValueError(
+                f"partition transform source column {t.source_col!r} "
+                f"missing from DataFrame ({df.columns})"
+            )
+        return df.withColumn(self.partition_col, t.expr_for_type(dtype))
+
     def _with_lineage(self, df: DataFrame) -> DataFrame:
+        df = self._with_partition(df)
         if not self.store_lineage:
             return df.drop(*[c for c in LINEAGE_COLS if c in df.columns])
         out = df
@@ -890,6 +962,7 @@ class ParquetLakeTable:
         - key matched, batch older                          -> keep row
         - key unmatched, op != delete                       -> insert row
         """
+        batch = self._with_partition(batch)  # hidden-transform column
         if not self.exists():
             if self.store_lineage:
                 # keep deletes as tombstones even on first contact: their

@@ -217,3 +217,63 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vector_index(spark, sf_dir).ivf_topk(q, k=10, n_probe=4).select(
         "vec_id", F.round("sim", 6).alias("sim")
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id < 200)
+      WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    sym AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT sym.s, reach.lbl FROM sym JOIN reach ON sym.t = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+    all_docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    lab AS (SELECT a.doc_id, COALESCE(c.cluster_id, a.doc_id) AS cluster_id
+            FROM all_docs a LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM lab
+    """,
+    doc="Near-dup CLUSTERS with canonical election — the retention step "
+        "after pair generation: exact-Jaccard >= 0.5 edges on a bounded "
+        "slice (the oracle-able tier; at scale the edges come from "
+        "minhash_lsh_dedup), transitive closure via distributed "
+        "connected components (min-label propagation + pointer jumping, "
+        "operators/components.py), min doc_id elected canonical. The "
+        "DuckDB oracle recomputes the closure with a recursive CTE, so "
+        "the iterative Spark algorithm is value-checked end-to-end.",
+    tags=("documents", "dedup"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = D.shingle_hashes(docs)
+    ids = sh.select("doc_id").distinct()
+    pairs = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    edges = D.jaccard_pairs(pairs, sh).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(docs, edges)
