@@ -99,29 +99,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_lsh_near_dups",
-    oracle=None,  # MinHash families use xxhash64 — not reproducible in DuckDB
-    doc="MinHash(64) + LSH(16x4) candidate pairs verified by exact "
-        "Jaccard >= 0.5 over the whole documents table. The linear-cost "
-        "near-dedup path for 100 TB corpora; property-tested against "
-        "planted near-duplicates in tests/test_operators.py.",
+    "near_dup_pairs_methods",
+    oracle=None,  # both methods hash with xxhash64 — not reproducible in DuckDB
+    doc="Both hash-sketch near-dup tiers in one result, tagged by "
+        "method: MinHash(64)+LSH(16x4) candidates verified by exact "
+        "Jaccard >= 0.5 (score=jaccard), and SimHash(64-bit) pairs "
+        "within Hamming distance 3 via pigeonhole block join "
+        "(score=hamming). Both are near-linear (banded/blocked "
+        "equi-joins, never all-pairs) — the 100 TB near-dedup path; "
+        "property-tested against planted near-duplicates in "
+        "tests/test_operators.py. (Registry consolidation r2: absorbs "
+        "former minhash_lsh_near_dups + simhash_near_dups.)",
     tags=("documents", "dedup", "approx"),
 )
-def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    return D.minhash_lsh_dedup(docs, threshold=0.5)
-
-
-@register(
-    "simhash_near_dups",
-    oracle=None,  # xxhash64-based
-    doc="SimHash(64-bit) near-dup pairs within Hamming distance 3, "
-        "candidates via pigeonhole block join (no O(n^2)).",
-    tags=("documents", "dedup", "approx"),
-)
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    return D.simhash_near_dups(docs, max_hamming=3)
+    mh = D.minhash_lsh_dedup(docs, threshold=0.5).select(
+        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+        F.round("jaccard", 6).alias("score"),
+    )
+    sh = D.simhash_near_dups(docs, max_hamming=3).select(
+        F.lit("simhash").alias("method"), "doc_a", "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 @register(
@@ -137,23 +138,31 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_lsh_topk",
+    "ann_topk_methods",
     oracle=None,  # approximate by construction
-    doc="Approximate top-10 cosine neighbors of vec_id 0 via 8-plane "
-        "hyperplane LSH, Hamming radius 1, probing the PERSISTED "
-        "(_cell, _bucket)-partitioned index (operators.vector_index) — "
-        "the probe scans only matching _bucket directories (partition "
-        "pruning pinned in tests/test_vector_index.py). Identical "
-        "candidates to the query-time tier by construction "
-        "(test_persisted_lsh_equals_querytime_tier).",
+    doc="Both ANN tiers in one result, tagged by method, probing the "
+        "PERSISTED (_cell, _bucket)-partitioned index "
+        "(operators.vector_index; built once at write time): "
+        "method='lsh' is 8-plane hyperplane LSH at Hamming radius 1 "
+        "scanning only matching _bucket directories; method='ivf' "
+        "ranks the persisted centroid table and scans only the 4 "
+        "nearest of 16 _cell partitions, exact cosine inside. "
+        "Partition pruning and recall vs exact search are pinned in "
+        "tests/test_vector_index.py. (Registry consolidation r2: "
+        "absorbs former ann_lsh_topk + ivf_ann_topk.)",
     tags=("embeddings", "vector", "approx"),
 )
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return _vector_index(spark, sf_dir).lsh_topk(q, k=10).select(
-        "vec_id", F.round("sim", 6).alias("sim")
+    idx = _vector_index(spark, sf_dir)
+    lsh = idx.lsh_topk(q, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id", F.round("sim", 6).alias("sim")
     )
+    ivf = idx.ivf_topk(q, k=10, n_probe=4).select(
+        F.lit("ivf").alias("method"), "vec_id", F.round("sim", 6).alias("sim")
+    )
+    return lsh.unionByName(ivf)
 
 
 @register(
@@ -200,22 +209,93 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ivf_ann_topk",
-    oracle=None,  # approximate by construction (deterministic k-means cells)
-    doc="IVF approximate top-10 probing the PERSISTED index: the "
-        "deterministic k-means quantizer ran once at build time "
-        "(operators.vector_index.build); the query ranks the persisted "
-        "centroid table, scans only the 4 nearest of 16 _cell "
-        "partitions (pruning pinned in tests/test_vector_index.py), "
-        "exact cosine inside. Recall asserted vs exact search in "
-        "tests/test_vector_index.py.",
-    tags=("embeddings", "vector", "approx"),
+    "stratified_sample_documents",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_in_stratum
+      FROM documents
+    )
+    SELECT doc_id, source, sample_rank, n_in_stratum
+    FROM ranked
+    WHERE sample_rank <= CEIL(0.2 * n_in_stratum)
+    """,
+    doc="Deterministic 20% stratified sample per source shard — the "
+        "training-mix curation step (fix per-source proportions "
+        "without an RNG seed dependency): rank docs inside each "
+        "stratum by md5(doc_id) — a uniform, engine-reproducible "
+        "order — and keep the top 20%. One window shuffle on the "
+        "stratum key; no sampleBy nondeterminism, same rows on every "
+        "engine/run (md5 agrees byte-for-byte between Spark and "
+        "DuckDB, so the oracle checks the exact sample membership).",
+    tags=("documents", "curation"),
 )
-def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return _vector_index(spark, sf_dir).ivf_topk(q, k=10, n_probe=4).select(
-        "vec_id", F.round("sim", 6).alias("sim")
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_in_stratum"),
+    )
+    return ranked.filter(
+        F.col("sample_rank") <= F.ceil(F.lit(0.2) * F.col("n_in_stratum"))
+    )
+
+
+@register(
+    "doc_pack_assignments",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS shard_offset
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, shard_offset,
+           CAST(FLOOR(shard_offset / 2048) AS BIGINT) AS pack_id
+    FROM packed
+    """,
+    doc="Sequence packing for training: concat-then-chunk assignment "
+        "of each doc to a 2048-token pack, computed per source shard "
+        "(running token offset within the shard, pack = offset/2048). "
+        "Shards pack independently — one window shuffle on the shard "
+        "key, embarrassingly parallel at 100 TB, no global sequential "
+        "dependency. Integer arithmetic only, value-oracled exactly.",
+    tags=("documents", "curation"),
+)
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "shard_offset", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "shard_offset",
+        F.floor(F.col("shard_offset") / 2048).cast("long").alias("pack_id"),
     )
 
 
