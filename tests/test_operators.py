@@ -332,3 +332,81 @@ def test_dedup_clusters_singletons_and_canonical(spark):
     assert rows[1]["cluster_size"] == 1 and rows[1]["is_canonical"]
     assert rows[4]["is_canonical"] is False
     assert sum(1 for r in rows.values() if r["is_canonical"]) == 4
+
+
+# -- curation screens (operators/curation.py) ---------------------------------
+
+
+def test_repetition_features_planted(spark):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [
+            # period-5 repetition: 15 tokens, 11 5-grams, 5 distinct
+            (1, "x y z w v x y z w v x y z w v"),
+            # all-distinct tokens: no repeated bigram or 5-gram
+            (2, " ".join(f"t{i}" for i in range(20))),
+            # shorter than n: dup_ngram_frac must be 0, not null/error
+            (3, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in C.repetition_features(docs, n=5).collect()}
+    assert rows[1]["dup_ngram_frac"] == pytest.approx((11 - 5) / 11, abs=1e-6)
+    # bigrams of doc 1: 14 total, top ("x y" etc.) occurs 3 times
+    assert rows[1]["top_bigram_frac"] == pytest.approx(3 / 14, abs=1e-6)
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == pytest.approx(1 / 19, abs=1e-6)
+    assert rows[3]["dup_ngram_frac"] == 0.0
+
+
+def test_pii_detect_and_redact(spark):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@corp.co.uk today"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 responded"),
+            (3, "call 555-123-4567 or 555.987.6543 now"),
+            (4, "no sensitive content here"),
+        ],
+        "doc_id long, text string",
+    )
+    feats = {r["doc_id"]: r for r in C.pii_features(docs).collect()}
+    assert (feats[1]["n_email"], feats[1]["n_pii"]) == (2, 2)
+    assert (feats[2]["n_ipv4"], feats[2]["n_pii"]) == (2, 2)
+    assert (feats[3]["n_phone"], feats[3]["n_pii"]) == (2, 2)
+    assert feats[4]["n_pii"] == 0
+    red = {r["doc_id"]: r["text"] for r in C.redact_pii(docs).collect()}
+    assert red[1] == "contact [PII] or [PII] today"
+    assert red[2] == "server at [PII] and [PII] responded"
+    assert red[3] == "call [PII] or [PII] now"
+    assert red[4] == "no sensitive content here"
+    # redacted text has zero remaining PII
+    clean = C.pii_features(C.redact_pii(docs)).agg(F.sum("n_pii")).first()[0]
+    assert clean == 0
+
+
+def test_contamination_overlap_planted(spark):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.operators import curation as C
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's first 5-gram verbatim
+            (1, "intro alpha beta gamma delta epsilon outro words here"),
+            # fully disjoint vocabulary
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in C.contamination_overlap(corpus, bench, n=5).collect()}
+    assert rows[1]["n_bench_hits"] == 1
+    assert rows[1]["is_contaminated"] == 1
+    assert rows[2]["n_bench_hits"] == 0
+    assert rows[2]["is_contaminated"] == 0
+    assert rows[2]["contamination_frac"] == 0.0

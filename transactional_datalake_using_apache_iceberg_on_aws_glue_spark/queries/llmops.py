@@ -100,17 +100,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_pairs_methods",
-    oracle=None,  # both methods hash with xxhash64 — not reproducible in DuckDB
-    doc="Both hash-sketch near-dup tiers in one result, tagged by "
+    oracle=None,  # all three methods hash with xxhash64 — not reproducible in DuckDB
+    doc="All three hash-sketch near-dup tiers in one result, tagged by "
         "method: MinHash(64)+LSH(16x4) candidates verified by exact "
-        "Jaccard >= 0.5 (score=jaccard), and SimHash(64-bit) pairs "
+        "Jaccard >= 0.5 (score=jaccard); SimHash(64-bit) pairs "
         "within Hamming distance 3 via pigeonhole block join "
-        "(score=hamming). Both are near-linear (banded/blocked "
-        "equi-joins, never all-pairs) — the 100 TB near-dedup path; "
-        "property-tested against planted near-duplicates in "
-        "tests/test_operators.py. (Registry consolidation r2: absorbs "
-        "former minhash_lsh_near_dups + simhash_near_dups.)",
-    tags=("documents", "dedup", "approx"),
+        "(score=hamming); and embedding near-dups via 16-plane "
+        "hyperplane LSH buckets with exact cosine >= 0.9 inside "
+        "buckets only (score=cosine, ids are vec_ids). All are "
+        "near-linear (banded/blocked/bucketed equi-joins, never "
+        "all-pairs) — the 100 TB near-dedup path; property-tested "
+        "against planted near-duplicates in tests/test_operators.py. "
+        "(Registry consolidation r2: absorbs former "
+        "minhash_lsh_near_dups + simhash_near_dups + "
+        "embedding_near_dups.)",
+    tags=("documents", "embeddings", "dedup", "approx"),
 )
 def near_dup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
@@ -122,19 +126,13 @@ def near_dup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("simhash").alias("method"), "doc_a", "doc_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
-
-
-@register(
-    "embedding_near_dups",
-    oracle=None,  # hyperplane LSH uses xxhash64
-    doc="Embedding near-duplicate pairs: 16-plane LSH buckets, exact "
-        "cosine >= 0.9 inside buckets only.",
-    tags=("embeddings", "dedup", "approx"),
-)
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
-    return D.embedding_near_dups(emb, threshold=0.9)
+    ed = D.embedding_near_dups(emb, threshold=0.9).select(
+        F.lit("embedding").alias("method"),
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        F.round("cosine", 6).alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(ed)
 
 
 @register(
@@ -205,6 +203,95 @@ def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_fingerprints"))
         .join(docs.select("doc_id", "n_chars"), "doc_id")
         .select("doc_id", "n_fingerprints", "n_chars")
+    )
+
+
+@register(
+    "doc_repetition_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    bgc AS (
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+      FROM (
+        SELECT doc_id, h, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> md5(t[i] || ' ' || t[i+1]))) AS h
+              FROM t WHERE doc_id % 97 <> 0)
+        GROUP BY doc_id, h)
+      GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 3),
+                 i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                          || t[i+3] || ' ' || t[i+4])) AS g
+      FROM t WHERE len(t) >= 5
+    ),
+    rep AS (
+      SELECT doc_id,
+             round((len(g) - len(list_distinct(g)))::DOUBLE / len(g), 6)
+               AS dup_5gram_frac
+      FROM g5 WHERE doc_id % 97 <> 0
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS h FROM g5 WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(list_distinct(g)) AS h
+           FROM g5 WHERE doc_id % 97 <> 0),
+    cont AS (
+      SELECT cg.doc_id, count(*) AS n_grams, count(b.h) AS n_bench_hits
+      FROM cg LEFT JOIN bench b USING (h)
+      GROUP BY cg.doc_id
+    ),
+    pii AS (
+      SELECT doc_id, CAST(
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+        + len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b'))
+        AS INT) AS n_pii
+      FROM t WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id, len(t.t) AS n_tokens, top_bigram_frac, dup_5gram_frac,
+           n_grams, n_bench_hits,
+           round(n_bench_hits::DOUBLE / n_grams, 6) AS contamination_frac,
+           CAST(CASE WHEN n_bench_hits::DOUBLE / n_grams >= 0.05
+                THEN 1 ELSE 0 END AS INT) AS is_contaminated,
+           n_pii
+    FROM t
+    JOIN bgc USING (doc_id) JOIN rep USING (doc_id)
+    JOIN cont USING (doc_id) JOIN pii USING (doc_id)
+    """,
+    doc="Per-document curation risk scan, three screens in one pass "
+        "(operators/curation.py): Gopher-style repetition "
+        "(top-bigram occupancy + duplicate-5-gram fraction; Rae et "
+        "al. 2021 §A1.1), benchmark contamination (distinct 5-gram "
+        "collisions vs the doc_id%97==0 eval slice, GPT-3 appendix-C "
+        "style; benchmark gram set broadcast — a narrow map-side "
+        "probe at 100 TB), and PII hit counts (RE2-compatible regexes "
+        "shared verbatim with this oracle; zero on the synthetic "
+        "fixtures by construction, property-tested on planted PII in "
+        "tests/test_operators.py). Everything shuffles 32-byte md5 "
+        "hashes, never document text.",
+    tags=("documents", "curation", "dedup"),
+)
+def doc_repetition_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation as C
+
+    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rep = C.repetition_features(corpus, n=5)
+    cont = C.contamination_overlap(corpus, bench, n=5, flag_threshold=0.05)
+    pii = C.pii_features(corpus.select("doc_id", "text")).select("doc_id", "n_pii")
+    return (
+        rep.withColumnRenamed("dup_ngram_frac", "dup_5gram_frac")
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .join(cont, "doc_id")
+        .join(pii, "doc_id")
+        .select("doc_id", "n_tokens", "top_bigram_frac", "dup_5gram_frac",
+                "n_grams", "n_bench_hits", "contamination_frac",
+                "is_contaminated", "n_pii")
     )
 
 
