@@ -309,3 +309,101 @@ def test_merge_probe_broadcast_is_size_gated(spark, tmp_path):
     apply_cdc_batch(_envelope_df(spark, [upd]), gated)
     rows = gated.read_data().filter("trans_id = 19").collect()
     assert [r["amount"] for r in rows] == [99]
+
+
+# -- branches & tags: write-audit-publish --------------------------------------
+
+
+def test_wap_branch_write_audit_publish(spark, tmp_path):
+    """The full WAP cycle: fork, merge onto the branch (main untouched),
+    audit the branch, fast-forward main, branch ref gone."""
+    table = _two_wave_table(spark, tmp_path)
+    main_before = _state(table)
+    table.create_branch("audit")
+    br = table.branch("audit")
+
+    late = fixtures._envelope(fixtures._row(60, amount=6), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [late]), br)
+
+    # branch sees the new row; main does not
+    assert _state(br)[60] == 6
+    assert _state(table) == main_before
+    assert table.current_version() == 2
+    assert br.current_version() == 3
+
+    published = table.publish_branch("audit")
+    assert published == 3
+    assert _state(table)[60] == 6
+    assert "branch-audit" not in table.list_refs()
+    # history on main now includes the branch commit (fast-forwarded)
+    assert [h["version"] for h in table.history()] == [1, 2, 3]
+
+
+def test_wap_branch_diverged_publish_refused(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    table.create_branch("audit")
+    br = table.branch("audit")
+    late = fixtures._envelope(fixtures._row(61, amount=1), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [late]), br)
+    # main advances independently -> publish must refuse
+    other = fixtures._envelope(fixtures._row(62, amount=2), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [other]), table)
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+        BranchDivergedError,
+    )
+
+    with pytest.raises(BranchDivergedError):
+        table.publish_branch("audit")
+    # abandon: drop the branch, its snapshot is GC-able
+    table.drop_branch("audit")
+    assert "branch-audit" not in table.list_refs()
+
+
+def test_branch_commits_do_not_collide_with_main_dirs(spark, tmp_path):
+    """Global version numbering + ref-suffixed dir names: branch and
+    main committing after the fork never claim the same version or
+    write into each other's snapshot directories."""
+    table = _two_wave_table(spark, tmp_path)
+    table.create_branch("b")
+    br = table.branch("b")
+    e1 = fixtures._envelope(fixtures._row(70, amount=7), "insert", seq=900)
+    e2 = fixtures._envelope(fixtures._row(71, amount=8), "insert", seq=901)
+    apply_cdc_batch(_envelope_df(spark, [e1]), br)     # claims v3
+    apply_cdc_batch(_envelope_df(spark, [e2]), table)  # must claim v4, not v3
+    assert br.current_version() == 3
+    assert table.current_version() == 4
+    assert 70 not in _state(table)
+    assert 71 not in _state(br)
+    # timestamp time travel on main never resolves to the branch commit
+    import time
+
+    assert 70 not in _state(table, as_of_timestamp_ms=int(time.time() * 1000))
+
+
+def test_tag_pins_snapshot_through_gc(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    table.tag("after-load", version=1)
+    assert table.tag_version("after-load") == 1
+    removed = table.expire_snapshots(keep_last=1)
+    # v1's files survive GC because the tag references them
+    assert _state(table, as_of_version=1) == {
+        k: 10 + k for k in fixtures.INSERT_KEYS
+    }
+    table.drop_tag("after-load")
+    table.expire_snapshots(keep_last=1)
+    # untagged v1 manifest is now expired (its dirs may remain while
+    # v2's unaffected partitions still reference them — that's correct)
+    with pytest.raises(ValueError):
+        table.read(as_of_version=1)
+
+
+def test_expire_keeps_branch_ancestry(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    table.create_branch("keepme")
+    br = table.branch("keepme")
+    late = fixtures._envelope(fixtures._row(80, amount=9), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [late]), br)
+    table.expire_snapshots(keep_last=1)
+    # branch head and its ancestry still readable after GC on main
+    assert _state(br)[80] == 9
+    assert _state(table) == fixtures.expected_final_state()

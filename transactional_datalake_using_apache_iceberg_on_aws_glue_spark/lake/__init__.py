@@ -4,10 +4,11 @@ over partitioned parquet with snapshot-versioned manifest commits
 (time travel, rollback, expire), COW/MOR merge modes, hidden
 partitioning transforms, and manifest-stats scan planning."""
 
-from .table import CommitConflictError, ParquetLakeTable
+from .table import BranchDivergedError, CommitConflictError, ParquetLakeTable
 from .transforms import Transform, bucket, days, hours, months, truncate
 
 __all__ = [
+    "BranchDivergedError",
     "CommitConflictError",
     "ParquetLakeTable",
     "Transform",

@@ -138,6 +138,12 @@ def _decode_part(name: str):
     return "".join(out)
 
 
+class BranchDivergedError(RuntimeError):
+    """Raised by ``publish_branch`` when main advanced past the
+    branch's fork point — a fast-forward would silently drop main's
+    commits; rebase (re-run the branch work on a fresh branch) instead."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer published a version since this operation began."""
 
@@ -171,6 +177,7 @@ class ParquetLakeTable:
         fs=None,
         broadcast_key_limit: int = 500_000,
         partition_by: Transform | None = None,
+        ref: str = "main",
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -213,6 +220,11 @@ class ParquetLakeTable:
         #: every commit re-publishes the view so SQL readers always see
         #: the current version (see lake/catalog.py)
         self._catalog_ident: tuple[str, str] | None = None
+        #: the ref this handle reads from and commits to. "main" is the
+        #: legacy CURRENT pointer; other names live in _versions/refs/
+        #: (Iceberg branches: WAP writes go to an audit branch, then
+        #: publish_branch fast-forwards main — SURVEY §2.9 ACID story)
+        self.ref = ref
 
     # -- version metadata --------------------------------------------------
 
@@ -222,13 +234,59 @@ class ParquetLakeTable:
     def _manifest_file(self, version: int) -> str:
         return os.path.join(self._versions_path(), f"v{version:06d}.json")
 
-    def current_version(self) -> int:
-        """Latest committed version number (0 = never written)."""
-        f = os.path.join(self._versions_path(), "CURRENT")
+    def _ref_file(self, name: str) -> str:
+        if name == "main":  # legacy spelling, kept for on-disk compat
+            return os.path.join(self._versions_path(), "CURRENT")
+        return os.path.join(self._versions_path(), "refs", f"branch-{name}")
+
+    def _tag_file(self, name: str) -> str:
+        return os.path.join(self._versions_path(), "refs", f"tag-{name}")
+
+    def _read_pointer(self, path: str) -> int:
         try:
-            return int(self.fs.read_text(f).strip())
+            return int(self.fs.read_text(path).strip())
         except (FileNotFoundError, ValueError):
             return 0
+
+    def _write_pointer(self, path: str, version: int) -> None:
+        self.fs.makedirs(os.path.dirname(path))
+        tmp = path + ".tmp"
+        self.fs.write_text(tmp, str(version))
+        self.fs.replace(tmp, path)
+
+    def current_version(self) -> int:
+        """Head version of this handle's ref (0 = never written)."""
+        return self._read_pointer(self._ref_file(self.ref))
+
+    def _max_version(self) -> int:
+        """Highest version number ever claimed across ALL refs —
+        version numbers are table-global (like Iceberg snapshot ids),
+        so a branch commit never collides with main history."""
+        vdir = self._versions_path()
+        if not self.fs.isdir(vdir):
+            return 0
+        vs = [
+            int(n[1:-5]) for n in self.fs.listdir(vdir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def _ancestors(self, head: int) -> set[int]:
+        """Versions reachable from ``head`` via parent pointers.
+        Manifests from before branching carried no ``parent`` field —
+        they default to version-1 (history was linear then)."""
+        out: set[int] = set()
+        v = head
+        while v > 0 and v not in out:
+            out.add(v)
+            try:
+                m = self._manifest(v)
+            except ValueError:  # expired ancestor: stop the walk
+                break
+            if m is None:
+                break
+            v = m.get("parent", m["version"] - 1)
+        return out
 
     def _manifest(self, version: int | None = None) -> dict | None:
         v = self.current_version() if version is None else version
@@ -250,7 +308,10 @@ class ParquetLakeTable:
         if as_of_timestamp_ms is None:
             return self._manifest()
         best = None
+        lineage = self._ancestors(self.current_version())
         for m in self._iter_manifests():
+            if m["version"] not in lineage:
+                continue  # another ref's commit, not this history
             if m["committed_at_ms"] <= as_of_timestamp_ms and (
                 best is None or m["version"] > best["version"]
             ):
@@ -270,8 +331,9 @@ class ParquetLakeTable:
                 yield json.loads(self.fs.read_text(os.path.join(vdir, name)))
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first: version / wall-clock time /
-        operation / summary — Iceberg's ``table.history()``."""
+        """Commit log of THIS ref, oldest first: version / wall-clock
+        time / operation / summary — Iceberg's ``table.history()``."""
+        lineage = self._ancestors(self.current_version())
         return [
             {
                 "version": m["version"],
@@ -280,6 +342,7 @@ class ParquetLakeTable:
                 "summary": m.get("summary", {}),
             }
             for m in self._iter_manifests()
+            if m["version"] in lineage
         ]
 
     def _commit(self, base_version: int, operation: str, base: dict,
@@ -291,12 +354,21 @@ class ParquetLakeTable:
         planning on ``base_version`` see exactly one winner — the old
         check-then-act read of CURRENT could let both pass and silently
         lose one commit (advisor finding r1). The CURRENT pointer swap
-        happens only after the claim succeeds."""
-        new_v = base_version + 1
+        happens only after the claim succeeds.
+
+        Version numbers are table-global across refs; each manifest
+        records its ``parent`` and ``ref`` so per-ref history is an
+        ancestry walk, not number order. Two writers on the SAME ref
+        always contest the same number first (base+1) — the exclusive
+        create picks exactly one winner, as before branches existed. A
+        number claimed by a DIFFERENT ref is not a conflict: skip past
+        it (Iceberg snapshot-id style) and contest the next free one,
+        re-checking the ref pointer before every attempt."""
         vdir = self._versions_path()
         self.fs.makedirs(vdir)
         manifest = {
-            "version": new_v,
+            "parent": base_version,
+            "ref": self.ref,
             "committed_at_ms": int(time.time() * 1000),
             "operation": operation,
             "base": base,
@@ -305,18 +377,28 @@ class ParquetLakeTable:
             "summary": summary or {},
             "stats": stats or {},
         }
-        mf = self._manifest_file(new_v)
-        if self.current_version() != base_version:
-            raise CommitConflictError(
-                f"table advanced past version {base_version} during commit"
-            )
-        if not self.fs.create_exclusive(mf, json.dumps(manifest)):
-            raise CommitConflictError(
-                f"version {new_v} was claimed by another writer during commit"
-            )
-        cur, cur_tmp = os.path.join(vdir, "CURRENT"), os.path.join(vdir, "CURRENT.tmp")
-        self.fs.write_text(cur_tmp, str(new_v))
-        self.fs.replace(cur_tmp, cur)
+        new_v = base_version + 1
+        while True:
+            if self.current_version() != base_version:
+                raise CommitConflictError(
+                    f"ref {self.ref!r} advanced past version "
+                    f"{base_version} during commit"
+                )
+            manifest["version"] = new_v
+            mf = self._manifest_file(new_v)
+            if self.fs.create_exclusive(mf, json.dumps(manifest)):
+                break
+            try:
+                claimed_by = json.loads(self.fs.read_text(mf)).get("ref", "main")
+            except (FileNotFoundError, ValueError):
+                claimed_by = self.ref  # unreadable claim: treat as ours
+            if claimed_by == self.ref:
+                raise CommitConflictError(
+                    f"version {new_v} was claimed by another writer "
+                    f"on ref {self.ref!r} during commit"
+                )
+            new_v = max(new_v, self._max_version()) + 1
+        self._write_pointer(self._ref_file(self.ref), new_v)
         if self._catalog_ident is not None:
             # keep the SQL surface current: the registered view's text
             # pins the previous version's snapshot paths
@@ -325,6 +407,15 @@ class ParquetLakeTable:
             db, name = self._catalog_ident
             register_view(self, name, database=db)
         return new_v
+
+    def _next_dirname(self, prefix: str) -> str:
+        """Globally-unique data-directory name for the next commit of
+        this ref. Version numbers are table-global, and non-main refs
+        get the ref name appended, so two refs committing concurrently
+        can never write into each other's directories."""
+        nv = max(self.current_version(), self._max_version()) + 1
+        name = f"{prefix}-{nv:06d}"
+        return name if self.ref == "main" else f"{name}-{self.ref}"
 
     # -- physical file IO --------------------------------------------------
 
@@ -718,7 +809,7 @@ class ParquetLakeTable:
         """Initial load (the reference's DMS full-load phase)."""
         base_v = self.current_version()
         data = self._with_lineage(df)  # also derives the partition transform column
-        snap = f"snap-{base_v + 1:06d}"
+        snap = self._next_dirname("snap")
         written = self._write_files(data, snap)
         self._commit(
             base_v, "create", {v: snap for v in written}, [], data.schema,
@@ -784,7 +875,7 @@ class ParquetLakeTable:
             rewritten = df.repartition(target_files_per_partition, self.partition_col)
         else:
             rewritten = df.coalesce(target_files_per_partition)
-        snap = f"snap-{base_v + 1:06d}"
+        snap = self._next_dirname("snap")
         written = self._write_files(rewritten, snap)
         self._commit(
             base_v, "compact", {v: snap for v in written}, [], df.schema,
@@ -807,17 +898,117 @@ class ParquetLakeTable:
             stats=target.get("stats", {}),
         )
 
+    # -- branches & tags (write-audit-publish) -------------------------------
+
+    def _ref_heads(self) -> dict[str, int]:
+        """Every live ref -> head version: main plus all branches and
+        tags under _versions/refs/ (tags count — their snapshots must
+        survive GC)."""
+        heads = {"main": self._read_pointer(self._ref_file("main"))}
+        refs_dir = os.path.join(self._versions_path(), "refs")
+        if self.fs.isdir(refs_dir):
+            for name in sorted(self.fs.listdir(refs_dir)):
+                if name.endswith(".tmp"):
+                    continue
+                heads[name] = self._read_pointer(os.path.join(refs_dir, name))
+        return heads
+
+    def create_branch(self, name: str, from_version: int | None = None) -> None:
+        """Fork a named branch at ``from_version`` (default: this ref's
+        head) — metadata-only, O(1). Writes through a branch handle
+        (``table.branch(name)``) land on the branch; main is untouched
+        until ``publish_branch`` — Iceberg's write-audit-publish."""
+        if name == "main" or self.fs.exists(self._ref_file(name)):
+            raise ValueError(f"branch {name!r} already exists")
+        self._write_pointer(self._ref_file(name),
+                            from_version if from_version is not None
+                            else self.current_version())
+
+    def branch(self, name: str) -> "ParquetLakeTable":
+        """A handle bound to branch ``name`` — same table, same data
+        dirs, all reads/commits resolve through the branch ref. The
+        handle is not catalog-registered (SQL views stay on main)."""
+        if not self.fs.exists(self._ref_file(name)):
+            raise ValueError(f"branch {name!r} does not exist")
+        import copy
+
+        t = copy.copy(self)
+        t.ref = name
+        t._catalog_ident = None
+        return t
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward main to the branch head (the WAP 'publish'
+        step) and drop the branch ref. Requires main's head to be an
+        ancestor of the branch head — otherwise main advanced since the
+        fork and a fast-forward would drop those commits
+        (BranchDivergedError; re-fork and replay instead)."""
+        head = self._read_pointer(self._ref_file(name))
+        if head <= 0:
+            raise ValueError(f"branch {name!r} does not exist")
+        main_head = self._read_pointer(self._ref_file("main"))
+        if main_head not in self._ancestors(head) and main_head != 0:
+            raise BranchDivergedError(
+                f"main is at v{main_head}, not an ancestor of branch "
+                f"{name!r} head v{head}"
+            )
+        self._write_pointer(self._ref_file("main"), head)
+        self.fs.remove(self._ref_file(name))
+        if self._catalog_ident is not None:
+            from .catalog import register_view
+
+            db, nm = self._catalog_ident
+            register_view(self, nm, database=db)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch ref (abandon unpublished work; its snapshots
+        are reclaimed by the next ``expire_snapshots``)."""
+        self.fs.remove(self._ref_file(name))
+
+    def list_refs(self) -> dict[str, int]:
+        """All refs -> head version (``main``, ``branch-*``, ``tag-*``)."""
+        return self._ref_heads()
+
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Pin an immutable named tag to a version (default: this ref's
+        head) — Iceberg tags; GC keeps tagged snapshots alive and
+        ``tag_version(name)`` + time travel reads them."""
+        f = self._tag_file(name)
+        if self.fs.exists(f):
+            raise ValueError(f"tag {name!r} already exists")
+        self._write_pointer(f, version if version is not None
+                            else self.current_version())
+
+    def tag_version(self, name: str) -> int:
+        v = self._read_pointer(self._tag_file(name))
+        if v <= 0:
+            raise ValueError(f"tag {name!r} does not exist")
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        self.fs.remove(self._tag_file(name))
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Garbage-collect file sets unreachable from the last
-        ``keep_last`` versions (Iceberg's ``expire_snapshots``). Returns
-        the directories removed. Time travel older than the horizon
-        stops working — by design, that is what reclaims space."""
-        cur = self.current_version()
-        keep_from = max(1, cur - keep_last + 1)
+        ``keep_last`` versions of MAIN or from any other ref (branch
+        and tag heads keep their full ancestry alive — Iceberg's
+        ``expire_snapshots`` retention rules). Returns the directories
+        removed. Time travel older than the horizon stops working — by
+        design, that is what reclaims space."""
+        heads = self._ref_heads()
+        keep_from = max(1, heads["main"] - keep_last + 1)
+        protected: set[int] = set()
+        for ref, head in heads.items():
+            if ref == "main":
+                protected.update(
+                    v for v in self._ancestors(head) if v >= keep_from)
+            else:
+                protected.update(self._ancestors(head))
         referenced: set[str] = set()
         removed: list[str] = []
         for m in self._iter_manifests():
-            if m["version"] >= keep_from:
+            if m["version"] in protected:
                 referenced.update(m["base"].values())
                 referenced.update(m["deltas"])
         for name in sorted(self.fs.listdir(self.path)):
@@ -830,7 +1021,7 @@ class ParquetLakeTable:
                 self.fs.rmtree(full)
                 removed.append(name)
         for m in list(self._iter_manifests()):
-            if m["version"] < keep_from:
+            if m["version"] not in protected:
                 self.fs.remove(self._manifest_file(m["version"]))
         return removed
 
@@ -1012,7 +1203,7 @@ class ParquetLakeTable:
         else:
             delta = delta.select(*stored.names)  # errors loudly on drift
             schema = stored
-        dname = f"delta-{base_v + 1:06d}"
+        dname = self._next_dirname("delta")
         self._write_files(delta, dname)
         self._commit(
             base_v, "merge-mor", m["base"], m["deltas"] + [dname], schema,
@@ -1074,7 +1265,7 @@ class ParquetLakeTable:
             merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
 
         m = self._manifest()
-        snap = f"snap-{base_v + 1:06d}"
+        snap = self._next_dirname("snap")
         written = self._write_files(merged, snap)
         # new manifest: affected partitions re-point at the new snapshot;
         # a partition that came out EMPTY simply isn't referenced any
