@@ -213,3 +213,48 @@ def test_prune_entry_unknown_bounds_kept():
     assert not keep
     keep, subset = prune_entry(None, [("k", "=", 1)])
     assert keep and subset is None
+
+
+# -- z-order clustering (lake/clustering.py) -----------------------------------
+
+
+def test_zorder_compact_prunes_non_leading_column(spark, tmp_path):
+    """Z-order vs linear layout, same data, same predicate. 4096 rows on
+    a 64x64 (trans_id, amount) grid in 16 files. A linear trans_id sort
+    gives each file the FULL amount range (no pruning on amount); the
+    Morton layout gives every file a tight rectangle, so a selective
+    amount predicate must skip most files — and scan() must still equal
+    read_data().filter()."""
+    rows = [(i, "e", (i * 64 + i // 64) % 4096, TS) for i in range(4096)]
+    # amount above is a permuted grid: amount = (x*64 + y) for trans_id
+    # = (y*64 + x) — uncorrelated with trans_id, worst case for linear.
+    lin = _mk(spark, str(tmp_path / "lin"), rows, partition_col=None)
+    lin.compact(target_files_per_partition=16)
+    zo = _mk(spark, str(tmp_path / "zo"), rows, partition_col=None)
+    zo.compact(target_files_per_partition=16, cluster_by=["trans_id", "amount"])
+    assert zo._manifest()["summary"]["clustered_by"] == ["trans_id", "amount"]
+
+    pred = [("amount", ">=", 1000), ("amount", "<=", 1127)]  # 128/4096 values
+    p_lin, p_zo = lin.plan_scan(pred), zo.plan_scan(pred)
+    assert p_zo["files_total"] >= 8  # layout actually produced many files
+    # z-order: predicate on the NON-leading dimension prunes most files
+    assert p_zo["files_kept"] <= p_zo["files_total"] // 2, (
+        p_zo["files_kept"], p_zo["files_total"])
+    assert p_zo["files_kept"] >= 1
+    # and both layouts return identical, correct rows
+    want = sorted(r[0] for r in rows if 1000 <= r[2] <= 1127)
+    for t in (lin, zo):
+        got = sorted(r["trans_id"] for r in t.scan(pred).collect())
+        assert got == want
+    # the same holds for the leading dimension
+    pred_k = [("trans_id", ">=", 2000), ("trans_id", "<", 2100)]
+    pk = zo.plan_scan(pred_k)
+    assert pk["files_kept"] <= pk["files_total"] // 2
+
+
+def test_zorder_rejects_unorderable_columns(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), [_row(1, "a", 1, 0)])
+    with pytest.raises(ValueError, match="orderable"):
+        t.compact(cluster_by=["trans_id", "event"])  # string column
+    with pytest.raises(ValueError, match="not in schema"):
+        t.compact(cluster_by=["trans_id", "nope"])

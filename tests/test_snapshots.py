@@ -316,7 +316,9 @@ def test_merge_probe_broadcast_is_size_gated(spark, tmp_path):
 
 def test_wap_branch_write_audit_publish(spark, tmp_path):
     """The full WAP cycle: fork, merge onto the branch (main untouched),
-    audit the branch, fast-forward main, branch ref gone."""
+    audit the branch, publish to main, branch ref gone. Publish is a
+    serialized metadata-only commit on main (not a bare pointer swap),
+    so it claims a fresh version past the branch's v3."""
     table = _two_wave_table(spark, tmp_path)
     main_before = _state(table)
     table.create_branch("audit")
@@ -332,11 +334,15 @@ def test_wap_branch_write_audit_publish(spark, tmp_path):
     assert br.current_version() == 3
 
     published = table.publish_branch("audit")
-    assert published == 3
+    assert published == 4  # v3 is the branch commit; publish claims v4 on main
+    assert table.current_version() == 4
     assert _state(table)[60] == 6
     assert "branch-audit" not in table.list_refs()
-    # history on main now includes the branch commit (fast-forwarded)
-    assert [h["version"] for h in table.history()] == [1, 2, 3]
+    # main's history: its own lineage plus the publish commit
+    hist = table.history()
+    assert [h["version"] for h in hist] == [1, 2, 4]
+    assert hist[-1]["operation"] == "publish"
+    assert hist[-1]["summary"]["published_branch"] == "audit"
 
 
 def test_wap_branch_diverged_publish_refused(spark, tmp_path):
@@ -407,3 +413,49 @@ def test_expire_keeps_branch_ancestry(spark, tmp_path):
     # branch head and its ancestry still readable after GC on main
     assert _state(br)[80] == 9
     assert _state(table) == fixtures.expected_final_state()
+
+
+def test_expire_keep_last_counts_by_rank_not_number(spark, tmp_path):
+    """Main's lineage has gaps after a branch claims a version number
+    (here {1,2,4}: branch commit takes v3, publish claims v4).
+    keep_last=2 must protect the last two ancestors BY RANK ({2,4}) —
+    a numeric cutoff (head - keep_last + 1 = 3) would wrongly expire
+    v2 (advisor r2)."""
+    table = _two_wave_table(spark, tmp_path)
+    table.create_branch("gap")
+    br = table.branch("gap")
+    late = fixtures._envelope(fixtures._row(90, amount=4), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [late]), br)  # claims v3
+    assert table.publish_branch("gap") == 4            # main lineage {1,2,4}
+    table.expire_snapshots(keep_last=2)
+    # v2 is the second-most-recent main ancestor: must survive
+    assert _state(table, as_of_version=2) == fixtures.expected_final_state()
+    with pytest.raises(ValueError):
+        table.read(as_of_version=1)
+
+
+def test_ref_api_validation(spark, tmp_path):
+    """create/drop of branches and tags raise ValueError consistently:
+    unknown names, duplicate names, and never-committed fork points
+    (advisor r2 low findings)."""
+    table = _two_wave_table(spark, tmp_path)
+    with pytest.raises(ValueError):
+        table.drop_branch("nope")
+    with pytest.raises(ValueError):
+        table.drop_tag("nope")
+    with pytest.raises(ValueError):
+        table.create_branch("x", from_version=99)
+    with pytest.raises(ValueError):
+        table.tag("t", version=99)
+    with pytest.raises(ValueError):
+        table.create_branch("main")
+    table.create_branch("x")
+    with pytest.raises(ValueError):
+        table.create_branch("x")  # exclusive create: one winner
+    table.tag("t")
+    with pytest.raises(ValueError):
+        table.tag("t")
+    # publish of an already-published (dropped) branch is a clean error
+    assert table.publish_branch("x") >= 3
+    with pytest.raises(ValueError):
+        table.publish_branch("x")

@@ -32,7 +32,11 @@ SENTINEL_US = 1_893_456_000_000_000  # 2030-01-01
 def events_dir(spark, sf_dir, tmp_path):
     d = tmp_path / "in"
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+        "event_id",
+        # ts is TIMESTAMP_NTZ from parquet; unix_micros needs TIMESTAMP
+        # (session TZ is UTC, so the cast is value-preserving)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id", "event_type", "value"
     )
     ev.coalesce(4).write.mode("overwrite").json(str(d))
     return str(d)

@@ -853,7 +853,8 @@ class ParquetLakeTable:
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, target_files_per_partition: int = 1,
-                purge_tombstones: bool = False) -> None:
+                purge_tombstones: bool = False,
+                cluster_by: list[str] | None = None) -> None:
         """Rewrite the table into ``target_files_per_partition`` files
         per partition — the analogue of Iceberg's ``rewrite_data_files``
         (SURVEY §7 hard-part 5: 100 s triggers x tiny batches accumulate
@@ -864,6 +865,15 @@ class ParquetLakeTable:
         safe once no in-flight data can be older than the deletes
         (retention contract, like Kafka log compaction).
 
+        ``cluster_by=[c1, c2]`` rewrites with Z-ORDER clustering
+        (Iceberg/Delta's ``rewrite_data_files`` z-order strategy): each
+        file becomes a tight hyper-rectangle over the clustered columns
+        so the footer-stats pruner in ``scan`` skips files for
+        predicates on ANY of them, not just a leading sort column
+        (lake/clustering.py; pruning win pinned in
+        tests/test_scan_planning.py). ``target_files_per_partition``
+        then counts TOTAL output files.
+
         The rewrite is just another snapshot commit: prior versions stay
         time-travelable until ``expire_snapshots``.
         """
@@ -871,7 +881,13 @@ class ParquetLakeTable:
         df = self.read()
         if purge_tombstones and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-        if self.partition_col:
+        if cluster_by:
+            from .clustering import cluster_files
+
+            rewritten = cluster_files(
+                df, cluster_by, target_files_per_partition, self.partition_col
+            )
+        elif self.partition_col:
             rewritten = df.repartition(target_files_per_partition, self.partition_col)
         else:
             rewritten = df.coalesce(target_files_per_partition)
@@ -879,7 +895,8 @@ class ParquetLakeTable:
         written = self._write_files(rewritten, snap)
         self._commit(
             base_v, "compact", {v: snap for v in written}, [], df.schema,
-            summary={"purged_tombstones": purge_tombstones},
+            summary={"purged_tombstones": purge_tombstones,
+                     "clustered_by": cluster_by or []},
             stats=self._collect_key_stats(snap, written),
         )
 
@@ -917,12 +934,21 @@ class ParquetLakeTable:
         """Fork a named branch at ``from_version`` (default: this ref's
         head) — metadata-only, O(1). Writes through a branch handle
         (``table.branch(name)``) land on the branch; main is untouched
-        until ``publish_branch`` — Iceberg's write-audit-publish."""
-        if name == "main" or self.fs.exists(self._ref_file(name)):
+        until ``publish_branch`` — Iceberg's write-audit-publish.
+
+        The ref file is claimed with an exclusive create (not
+        exists-then-write), so two racing creators of the same name see
+        exactly one winner; ``from_version`` must be a committed
+        snapshot (advisor r2)."""
+        if name == "main":
+            raise ValueError("branch 'main' already exists")
+        v = from_version if from_version is not None else self.current_version()
+        if v > 0:
+            self._manifest(v)  # raises ValueError when never committed/expired
+        ref = self._ref_file(name)
+        self.fs.makedirs(os.path.dirname(ref))
+        if not self.fs.create_exclusive(ref, str(v)):
             raise ValueError(f"branch {name!r} already exists")
-        self._write_pointer(self._ref_file(name),
-                            from_version if from_version is not None
-                            else self.current_version())
 
     def branch(self, name: str) -> "ParquetLakeTable":
         """A handle bound to branch ``name`` — same table, same data
@@ -938,32 +964,56 @@ class ParquetLakeTable:
         return t
 
     def publish_branch(self, name: str) -> int:
-        """Fast-forward main to the branch head (the WAP 'publish'
-        step) and drop the branch ref. Requires main's head to be an
-        ancestor of the branch head — otherwise main advanced since the
-        fork and a fast-forward would drop those commits
-        (BranchDivergedError; re-fork and replay instead)."""
+        """Publish the branch state to main (the WAP 'publish' step) and
+        drop the branch ref. Requires main's head to be an ancestor of
+        the branch head — otherwise main advanced since the fork and
+        publishing would drop those commits (BranchDivergedError;
+        re-fork and replay instead).
+
+        The publish is a metadata-only COMMIT on main — a new snapshot
+        whose file sets are copied from the branch head (no data
+        movement), serialized through ``_commit``'s exclusive-create
+        claim. A bare pointer fast-forward would be check-then-act: a
+        concurrent main commit landing between the ancestry check and
+        the pointer swap would be silently dropped (advisor r2, the same
+        lost-update class fixed for ``_commit`` in r1). Going through
+        ``_commit`` means a racing main writer and the publish contest
+        the same version claim and exactly one wins; the loser gets
+        CommitConflictError."""
         head = self._read_pointer(self._ref_file(name))
         if head <= 0:
             raise ValueError(f"branch {name!r} does not exist")
+        head_m = self._manifest(head)
         main_head = self._read_pointer(self._ref_file("main"))
         if main_head not in self._ancestors(head) and main_head != 0:
             raise BranchDivergedError(
                 f"main is at v{main_head}, not an ancestor of branch "
                 f"{name!r} head v{head}"
             )
-        self._write_pointer(self._ref_file("main"), head)
+        main = self if self.ref == "main" else self.for_ref("main")
+        published = main._commit(
+            main_head, "publish", head_m["base"], head_m["deltas"],
+            T.StructType.fromJson(head_m["schema"]),
+            summary={"published_branch": name, "branch_head": head},
+            stats=head_m.get("stats", {}),
+        )
         self.fs.remove(self._ref_file(name))
-        if self._catalog_ident is not None:
-            from .catalog import register_view
+        return published
 
-            db, nm = self._catalog_ident
-            register_view(self, nm, database=db)
-        return head
+    def for_ref(self, name: str) -> "ParquetLakeTable":
+        """A shallow handle bound to ref ``name`` without existence
+        checks (used internally; ``branch()`` is the validating API)."""
+        import copy
+
+        t = copy.copy(self)
+        t.ref = name
+        return t
 
     def drop_branch(self, name: str) -> None:
         """Delete a branch ref (abandon unpublished work; its snapshots
         are reclaimed by the next ``expire_snapshots``)."""
+        if not self.fs.exists(self._ref_file(name)):
+            raise ValueError(f"branch {name!r} does not exist")
         self.fs.remove(self._ref_file(name))
 
     def list_refs(self) -> dict[str, int]:
@@ -973,12 +1023,15 @@ class ParquetLakeTable:
     def tag(self, name: str, version: int | None = None) -> None:
         """Pin an immutable named tag to a version (default: this ref's
         head) — Iceberg tags; GC keeps tagged snapshots alive and
-        ``tag_version(name)`` + time travel reads them."""
+        ``tag_version(name)`` + time travel reads them. Exclusive
+        create: racing creators of the same tag see one winner."""
+        v = version if version is not None else self.current_version()
+        if v > 0:
+            self._manifest(v)  # raises ValueError when never committed/expired
         f = self._tag_file(name)
-        if self.fs.exists(f):
+        self.fs.makedirs(os.path.dirname(f))
+        if not self.fs.create_exclusive(f, str(v)):
             raise ValueError(f"tag {name!r} already exists")
-        self._write_pointer(f, version if version is not None
-                            else self.current_version())
 
     def tag_version(self, name: str) -> int:
         v = self._read_pointer(self._tag_file(name))
@@ -987,6 +1040,8 @@ class ParquetLakeTable:
         return v
 
     def drop_tag(self, name: str) -> None:
+        if not self.fs.exists(self._tag_file(name)):
+            raise ValueError(f"tag {name!r} does not exist")
         self.fs.remove(self._tag_file(name))
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
@@ -997,12 +1052,15 @@ class ParquetLakeTable:
         removed. Time travel older than the horizon stops working — by
         design, that is what reclaims space."""
         heads = self._ref_heads()
-        keep_from = max(1, heads["main"] - keep_last + 1)
         protected: set[int] = set()
         for ref, head in heads.items():
             if ref == "main":
-                protected.update(
-                    v for v in self._ancestors(head) if v >= keep_from)
+                # last N ancestors BY RANK along main's lineage, not by
+                # version number: table-global numbering leaves gaps in
+                # main's ancestry when branches claim versions (e.g.
+                # lineage {1,2,4}), and a numeric cutoff would silently
+                # expire more than keep_last asks to keep (advisor r2).
+                protected.update(sorted(self._ancestors(head))[-keep_last:])
             else:
                 protected.update(self._ancestors(head))
         referenced: set[str] = set()

@@ -91,8 +91,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # µs-precision gap on both engines (second-truncation would disagree
-    # with the oracle on gaps straddling the 1800 s boundary)
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # with the oracle on gaps straddling the 1800 s boundary).
+    # ts arrives as TIMESTAMP_NTZ from parquet (no UTC-adjustment flag);
+    # unix_micros requires TIMESTAMP, and with the session TZ pinned to
+    # UTC the cast is value-preserving.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
     gap_threshold_us = 1800 * 1_000_000
     return (
         ev.withColumn(

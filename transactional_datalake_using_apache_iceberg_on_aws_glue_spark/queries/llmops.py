@@ -99,68 +99,58 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "near_dup_pairs_methods",
-    oracle=None,  # all three methods hash with xxhash64 — not reproducible in DuckDB
-    doc="All three hash-sketch near-dup tiers in one result, tagged by "
-        "method: MinHash(64)+LSH(16x4) candidates verified by exact "
-        "Jaccard >= 0.5 (score=jaccard); SimHash(64-bit) pairs "
-        "within Hamming distance 3 via pigeonhole block join "
-        "(score=hamming); and embedding near-dups via 16-plane "
-        "hyperplane LSH buckets with exact cosine >= 0.9 inside "
-        "buckets only (score=cosine, ids are vec_ids). All are "
-        "near-linear (banded/blocked/bucketed equi-joins, never "
-        "all-pairs) — the 100 TB near-dedup path; property-tested "
-        "against planted near-duplicates in tests/test_operators.py. "
-        "(Registry consolidation r2: absorbs former "
-        "minhash_lsh_near_dups + simhash_near_dups + "
-        "embedding_near_dups.)",
-    tags=("documents", "embeddings", "dedup", "approx"),
+    "approx_similarity_report",
+    oracle=None,  # xxhash64 sketches / approximate by construction
+    doc="Every hash-sketch similarity tier in one result, tagged by "
+        "(family, method). family='near_dup' pairs (id_a, id_b): "
+        "MinHash(64)+LSH(16x4) candidates verified by exact Jaccard "
+        ">= 0.5; SimHash(64-bit) pairs within Hamming distance 3 via "
+        "pigeonhole block join; embedding near-dups via 16-plane "
+        "hyperplane buckets with exact cosine >= 0.9 inside buckets "
+        "only. family='ann' top-k (id_a=vec_id, id_b NULL) probes the "
+        "PERSISTED (_cell, _bucket)-partitioned index "
+        "(operators.vector_index): 8-plane LSH at Hamming radius 1 "
+        "scanning only matching _bucket directories, and IVF ranking "
+        "the persisted centroid table to scan 4 of 16 _cell "
+        "partitions. All near-linear (banded/blocked/bucketed "
+        "equi-joins, never all-pairs) — the 100 TB paths; recall, "
+        "planted-pair and partition-pruning plan tests in "
+        "tests/test_operators.py + tests/test_vector_index.py. "
+        "(Registry consolidation r3: absorbs former "
+        "near_dup_pairs_methods + ann_topk_methods.)",
+    tags=("documents", "embeddings", "dedup", "vector", "approx"),
 )
-def near_dup_pairs_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_similarity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
+    fam_nd = F.lit("near_dup").alias("family")
     mh = D.minhash_lsh_dedup(docs, threshold=0.5).select(
-        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+        fam_nd, F.lit("minhash_lsh").alias("method"),
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
         F.round("jaccard", 6).alias("score"),
     )
     sh = D.simhash_near_dups(docs, max_hamming=3).select(
-        F.lit("simhash").alias("method"), "doc_a", "doc_b",
+        fam_nd, F.lit("simhash").alias("method"),
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
         F.col("hamming").cast("double").alias("score"),
     )
     emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
     ed = D.embedding_near_dups(emb, threshold=0.9).select(
-        F.lit("embedding").alias("method"),
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
-        F.round("cosine", 6).alias("score"),
+        fam_nd, F.lit("embedding").alias("method"),
+        "id_a", "id_b", F.round("cosine", 6).alias("score"),
     )
-    return mh.unionByName(sh).unionByName(ed)
-
-
-@register(
-    "ann_topk_methods",
-    oracle=None,  # approximate by construction
-    doc="Both ANN tiers in one result, tagged by method, probing the "
-        "PERSISTED (_cell, _bucket)-partitioned index "
-        "(operators.vector_index; built once at write time): "
-        "method='lsh' is 8-plane hyperplane LSH at Hamming radius 1 "
-        "scanning only matching _bucket directories; method='ivf' "
-        "ranks the persisted centroid table and scans only the 4 "
-        "nearest of 16 _cell partitions, exact cosine inside. "
-        "Partition pruning and recall vs exact search are pinned in "
-        "tests/test_vector_index.py. (Registry consolidation r2: "
-        "absorbs former ann_lsh_topk + ivf_ann_topk.)",
-    tags=("embeddings", "vector", "approx"),
-)
-def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     idx = _vector_index(spark, sf_dir)
+    fam_ann = F.lit("ann").alias("family")
+    null_b = F.lit(None).cast("long").alias("id_b")
     lsh = idx.lsh_topk(q, k=10).select(
-        F.lit("lsh").alias("method"), "vec_id", F.round("sim", 6).alias("sim")
+        fam_ann, F.lit("lsh").alias("method"),
+        F.col("vec_id").alias("id_a"), null_b, F.round("sim", 6).alias("score"),
     )
     ivf = idx.ivf_topk(q, k=10, n_probe=4).select(
-        F.lit("ivf").alias("method"), "vec_id", F.round("sim", 6).alias("sim")
+        fam_ann, F.lit("ivf").alias("method"),
+        F.col("vec_id").alias("id_a"), null_b, F.round("sim", 6).alias("score"),
     )
-    return lsh.unionByName(ivf)
+    return mh.unionByName(sh).unionByName(ed).unionByName(lsh).unionByName(ivf)
 
 
 @register(
@@ -189,21 +179,51 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "winnowing_fingerprint_stats",
-    oracle=None,  # xxhash64-based fingerprints
-    doc="Winnowing (SIGMOD'03) fingerprint density per doc: selected "
-        "fingerprints / k-grams, expected ~2/(w+1).",
-    tags=("documents", "text", "dedup"),
+    "approx_sketch_report",
+    oracle=None,  # HLL estimates + xxhash64 fingerprints, engine-specific
+    doc="Long-format (family, key, metric, value) report over the two "
+        "sketch families whose values are engine-specific by "
+        "construction: family='hll_distinct' is approx_count_distinct "
+        "(HyperLogLog++, rsd 0.01) of orders/parts per l_returnflag — "
+        "the 100 TB path for distinct counting (constant memory per "
+        "group, one shuffle, no Expand explosion); family='winnowing' "
+        "is Winnowing (SIGMOD'03) fingerprint density per doc "
+        "(selected fingerprints / k-grams, expected ~2/(w+1)). "
+        "(Registry consolidation r3: absorbs former "
+        "approx_distinct_lineitem + winnowing_fingerprint_stats.)",
+    tags=("lineitem", "documents", "text", "dedup", "agg", "approx"),
 )
-def winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hll = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+        .unpivot(
+            "l_returnflag", ["approx_orders", "approx_parts"], "metric", "value"
+        )
+        .select(
+            F.lit("hll_distinct").alias("family"),
+            F.col("l_returnflag").alias("key"), "metric",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
     docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
     fp = X.winnowing_fingerprints(docs)
-    return (
+    win = (
         fp.groupBy("doc_id")
         .agg(F.count("*").alias("n_fingerprints"))
         .join(docs.select("doc_id", "n_chars"), "doc_id")
-        .select("doc_id", "n_fingerprints", "n_chars")
+        .unpivot("doc_id", ["n_fingerprints", "n_chars"], "metric", "value")
+        .select(
+            F.lit("winnowing").alias("family"),
+            F.col("doc_id").cast("string").alias("key"), "metric",
+            F.col("value").cast("double").alias("value"),
+        )
     )
+    return hll.unionByName(win)
 
 
 @register(

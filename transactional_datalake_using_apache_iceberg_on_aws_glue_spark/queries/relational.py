@@ -398,7 +398,7 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Multi-DISTINCT aggregate (Expand-based). For approximate "
-        "counting at scale see approx_distinct_lineitem (rows-only).",
+        "counting at scale see approx_sketch_report (rows-only).",
     tags=("agg",),
 )
 def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,22 +407,6 @@ def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count("*").alias("n_rows"),
-    )
-
-
-@register(
-    "approx_distinct_lineitem",
-    oracle=None,  # HLL sketch — engine-specific estimates, rows-only check
-    doc="approx_count_distinct (HyperLogLog++). The 100 TB path for "
-        "distinct counting: constant memory per group, one shuffle, no "
-        "Expand explosion. No oracle: estimates are engine-specific.",
-    tags=("agg", "approx"),
-)
-def approx_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
     )
 
 
@@ -761,6 +745,124 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mkt_share")
         )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(round(min(l_extendedprice / l_quantity) * 100) AS BIGINT)
+               AS unit_cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT o.l_partkey, o.l_suppkey, o.unit_cost_cents, s_acctbal, s_name, n_name
+      FROM offers o, supplier, nation, region
+      WHERE o.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_brand, unit_cost_cents
+    FROM eu, part
+    WHERE p_partkey = l_partkey AND p_type = 'STANDARD' AND p_size <= 10
+      AND unit_cost_cents = (SELECT min(e2.unit_cost_cents) FROM eu e2
+                             WHERE e2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+    doc="TPC-H Q2 shape adapted to the fixture schema (no partsupp "
+        "table): supply offers derived as min unit price per "
+        "(part, supplier) from lineitem, then for each STANDARD "
+        "small-size part the European supplier(s) matching the "
+        "per-part MINIMUM cost — Q2's correlated-min-subquery "
+        "semantics, implemented as a window min over l_partkey "
+        "(one shuffle, no re-aggregation join, no correlated "
+        "re-scan). Costs compare by EQUALITY so they ship as integer "
+        "cents (float-equality discipline, same as q15). Final "
+        "top-20 via TakeOrderedAndProject.",
+    tags=("join", "agg", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s, n, r, p = (_t(spark, sf_dir, t)
+                  for t in ("supplier", "nation", "region", "part"))
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100)
+            .cast("long")
+            .alias("unit_cost_cents")
+        )
+    )
+    eu = (
+        offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        eu.withColumn("min_cost", F.min("unit_cost_cents").over(w))
+        .filter(F.col("unit_cost_cents") == F.col("min_cost"))
+    )
+    parts = p.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    return (
+        best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"), "s_name", "n_name",
+            "p_partkey", "p_brand", "unit_cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape adapted to the fixture schema (no partsupp: "
+        "supply cost proxied as 0.5 * p_retailprice * l_quantity): "
+        "profit by supplier nation and order year for parts matching "
+        "a name pattern. part (LIKE-filtered), supplier and nation "
+        "broadcast; the only shuffle is lineitem-orders + the final "
+        "2-key agg — at 100 TB the p_name filter prunes before the "
+        "big join.",
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    p, s, n = (_t(spark, sf_dir, t) for t in ("part", "supplier", "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%bolt%"))),
+                li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
     )
 
 
