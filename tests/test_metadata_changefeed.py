@@ -1,0 +1,166 @@
+"""Metadata tables (Iceberg snapshots/files/partitions/refs parity)
+and the cursor-tracked incremental ChangeFeed.
+
+The reference inherits both surfaces from the Iceberg runtime
+(metadata tables + spark.readStream.format("iceberg")); here they are
+compiled from the manifest layer (lake/metadata.py, lake/changefeed.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import fixtures
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.apply import (
+    apply_cdc_batch,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.envelope import (
+    CDC_ENVELOPE_SCHEMA,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    ChangeFeed,
+    ParquetLakeTable,
+    register_metadata_views,
+)
+
+
+def _envelope_df(spark, envelopes):
+    return spark.createDataFrame(envelopes, schema=CDC_ENVELOPE_SCHEMA)
+
+
+def _two_wave_table(spark, tmp_path, **kw):
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"], **kw)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    return table
+
+
+# -- metadata tables -----------------------------------------------------------
+
+
+def test_snapshots_table(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    table.create_branch("b")
+    snaps = {r["version"]: r for r in table.metadata("snapshots").collect()}
+    assert set(snaps) == {1, 2}
+    assert snaps[1]["operation"] == "create" and snaps[2]["operation"] == "merge"
+    assert snaps[2]["parent"] == 1
+    assert all(r["ref"] == "main" and r["on_current_lineage"] for r in snaps.values())
+    assert snaps[1]["committed_at"] <= snaps[2]["committed_at"]
+
+
+def test_files_and_partitions_tables(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    files = table.metadata("files").collect()
+    assert len(files) == table.file_count()
+    assert all(r["size_bytes"] > 0 and r["layer"] == "base" for r in files)
+    # harvested column bounds ride along from the manifest stats
+    assert any(r["column_bounds"] for r in files)
+    parts = {r["partition"]: r for r in table.metadata("partitions").collect()}
+    assert sum(p["n_files"] for p in parts.values()) == len(files)
+    assert set(parts) == {r["partition"] for r in files}
+    # version-pinned listing sees the OLD snapshot's files
+    files_v1 = table.metadata("files", version=1).collect()
+    assert {r["dirname"] for r in files_v1} != {r["dirname"] for r in files}
+
+
+def test_files_table_shows_mor_deltas(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path, merge_mode="mor")
+    layers = {r["layer"] for r in table.metadata("files").collect()}
+    assert layers == {"base", "delta"}
+
+
+def test_refs_table_and_sql_views(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    table.create_branch("audit")
+    table.tag("v2", version=2)
+    refs = {(r["name"], r["kind"]): r["head_version"]
+            for r in table.metadata("refs").collect()}
+    assert refs[("main", "main")] == 2
+    assert refs[("audit", "branch")] == 2
+    assert refs[("v2", "tag")] == 2
+    views = register_metadata_views(table, "t")
+    assert "t_snapshots" in views
+    got = spark.sql(
+        "SELECT version, operation FROM t_snapshots ORDER BY version"
+    ).collect()
+    assert [(r["version"], r["operation"]) for r in got] == [
+        (1, "create"), (2, "merge")]
+    assert spark.sql("SELECT count(*) AS n FROM t_files").collect()[0]["n"] == (
+        table.file_count()
+    )
+
+
+# -- change feed ---------------------------------------------------------------
+
+
+def _collect_feed(df):
+    return {
+        (r["trans_id"], r["_change_type"]): r["amount"] for r in df.collect()
+    }
+
+
+def test_changefeed_bootstrap_then_incremental(spark, tmp_path):
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"])
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    feed = ChangeFeed(table, str(tmp_path / "ckpt"))
+    assert feed.position() == 0
+
+    df, lo, hi = feed.poll()
+    assert (lo, hi) == (0, 1)
+    first = _collect_feed(df)
+    assert all(t == "insert" for (_, t) in first)
+    assert len(first) == len(fixtures.INSERT_KEYS)
+    feed.commit(hi)
+    assert feed.poll() is None  # caught up
+
+    # two more commits drain as ONE coalesced diff batch
+    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    late = fixtures._envelope(fixtures._row(91, amount=3), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [late]), table)
+    df, lo, hi = feed.poll()
+    assert (lo, hi) == (1, 3)
+    changes = _collect_feed(df)
+    assert changes[(91, "insert")] == 3
+    assert {k for (k, t) in changes if t == "delete"} == set(fixtures.DELETE_KEYS)
+    assert {
+        k: a for (k, t), a in changes.items() if t == "update_postimage"
+    } == fixtures.UPDATE_AMOUNTS
+
+
+def test_changefeed_replay_and_cursor_rules(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    feed = ChangeFeed(table, str(tmp_path / "ckpt"))
+    seen: list[tuple[int, int, int]] = []
+    n = feed.process_available(lambda df, lo, hi: seen.append((lo, hi, df.count())))
+    assert n == 1 and seen[0][:2] == (0, 2)
+    # a NEW feed on the same checkpoint resumes, not replays
+    feed2 = ChangeFeed(table, str(tmp_path / "ckpt"))
+    assert feed2.position() == 2 and feed2.poll() is None
+    with pytest.raises(ValueError):
+        feed2.commit(1)  # cursor never moves backwards
+
+
+def test_changefeed_crash_between_fn_and_commit_replays(spark, tmp_path):
+    """At-least-once: if fn succeeds but the cursor write never runs
+    (crash), the next drive re-delivers the SAME (lo, hi] batch."""
+    table = _two_wave_table(spark, tmp_path)
+    feed = ChangeFeed(table, str(tmp_path / "ckpt"))
+    batch = feed.poll()
+    assert batch is not None and batch[1:] == (0, 2)
+    # simulated crash: no commit. Fresh feed sees the identical batch.
+    feed2 = ChangeFeed(table, str(tmp_path / "ckpt"))
+    df, lo, hi = feed2.poll()
+    assert (lo, hi) == (0, 2)
+    assert _collect_feed(df) == _collect_feed(batch[0])
+
+
+def test_changefeed_latest_skips_history(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    feed = ChangeFeed(table, str(tmp_path / "ckpt"), initial="latest")
+    assert feed.poll() is None  # nothing before subscribe is delivered
+    late = fixtures._envelope(fixtures._row(92, amount=7), "insert", seq=999)
+    apply_cdc_batch(_envelope_df(spark, [late]), table)
+    df, lo, hi = feed.poll()
+    assert (lo, hi) == (2, 3)
+    assert _collect_feed(df) == {(92, "insert"): 7}

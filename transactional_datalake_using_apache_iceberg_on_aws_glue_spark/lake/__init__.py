@@ -4,13 +4,17 @@ over partitioned parquet with snapshot-versioned manifest commits
 (time travel, rollback, expire), COW/MOR merge modes, hidden
 partitioning transforms, and manifest-stats scan planning."""
 
+from .changefeed import ChangeFeed
+from .metadata import register_metadata_views
 from .table import BranchDivergedError, CommitConflictError, ParquetLakeTable
 from .transforms import Transform, bucket, days, hours, months, truncate
 
 __all__ = [
     "BranchDivergedError",
+    "ChangeFeed",
     "CommitConflictError",
     "ParquetLakeTable",
+    "register_metadata_views",
     "Transform",
     "bucket",
     "days",

@@ -56,6 +56,10 @@ class LocalFileSystem:
             )
         return sorted(out)
 
+    def size(self, path: str) -> int:
+        """File size in bytes (object-store HEAD / list entry)."""
+        return os.path.getsize(path)
+
     # -- writes ---------------------------------------------------------
 
     def makedirs(self, path: str) -> None:

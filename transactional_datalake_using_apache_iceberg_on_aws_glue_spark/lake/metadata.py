@@ -1,0 +1,173 @@
+"""Metadata tables for :class:`ParquetLakeTable` — Iceberg's
+inspection surface (``db.t.snapshots``, ``.files``, ``.partitions``,
+``.refs``, ``.history``) over the manifest layer.
+
+The reference inherits these from the Iceberg runtime (``SELECT *
+FROM catalog.db.t.snapshots`` works in Athena/Spark once
+/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:51-63
+wires the catalog). Here each table is compiled from the version
+manifests into a small DataFrame, and ``register_metadata_views``
+publishes them as ``db.<name>_snapshots`` etc. so the SQL surface has
+them too (dots are not legal in Spark view identifiers, so Iceberg's
+``t.snapshots`` spelling becomes ``t_snapshots``).
+
+Scale note: like Iceberg's own metadata tables, these read MANIFESTS,
+not data — rows are proportional to commits/files, not table bytes.
+The file listing walks only directories the current (or requested)
+manifest references; per-file column bounds ride along from the stats
+the write already harvested executor-side, so no parquet footer is
+reopened here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .table import ParquetLakeTable
+
+_ALL = "__ALL__"
+
+SNAPSHOTS_SCHEMA = (
+    "version long, parent long, ref string, committed_at timestamp, "
+    "operation string, summary string, n_base_partitions int, "
+    "n_deltas int, on_current_lineage boolean"
+)
+FILES_SCHEMA = (
+    "partition string, layer string, dirname string, relpath string, "
+    "size_bytes long, column_bounds string"
+)
+PARTITIONS_SCHEMA = (
+    "partition string, n_files int, size_bytes long, n_delta_dirs int"
+)
+REFS_SCHEMA = "name string, kind string, head_version long"
+
+
+def snapshots_df(table: "ParquetLakeTable") -> DataFrame:
+    """One row per committed version across ALL refs (Iceberg's
+    ``snapshots`` table): lineage pointers, wall-clock commit time,
+    operation, and the commit summary as a JSON string."""
+    lineage = table._ancestors(table.current_version())
+    rows = []
+    for m in table._iter_manifests():
+        rows.append((
+            m["version"], m.get("parent", m["version"] - 1),
+            m.get("ref", "main"),
+            _ms_to_dt(m["committed_at_ms"]), m["operation"],
+            json.dumps(m.get("summary", {}), sort_keys=True),
+            len(m["base"]), len(m["deltas"]),
+            m["version"] in lineage,
+        ))
+    return table.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
+
+
+def files_df(table: "ParquetLakeTable", version: int | None = None) -> DataFrame:
+    """One row per data file the (current or ``version``) snapshot
+    references (Iceberg's ``files`` table): partition value, base/delta
+    layer, size, and the harvested per-file column bounds as JSON."""
+    m = table._manifest(version)
+    rows = []
+    if m is None:
+        return table.spark.createDataFrame(rows, FILES_SCHEMA)
+    stats = m.get("stats", {})
+    for part_value, snap in sorted(m["base"].items()):
+        d = os.path.join(table.path, snap)
+        if part_value != _ALL:
+            d = os.path.join(d, f"{table.partition_col}={part_value}")
+        fstats = stats.get(part_value, {}).get("files", {})
+        for f in table.fs.walk_files(d, ".parquet"):
+            rel = os.path.relpath(f, os.path.join(table.path, snap))
+            rows.append((
+                part_value, "base", snap, rel, table.fs.size(f),
+                json.dumps(fstats.get(rel), sort_keys=True)
+                if fstats.get(rel) is not None else None,
+            ))
+    for delta in m["deltas"]:
+        base = os.path.join(table.path, delta)
+        for f in table.fs.walk_files(base, ".parquet"):
+            rows.append((
+                _part_of(table, f, base), "delta", delta,
+                os.path.relpath(f, base), table.fs.size(f), None,
+            ))
+    return table.spark.createDataFrame(rows, FILES_SCHEMA)
+
+
+def partitions_df(table: "ParquetLakeTable",
+                  version: int | None = None) -> DataFrame:
+    """Per-partition rollup of ``files_df`` (Iceberg's ``partitions``
+    table): file count, bytes, and outstanding MOR delta dirs."""
+    from pyspark.sql import functions as F
+
+    m = table._manifest(version)
+    n_deltas = len(m["deltas"]) if m else 0
+    return (
+        files_df(table, version)
+        .groupBy("partition")
+        .agg(
+            F.sum(F.when(F.col("layer") == "base", 1).otherwise(0))
+            .cast("int").alias("n_files"),
+            F.sum("size_bytes").alias("size_bytes"),
+            F.lit(n_deltas).alias("n_delta_dirs"),
+        )
+    )
+
+
+def refs_df(table: "ParquetLakeTable") -> DataFrame:
+    """All live refs (Iceberg's ``refs`` table): main, branches, tags."""
+    rows = []
+    for name, head in sorted(table._ref_heads().items()):
+        if name == "main":
+            rows.append(("main", "main", head))
+        elif name.startswith("branch-"):
+            rows.append((name[len("branch-"):], "branch", head))
+        elif name.startswith("tag-"):
+            rows.append((name[len("tag-"):], "tag", head))
+    return table.spark.createDataFrame(rows, REFS_SCHEMA)
+
+
+METADATA_TABLES = {
+    "snapshots": snapshots_df,
+    "files": files_df,
+    "partitions": partitions_df,
+    "refs": refs_df,
+}
+
+
+def register_metadata_views(table: "ParquetLakeTable",
+                            name: str) -> list[str]:
+    """Publish the metadata tables as session TEMP views named
+    ``<name>_<kind>`` so the SQL surface can inspect the table
+    (``SELECT * FROM t_snapshots``). A permanent ``db.x`` view cannot
+    reference a locally-computed DataFrame, so these are temp views
+    and — exactly like Iceberg's metadata tables, which pin the
+    snapshot the query planned against — they capture the metadata as
+    of the call. Re-call after commits (cheap, metadata-only) or use
+    the DataFrame API for always-current reads."""
+    out = []
+    for kind, fn in METADATA_TABLES.items():
+        ident = f"{name}_{kind}"
+        fn(table).createOrReplaceTempView(ident)
+        out.append(ident)
+    return out
+
+
+def _ms_to_dt(ms: int):
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(ms / 1000.0, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def _part_of(table: "ParquetLakeTable", path: str, base: str) -> str:
+    if not table.partition_col:
+        return _ALL
+    prefix = f"{table.partition_col}="
+    for seg in os.path.relpath(path, base).split(os.sep):
+        if seg.startswith(prefix):
+            return seg[len(prefix):]
+    return _ALL

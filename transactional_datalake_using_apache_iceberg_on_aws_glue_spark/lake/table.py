@@ -330,6 +330,17 @@ class ParquetLakeTable:
             if name.startswith("v") and name.endswith(".json"):
                 yield json.loads(self.fs.read_text(os.path.join(vdir, name)))
 
+    def metadata(self, kind: str, version: int | None = None) -> DataFrame:
+        """Iceberg-style metadata table as a DataFrame: ``kind`` in
+        ``snapshots | files | partitions | refs`` (lake/metadata.py;
+        ``register_metadata_views`` exposes them to SQL)."""
+        from .metadata import METADATA_TABLES
+
+        fn = METADATA_TABLES[kind]
+        if kind in ("files", "partitions"):
+            return fn(self, version)
+        return fn(self)
+
     def history(self) -> list[dict]:
         """Commit log of THIS ref, oldest first: version / wall-clock
         time / operation / summary — Iceberg's ``table.history()``."""
