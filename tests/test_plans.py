@@ -93,3 +93,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q2_take_ordered_and_broadcast_dims(spark, sf_dir):
+    """q2's top-20 must be TakeOrderedAndProject (never a global sort)
+    and every dimension join a broadcast; the r_name filter reaches the
+    region scan."""
+    df = _q("q2_min_cost_supplier", spark, sf_dir)
+    assert P.has_take_ordered(df)
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+    assert any("r_name" in f for f in P.pushed_filters(df))
+
+
+def test_q9_pushes_name_filter_and_avoids_cartesian(spark, sf_dir):
+    """q9's p_name LIKE filter must be pushed into the part scan
+    (StringContains) so the 5-way join starts from the pruned part
+    side; no cartesian anywhere."""
+    df = _q("q9_product_type_profit", spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+    assert any("p_name" in f for f in P.pushed_filters(df))

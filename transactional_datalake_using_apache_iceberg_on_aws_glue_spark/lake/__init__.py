@@ -5,6 +5,7 @@ over partitioned parquet with snapshot-versioned manifest commits
 partitioning transforms, and manifest-stats scan planning."""
 
 from .changefeed import ChangeFeed
+from .merge_sql import MergeSqlError, MergeSqlRunner
 from .metadata import register_metadata_views
 from .table import BranchDivergedError, CommitConflictError, ParquetLakeTable
 from .transforms import Transform, bucket, days, hours, months, truncate
@@ -12,6 +13,8 @@ from .transforms import Transform, bucket, days, hours, months, truncate
 __all__ = [
     "BranchDivergedError",
     "ChangeFeed",
+    "MergeSqlError",
+    "MergeSqlRunner",
     "CommitConflictError",
     "ParquetLakeTable",
     "register_metadata_views",

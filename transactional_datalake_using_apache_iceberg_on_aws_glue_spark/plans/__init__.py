@@ -6,6 +6,7 @@ hoped for."""
 from .explain import (
     executed_plan,
     has_broadcast_join,
+    has_cartesian,
     has_take_ordered,
     pushed_filters,
     read_schema_columns,
@@ -18,6 +19,7 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "has_broadcast_join",
+    "has_cartesian",
     "has_take_ordered",
     "shuffle_count",
     "wholestage_codegen_spans",

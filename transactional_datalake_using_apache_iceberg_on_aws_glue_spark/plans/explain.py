@@ -60,6 +60,13 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in executed_plan(df)
 
 
+def has_cartesian(df: DataFrame) -> bool:
+    """True when the plan contains a cartesian/nested-loop product —
+    the join shape that must never appear in a hot path."""
+    p = executed_plan(df)
+    return "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (each is a full shuffle stage)."""
     return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning",
