@@ -459,3 +459,30 @@ def test_ref_api_validation(spark, tmp_path):
     assert table.publish_branch("x") >= 3
     with pytest.raises(ValueError):
         table.publish_branch("x")
+
+
+def test_compact_partitions_scoped_rewrite(spark, tmp_path):
+    """Scoped compaction rewrites only the named partitions' file sets;
+    untouched partitions keep their dirs and stats, data is unchanged,
+    and guardrails reject unknown partitions / outstanding MOR deltas."""
+    table = _two_wave_table(spark, tmp_path)
+    before = _state(table)
+    m0 = table._manifest()
+    parts = sorted(m0["base"])
+    assert len(parts) >= 2
+    scoped, untouched = parts[0], parts[1]
+
+    table.compact_partitions([scoped], target_files_per_partition=1)
+    assert _state(table) == before
+    m1 = table._manifest()
+    assert m1["base"][scoped] != m0["base"][scoped]        # rewritten
+    assert m1["base"][untouched] == m0["base"][untouched]  # untouched
+    assert m1["summary"]["scoped_to"] == [scoped]
+    assert scoped in m1.get("stats", {})
+
+    with pytest.raises(ValueError, match="unknown partitions"):
+        table.compact_partitions(["no_such_partition"])
+
+    mor = _two_wave_table(spark, tmp_path / "mor", merge_mode="mor")
+    with pytest.raises(ValueError, match="deltas"):
+        mor.compact_partitions([sorted(mor._manifest()["base"])[0]])

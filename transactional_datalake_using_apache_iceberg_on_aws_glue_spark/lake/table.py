@@ -911,6 +911,74 @@ class ParquetLakeTable:
             stats=self._collect_key_stats(snap, written),
         )
 
+    def compact_partitions(self, partitions: list,
+                           target_files_per_partition: int = 1,
+                           cluster_by: list[str] | None = None) -> None:
+        """Rewrite ONLY the named partitions (raw partition values) —
+        Iceberg's ``rewrite_data_files`` with a row filter, the shape a
+        100 TB deployment actually runs: clustering/compaction rolls
+        through partitions on a schedule instead of rewriting the whole
+        table in one job. Untouched partitions keep their existing file
+        sets and stats; the commit is still one atomic snapshot.
+
+        Requires a partitioned table with NO outstanding MOR deltas:
+        delta files span partitions, so folding them into some
+        partitions but not others would double-apply them on read —
+        run a full ``compact()`` first (which folds deltas), then roll
+        scoped rewrites.
+        """
+        if not self.partition_col:
+            raise ValueError("compact_partitions needs a partitioned table")
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        if m["deltas"]:
+            raise ValueError(
+                "scoped compact with outstanding MOR deltas would "
+                "double-apply them; run compact() first"
+            )
+        scope = {str(p) for p in partitions}
+        unknown = scope - set(m["base"])
+        if unknown:
+            raise ValueError(f"unknown partitions: {sorted(unknown)}")
+        base_v = self.current_version()
+        df = self.read().filter(
+            F.col(self.partition_col).cast("string").isin(list(scope))
+        )
+        if cluster_by:
+            from .clustering import cluster_files
+
+            rewritten = cluster_files(
+                df, cluster_by, target_files_per_partition, self.partition_col
+            )
+        else:
+            rewritten = df.repartition(
+                target_files_per_partition, self.partition_col
+            )
+        snap = self._next_dirname("snap")
+        written = self._write_files(rewritten, snap)
+        if set(written) - scope:
+            raise RuntimeError(
+                f"scoped rewrite produced out-of-scope partitions: "
+                f"{sorted(set(written) - scope)}"
+            )
+        new_base = dict(m["base"])
+        new_base.update({v: snap for v in written})
+        # a scoped partition that wrote no files (all rows tombstone-
+        # filtered upstream) keeps its old mapping — rows must never
+        # vanish from a compact
+        new_stats = dict(m.get("stats", {}))
+        new_stats.update(self._collect_key_stats(snap, written))
+        self._commit(
+            base_v, "compact", new_base, [], self._read_schema(m),
+            summary={"scoped_to": sorted(scope),
+                     "clustered_by": cluster_by or []},
+            stats=new_stats,
+        )
+
+    def _read_schema(self, m: dict) -> T.StructType:
+        return T.StructType.fromJson(m["schema"])
+
     def rollback(self, version: int) -> None:
         """Reset the table to a prior snapshot — O(1), no data movement:
         a new manifest re-pointing at the old file sets (Iceberg's

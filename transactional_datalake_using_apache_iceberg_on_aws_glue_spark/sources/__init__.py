@@ -2,6 +2,7 @@
 supports, batch and streaming, with explicit schemas (never per-batch
 inference — SURVEY §1.3)."""
 
+from .lake_stream import LakeChangeDataSource, register_lake_stream
 from .readers import (
     read_csv,
     read_json_lines,
@@ -12,6 +13,8 @@ from .readers import (
 )
 
 __all__ = [
+    "LakeChangeDataSource",
+    "register_lake_stream",
     "read_parquet_table",
     "read_json_lines",
     "read_csv",
