@@ -486,3 +486,74 @@ def test_compact_partitions_scoped_rewrite(spark, tmp_path):
     mor = _two_wave_table(spark, tmp_path / "mor", merge_mode="mor")
     with pytest.raises(ValueError, match="deltas"):
         mor.compact_partitions([sorted(mor._manifest()["base"])[0]])
+
+
+def test_expire_older_than_protects_recent_history(spark, tmp_path):
+    """older_than_ms keeps every main ancestor committed at/after the
+    horizon even when keep_last alone would drop it; a horizon in the
+    future degrades to plain keep_last."""
+    table = _two_wave_table(spark, tmp_path)
+    t1 = table._manifest(1)["committed_at_ms"]
+    # horizon before v1: both snapshots protected despite keep_last=1
+    table.expire_snapshots(keep_last=1, older_than_ms=t1)
+    assert _state(table, as_of_version=1) == {
+        k: 10 + k for k in fixtures.INSERT_KEYS
+    }
+    # horizon after everything: keep_last=1 rules, v1 expires
+    table.expire_snapshots(keep_last=1,
+                           older_than_ms=table._manifest(2)["committed_at_ms"] + 1)
+    with pytest.raises(ValueError):
+        table.read(as_of_version=1)
+
+
+def test_expire_grace_spares_inflight_orphan_dirs(spark, tmp_path):
+    """A never-referenced snap dir younger than the grace window must
+    survive GC (it may be a concurrent writer's in-flight snapshot);
+    an old orphan is debris and goes."""
+    import os
+    import time as _time
+
+    table = _two_wave_table(spark, tmp_path)
+    fresh = os.path.join(table.path, "snap-999990")
+    stale = os.path.join(table.path, "snap-999991")
+    for d in (fresh, stale):
+        os.makedirs(d)
+    old = (_time.time() - 3 * 86400)
+    os.utime(stale, (old, old))
+    removed = table.expire_snapshots(keep_last=10)
+    assert "snap-999991" in removed, "stale orphan must be collected"
+    assert os.path.isdir(fresh), "in-flight dir inside grace must survive"
+    # a zero-grace table collects it immediately
+    t2 = ParquetLakeTable(spark, table.path, key_cols=["trans_id"],
+                          orphan_grace_ms=0)
+    assert "snap-999990" in t2.expire_snapshots(keep_last=10)
+
+
+def test_concurrent_commit_race_single_winner(spark, tmp_path):
+    """Two writers planning on the same base version: exactly one
+    commit wins, the loser raises CommitConflictError, and the
+    winner's rows are never lost (the lost-update class the exclusive
+    claim exists for)."""
+    import threading
+
+    table = _two_wave_table(spark, tmp_path)
+    base = table.current_version()
+    m = table._manifest()
+    schema = table.read().schema
+    results = {}
+
+    def commit(tag):
+        try:
+            table._commit(base, "merge", m["base"], [], schema,
+                          summary={"writer": tag})
+            results[tag] = "ok"
+        except CommitConflictError:
+            results[tag] = "conflict"
+
+    ts = [threading.Thread(target=commit, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(results.values()) == ["conflict", "ok"]
+    assert table.current_version() == base + 1

@@ -60,6 +60,10 @@ class LocalFileSystem:
         """File size in bytes (object-store HEAD / list entry)."""
         return os.path.getsize(path)
 
+    def mtime_ms(self, path: str) -> int:
+        """Last-modified wall-clock ms (object-store LastModified)."""
+        return int(os.path.getmtime(path) * 1000)
+
     # -- writes ---------------------------------------------------------
 
     def makedirs(self, path: str) -> None:

@@ -178,6 +178,7 @@ class ParquetLakeTable:
         broadcast_key_limit: int = 500_000,
         partition_by: Transform | None = None,
         ref: str = "main",
+        orphan_grace_ms: int = 86_400_000,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -216,6 +217,10 @@ class ParquetLakeTable:
         #: unconditional broadcast was OOM-grade for backfill batches —
         #: judge finding r1)
         self.broadcast_key_limit = broadcast_key_limit
+        #: never-referenced dirs younger than this survive GC — they
+        #: may be a concurrent writer's in-flight snapshot (Iceberg's
+        #: remove_orphan_files older_than contract)
+        self.orphan_grace_ms = orphan_grace_ms
         #: (database, name) once registered in the Spark catalog —
         #: every commit re-publishes the view so SQL readers always see
         #: the current version (see lake/catalog.py)
@@ -1123,13 +1128,18 @@ class ParquetLakeTable:
             raise ValueError(f"tag {name!r} does not exist")
         self.fs.remove(self._tag_file(name))
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(self, keep_last: int = 1,
+                         older_than_ms: int | None = None) -> list[str]:
         """Garbage-collect file sets unreachable from the last
         ``keep_last`` versions of MAIN or from any other ref (branch
         and tag heads keep their full ancestry alive — Iceberg's
-        ``expire_snapshots`` retention rules). Returns the directories
-        removed. Time travel older than the horizon stops working — by
-        design, that is what reclaims space."""
+        ``expire_snapshots`` retention rules). ``older_than_ms``
+        additionally protects every main ancestor committed AT or
+        AFTER that wall-clock time (Iceberg's ``older_than``
+        retention — "keep a week of history" composes with "keep at
+        least N snapshots"; whichever protects more wins). Returns the
+        directories removed. Time travel older than the horizon stops
+        working — by design, that is what reclaims space."""
         heads = self._ref_heads()
         protected: set[int] = set()
         for ref, head in heads.items():
@@ -1139,24 +1149,44 @@ class ParquetLakeTable:
                 # main's ancestry when branches claim versions (e.g.
                 # lineage {1,2,4}), and a numeric cutoff would silently
                 # expire more than keep_last asks to keep (advisor r2).
-                protected.update(sorted(self._ancestors(head))[-keep_last:])
+                lineage = sorted(self._ancestors(head))
+                protected.update(lineage[-keep_last:])
+                if older_than_ms is not None:
+                    protected.update(
+                        v for v in lineage
+                        if self._manifest(v)["committed_at_ms"] >= older_than_ms
+                    )
             else:
                 protected.update(self._ancestors(head))
         referenced: set[str] = set()
+        ever_referenced: set[str] = set()
         removed: list[str] = []
         for m in self._iter_manifests():
+            ever_referenced.update(m["base"].values())
+            ever_referenced.update(m["deltas"])
             if m["version"] in protected:
                 referenced.update(m["base"].values())
                 referenced.update(m["deltas"])
+        now_ms = int(time.time() * 1000)
         for name in sorted(self.fs.listdir(self.path)):
             full = os.path.join(self.path, name)
             if (
-                (name.startswith("snap-") or name.startswith("delta-"))
-                and self.fs.isdir(full)
-                and name not in referenced
+                not (name.startswith("snap-") or name.startswith("delta-"))
+                or not self.fs.isdir(full)
+                or name in referenced
             ):
-                self.fs.rmtree(full)
-                removed.append(name)
+                continue
+            if name not in ever_referenced:
+                # ORPHAN: a directory no manifest has ever referenced is
+                # either a crashed write's debris or a CONCURRENT
+                # writer's in-flight snapshot (written before its commit
+                # claim). Deleting the latter loses its commit — so
+                # orphans get a grace window keyed on mtime, exactly
+                # Iceberg's remove_orphan_files older_than contract.
+                if now_ms - self.fs.mtime_ms(full) < self.orphan_grace_ms:
+                    continue
+            self.fs.rmtree(full)
+            removed.append(name)
         for m in list(self._iter_manifests()):
             if m["version"] not in protected:
                 self.fs.remove(self._manifest_file(m["version"]))
