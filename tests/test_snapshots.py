@@ -557,3 +557,22 @@ def test_concurrent_commit_race_single_winner(spark, tmp_path):
         t.join()
     assert sorted(results.values()) == ["conflict", "ok"]
     assert table.current_version() == base + 1
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """The per-batch maintenance rule: no-op below the delta threshold,
+    one compaction at it, counter resets after."""
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"],
+                             merge_mode="mor")
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    for seq in range(3):
+        late = fixtures._envelope(
+            fixtures._row(70 + seq, amount=seq), "insert", seq=900 + seq)
+        apply_cdc_batch(_envelope_df(spark, [late]), table)
+    assert len(table._manifest()["deltas"]) == 3
+    assert table.maybe_compact(max_deltas=4) is False   # below threshold
+    assert table.maybe_compact(max_deltas=3) is True    # fires
+    assert table._manifest()["deltas"] == []            # backlog folded
+    assert table.maybe_compact(max_deltas=3) is False   # reset
+    state = _state(table)
+    assert state[70] == 0 and state[72] == 2            # data intact
