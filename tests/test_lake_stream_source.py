@@ -99,3 +99,37 @@ def test_stream_mor_gate(spark, tmp_path):
     assert rdr.latestOffset() == {"version": 1}
     table.compact()  # folds deltas -> v3 is clean
     assert rdr.latestOffset() == {"version": 3}
+
+
+def test_stream_survives_column_rename(spark, tmp_path):
+    """Pre-rename base files must stream their data under the NEW name
+    (the pandas loader resolves the manifest rename history)."""
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"])
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    table.rename_column("amount", "cents")
+
+    got: list[tuple] = []
+
+    def _drain_renamed():
+        from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+            register_lake_stream,
+        )
+
+        register_lake_stream(spark)
+        q = (
+            spark.readStream.format("lake-changes")
+            .option("path", table.path).option("keys", "trans_id")
+            .option("partitionCol", "event").load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r["trans_id"], r["_change_type"], r["cents"])
+                    for r in df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    _drain_renamed()
+    assert {k: a for (k, _, a) in got} == {
+        k: 10 + k for k in fixtures.INSERT_KEYS
+    }

@@ -1,0 +1,128 @@
+"""Rename/drop schema evolution (beyond additive): metadata-only
+commits with an ordered rename history that every read path — slices,
+scan, compiled SQL views, time travel, merge — resolves per file set.
+Iceberg does this with field IDs; plain parquet-by-name needs the
+manifest to carry the mapping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc import fixtures
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.apply import (
+    apply_cdc_batch,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.envelope import (
+    CDC_ENVELOPE_SCHEMA,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    ParquetLakeTable,
+)
+
+
+def _envelope_df(spark, envelopes):
+    return spark.createDataFrame(envelopes, schema=CDC_ENVELOPE_SCHEMA)
+
+
+def _two_wave_table(spark, tmp_path, **kw):
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"], **kw)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    return table
+
+
+def test_rename_is_metadata_only_and_reads_old_files(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    want = fixtures.expected_final_state()
+    files_before = table.file_count()
+    v = table.rename_column("amount", "amount_cents")
+    assert table.file_count() == files_before  # no rewrite
+    got = {r["trans_id"]: r["amount_cents"]
+           for r in table.read_data().select("trans_id", "amount_cents").collect()}
+    assert got == want
+    assert "amount" not in table.read_data().columns
+    # time travel BEFORE the rename shows the old name with same data
+    old = table.read_data(as_of_version=v - 1)
+    assert "amount" in old.columns and "amount_cents" not in old.columns
+
+
+def test_rename_then_merge_then_second_rename(spark, tmp_path):
+    """New writes land under the new name; a second rename chains; the
+    fold across pre-rename base files and post-rename batch rows stays
+    keyed correctly."""
+    table = _two_wave_table(spark, tmp_path)
+    table.rename_column("amount", "amount_v2")
+    # merge writes rows under the CURRENT schema; the op timestamp must
+    # beat the existing row's or the T4 late-data guard keeps the old one
+    import datetime as dt
+
+    future = dt.datetime(2030, 1, 1)
+    batch = spark.createDataFrame(
+        [(19, "c_19", "visit", "sku", 999, "mobile",
+          dt.datetime(2024, 1, 1), "upsert", future, 10_000)],
+        "trans_id long, customer_id string, event string, sku string, "
+        "amount_v2 int, device string, trans_datetime timestamp, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    table.merge(batch)
+    table.rename_column("amount_v2", "amount_v3")
+    got = {r["trans_id"]: r["amount_v3"]
+           for r in table.read_data().select("trans_id", "amount_v3").collect()}
+    assert got[19] == 999
+    want = dict(fixtures.expected_final_state())
+    want[19] = 999
+    assert got == want
+
+
+def test_rename_visible_through_sql_view_and_scan(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    table.register_sql("ev_t", database="evo")
+    table.rename_column("amount", "cents")  # re-registers on commit
+    row = spark.sql(
+        "SELECT sum(cents) AS s FROM evo.ev_t"
+    ).collect()[0]
+    assert row["s"] == sum(fixtures.expected_final_state().values())
+    # scan() with a predicate on the RENAMED column still prunes+matches
+    got = sorted(
+        r["trans_id"]
+        for r in table.scan([("cents", ">=", 40)]).select("trans_id").collect()
+    )
+    want = sorted(k for k, v in fixtures.expected_final_state().items() if v >= 40)
+    assert got == want
+
+
+def test_drop_column_hides_now_visible_in_time_travel(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    files_before = table.file_count()
+    v = table.drop_column("device")
+    assert table.file_count() == files_before
+    assert "device" not in table.read_data().columns
+    assert "device" in table.read_data(as_of_version=v - 1).columns
+    # state otherwise intact
+    got = {r["trans_id"]: r["amount"]
+           for r in table.read_data().select("trans_id", "amount").collect()}
+    assert got == fixtures.expected_final_state()
+
+
+def test_evolution_guards(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="merge key"):
+        table.rename_column("trans_id", "id")
+    with pytest.raises(ValueError, match="partition column"):
+        table.drop_column("event")
+    with pytest.raises(ValueError, match="does not exist"):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("amount", "device")
+    with pytest.raises(ValueError, match="lineage"):
+        table.drop_column("_deleted")
+
+
+def test_rename_in_mor_mode_folds_deltas(spark, tmp_path):
+    table = _two_wave_table(spark, tmp_path, merge_mode="mor")
+    table.rename_column("amount", "cents")
+    got = {r["trans_id"]: r["cents"]
+           for r in table.read_data().select("trans_id", "cents").collect()}
+    assert got == fixtures.expected_final_state()

@@ -112,20 +112,24 @@ def view_select_sql(table, as_of_version: int | None = None,
         by_snap.setdefault(snap, []).append(_decode_part(part_enc))
 
     def layer_sql(dirname: str, part_values: list | None, layer: int) -> str:
+        from .table import resolve_physical_name
+
         root = os.path.join(table.path, dirname)
         # physical columns of this snapshot (driver metadata probe, no
         # job) — old snapshots may predate additively-evolved columns
+        # or carry pre-rename names (manifest rename history)
         phys = set(table.spark.read.parquet(root).columns)
-        sel = ", ".join(
-            (
-                f"CAST({_q_ident(f.name)} AS {f.dataType.simpleString()})"
-                f" AS {_q_ident(f.name)}"
-                if f.name in phys
-                else f"CAST(NULL AS {f.dataType.simpleString()})"
-                f" AS {_q_ident(f.name)}"
-            )
-            for f in schema.fields
-        )
+        renames = m.get("renames", [])
+
+        def field_sql(f):
+            src = resolve_physical_name(f.name, phys, renames)
+            if src is not None:
+                return (f"CAST({_q_ident(src)} AS "
+                        f"{f.dataType.simpleString()}) AS {_q_ident(f.name)}")
+            return (f"CAST(NULL AS {f.dataType.simpleString()})"
+                    f" AS {_q_ident(f.name)}")
+
+        sel = ", ".join(field_sql(f) for f in schema.fields)
         sql = f"SELECT {sel}, {layer} AS {_q_ident(_LAYER)} FROM {_q_path(root)}"
         if table.partition_col and part_values is not None:
             pred = _partition_predicate(table.partition_col, part_values)

@@ -138,6 +138,47 @@ def _decode_part(name: str):
     return "".join(out)
 
 
+def _rename_stats_col(stats: dict, old: str, new: str | None) -> dict:
+    """Rename (or, with new=None, drop) one column's entries across a
+    stats manifest — partition-level ``cols`` and per-file bounds."""
+    out = {}
+    for part, entry in stats.items():
+        cols = dict(entry.get("cols", {}))
+        if old in cols:
+            v = cols.pop(old)
+            if new is not None:
+                cols[new] = v
+        files = {}
+        for rel, fcols in entry.get("files", {}).items():
+            fc = dict(fcols)
+            if old in fc:
+                v = fc.pop(old)
+                if new is not None:
+                    fc[new] = v
+            files[rel] = fc
+        out[part] = {**entry, "cols": cols, "files": files}
+    return out
+
+
+def resolve_physical_name(current: str, physical_cols, renames: list) -> str | None:
+    """Which physical column serves logical column ``current`` in a
+    file set, given the manifest's ordered rename history
+    (``[{"from": old, "to": new}, ...]``). Walks the chain backwards:
+    files written before ``a -> b`` carry ``a``; after, ``b``. Returns
+    None when no name in the chain exists physically (the column is
+    newer than the files — additive-evolution NULL fill)."""
+    phys = set(physical_cols)
+    name = current
+    if name in phys:
+        return name
+    for r in reversed(renames):
+        if r["to"] == name:
+            name = r["from"]
+            if name in phys:
+                return name
+    return None
+
+
 class BranchDivergedError(RuntimeError):
     """Raised by ``publish_branch`` when main advanced past the
     branch's fork point — a fast-forward would silently drop main's
@@ -363,7 +404,8 @@ class ParquetLakeTable:
 
     def _commit(self, base_version: int, operation: str, base: dict,
                 deltas: list, schema: T.StructType,
-                summary: dict | None = None, stats: dict | None = None) -> int:
+                summary: dict | None = None, stats: dict | None = None,
+                renames: list | None = None) -> int:
         """Publish a new version. The EXCLUSIVE CREATE of the version
         manifest is the atomic claim (O_CREAT|O_EXCL locally,
         conditional PUT on an object store): two racing writers both
@@ -382,6 +424,12 @@ class ParquetLakeTable:
         re-checking the ref pointer before every attempt."""
         vdir = self._versions_path()
         self.fs.makedirs(vdir)
+        if renames is None:
+            # carry the rename history forward (every data commit keeps
+            # reading pre-rename files correctly); rename_column and
+            # rollback/publish pass their own list explicitly
+            prev = self._manifest(base_version) if base_version > 0 else None
+            renames = list(prev.get("renames", [])) if prev else []
         manifest = {
             "parent": base_version,
             "ref": self.ref,
@@ -392,6 +440,7 @@ class ParquetLakeTable:
             "schema": schema.jsonValue(),
             "summary": summary or {},
             "stats": stats or {},
+            "renames": renames,
         }
         new_v = base_version + 1
         while True:
@@ -469,13 +518,17 @@ class ParquetLakeTable:
         )
 
     def _read_snapshot_slice(self, dirname: str, part_values: list[str],
-                             schema: T.StructType) -> DataFrame:
+                             schema: T.StructType,
+                             renames: list | None = None) -> DataFrame:
         """Read the subset of one snapshot directory that the manifest
         maps to it. Leaf partition dirs are enumerated explicitly (from
         manifest keys, which came from listdir at write time — so names
         match byte-for-byte); ``basePath`` re-derives the partition
         column, and a cast to the manifest schema removes partition
-        type-inference drift (e.g. "123" inferred int)."""
+        type-inference drift (e.g. "123" inferred int). Columns missing
+        from the files fall back through the manifest's RENAME history
+        (pre-rename files keep serving data under the new name), then
+        to NULL (additive evolution: old snapshots predate the column)."""
         base = os.path.join(self.path, dirname)
         if not self.partition_col:
             df = self.spark.read.parquet(base)
@@ -486,10 +539,10 @@ class ParquetLakeTable:
             df = self.spark.read.option("basePath", base).parquet(*leaves)
         cols = []
         for f in schema.fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            phys = resolve_physical_name(f.name, df.columns, renames or [])
+            if phys is not None:
+                cols.append(F.col(phys).cast(f.dataType).alias(f.name))
             else:
-                # additive evolution: old snapshots predate the column
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
@@ -498,17 +551,18 @@ class ParquetLakeTable:
         (partition-pruned to the slices the manifest references) folded
         with deltas if present."""
         schema = T.StructType.fromJson(manifest["schema"])
+        renames = manifest.get("renames", [])
         base_map: dict = manifest["base"]
         by_snap: dict[str, list[str]] = {}
         for part_value, snap in base_map.items():
             by_snap.setdefault(snap, []).append(part_value)
         parts = [
-            self._read_snapshot_slice(snap, values, schema)
+            self._read_snapshot_slice(snap, values, schema, renames)
             for snap, values in sorted(by_snap.items())
         ]
         deltas = [
             self._read_snapshot_slice(d, self._list_partition_dirs(
-                os.path.join(self.path, d)), schema)
+                os.path.join(self.path, d)), schema, renames)
             for d in manifest["deltas"]
         ]
         if not parts and not deltas:
@@ -669,6 +723,7 @@ class ParquetLakeTable:
             "base": base,
             "deltas": list(m["deltas"]),
             "schema": m["schema"],
+            "renames": m.get("renames", []),
             "parts_total": len(m["base"]),
             "parts_kept": len(base),
             "files_total": files_total,
@@ -684,6 +739,7 @@ class ParquetLakeTable:
         construction — property-tested in tests/test_scan_planning.py."""
         plan = self.plan_scan(filters, as_of_version, as_of_timestamp_ms)
         schema = T.StructType.fromJson(plan["schema"])
+        renames = plan.get("renames", [])
         by_snap: dict[str, list[str]] = {}
         file_slices: list[tuple[str, list[str]]] = []
         for part, (snap, subset) in plan["base"].items():
@@ -692,15 +748,15 @@ class ParquetLakeTable:
             elif subset:
                 file_slices.append((snap, subset))
         parts = [
-            self._read_snapshot_slice(snap, values, schema)
+            self._read_snapshot_slice(snap, values, schema, renames)
             for snap, values in sorted(by_snap.items())
         ] + [
-            self._read_files_slice(snap, rels, schema)
+            self._read_files_slice(snap, rels, schema, renames)
             for snap, rels in sorted(file_slices)
         ]
         deltas = [
             self._read_snapshot_slice(d, self._list_partition_dirs(
-                os.path.join(self.path, d)), schema)
+                os.path.join(self.path, d)), schema, renames)
             for d in plan["deltas"]
         ]
         if not parts and not deltas:
@@ -758,17 +814,20 @@ class ParquetLakeTable:
         return cond
 
     def _read_files_slice(self, dirname: str, relpaths: list[str],
-                          schema: T.StructType) -> DataFrame:
+                          schema: T.StructType,
+                          renames: list | None = None) -> DataFrame:
         """Read an explicit file subset of one snapshot directory (the
         output of file-level pruning); ``basePath`` re-derives the
-        partition column from the directory names."""
+        partition column from the directory names. Same rename/additive
+        fallback as ``_read_snapshot_slice``."""
         base = os.path.join(self.path, dirname)
         paths = [os.path.join(base, rel) for rel in relpaths]
         df = self.spark.read.option("basePath", base).parquet(*paths)
         cols = []
         for f in schema.fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            phys = resolve_physical_name(f.name, df.columns, renames or [])
+            if phys is not None:
+                cols.append(F.col(phys).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -914,6 +973,70 @@ class ParquetLakeTable:
             summary={"purged_tombstones": purge_tombstones,
                      "clustered_by": cluster_by or []},
             stats=self._collect_key_stats(snap, written),
+        )
+
+    # -- schema evolution (beyond additive) ---------------------------------
+
+    def _evolution_guard(self, col: str) -> None:
+        if col in self.key_cols:
+            raise ValueError(f"{col!r} is a merge key; keys cannot evolve")
+        if col == self.partition_col:
+            raise ValueError(f"{col!r} is the partition column")
+        if col in LINEAGE_COLS:
+            raise ValueError(f"{col!r} is an internal lineage column")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a data column — METADATA-ONLY, O(1), no file rewrite
+        (Iceberg full schema evolution; plain parquet-by-name cannot do
+        this, which is why the manifest carries an ordered rename
+        history that the read paths — DataFrame slices, scan, and the
+        compiled SQL views — resolve per file set). Old snapshots keep
+        serving the data under the new name; time travel to versions
+        before the rename shows the old name (each manifest pins its
+        own schema). Keys, the partition column and lineage columns
+        cannot be renamed.
+
+        Caveat (documented, Iceberg-changelog-like): ``read_changes``
+        across the rename boundary sees the column as dropped+added,
+        so every live row reports as changed."""
+        self._evolution_guard(old)
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        schema = T.StructType.fromJson(m["schema"])
+        if old not in schema.names:
+            raise ValueError(f"column {old!r} does not exist")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        renames = list(m.get("renames", [])) + [{"from": old, "to": new}]
+        stats = _rename_stats_col(m.get("stats", {}), old, new)
+        return self._commit(
+            self.current_version(), "rename-column", m["base"], m["deltas"],
+            T.StructType(fields), summary={"renamed": {old: new}},
+            stats=stats, renames=renames,
+        )
+
+    def drop_column(self, col: str) -> int:
+        """Drop a data column — metadata-only; files keep the bytes
+        (reclaimed as partitions naturally rewrite), readers stop
+        projecting them immediately. Time travel before the drop still
+        shows the column."""
+        self._evolution_guard(col)
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        schema = T.StructType.fromJson(m["schema"])
+        if col not in schema.names:
+            raise ValueError(f"column {col!r} does not exist")
+        fields = [f for f in schema.fields if f.name != col]
+        stats = _rename_stats_col(m.get("stats", {}), col, None)
+        return self._commit(
+            self.current_version(), "drop-column", m["base"], m["deltas"],
+            T.StructType(fields), summary={"dropped": col}, stats=stats,
         )
 
     def maybe_compact(self, max_deltas: int = 8, **compact_kw) -> bool:

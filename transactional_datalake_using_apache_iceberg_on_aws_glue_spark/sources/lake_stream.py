@@ -114,10 +114,11 @@ def _parquet_files(d: str) -> list[str]:
 class _PartDiff(InputPartition):
     """One partition value's (old files, new files) diff task."""
 
-    def __init__(self, part, old_files, new_files):
+    def __init__(self, part, old_files, new_files, renames=()):
         self.part = part
         self.old_files = old_files
         self.new_files = new_files
+        self.renames = list(renames)
 
 
 class LakeChangeStreamReader(DataSourceStreamReader):
@@ -157,6 +158,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             return [_PartDiff(_ALL, [], [])]  # empty batch
         new_m = _read_manifest(self.path, hi)
         old_base = {} if lo == 0 else _read_manifest(self.path, lo)["base"]
+        renames = new_m.get("renames", [])
         out = []
         for part, snap in sorted(new_m["base"].items()):
             old_snap = old_base.get(part)
@@ -169,6 +171,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 if old_snap else [],
                 _parquet_files(_partition_dir(
                     self.path, snap, part, self.partition_col)),
+                renames,
             ))
         for part, old_snap in sorted(old_base.items()):
             if part not in new_m["base"]:  # partition disappeared
@@ -177,6 +180,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     _parquet_files(_partition_dir(
                         self.path, old_snap, part, self.partition_col)),
                     [],
+                    renames,
                 ))
         return out or [_PartDiff(_ALL, [], [])]
 
@@ -187,9 +191,11 @@ class LakeChangeStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _PartDiff):
         old = _load_live(partition.old_files, self.columns, self.keys,
-                         self.partition_col, partition.part)
+                         self.partition_col, partition.part,
+                         partition.renames)
         new = _load_live(partition.new_files, self.columns, self.keys,
-                         self.partition_col, partition.part)
+                         self.partition_col, partition.part,
+                         partition.renames)
         merged = old.merge(new, on=self.keys, how="outer",
                            suffixes=("_old", "_new"), indicator=True)
         data_cols = [c for c in self.columns if c not in self.keys]
@@ -240,11 +246,15 @@ def _coerce(v, dtype):
 
 
 def _load_live(files: list, columns: list, keys: list,
-               partition_col: str | None, part: str):
+               partition_col: str | None, part: str,
+               renames: list | None = None):
     """Live rows of one partition slice as pandas: tombstones dropped,
     columns reindexed to the stream schema (additive evolution ->
-    missing columns become nulls), partition column re-derived from the
-    directory name (hive layout strips it from the files)."""
+    missing columns become nulls; pre-rename files resolve through the
+    manifest rename history, duplicated from lake.table because this
+    module must stay self-contained for by-value pickling), partition
+    column re-derived from the directory name (hive layout strips it
+    from the files)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -263,7 +273,16 @@ def _load_live(files: list, columns: list, keys: list,
         out[partition_col] = part
     for c in columns:
         if c not in out.columns:
-            out[c] = None
+            name = c
+            for r in reversed(renames or []):
+                if r["to"] == name:
+                    name = r["from"]
+                    if name in out.columns:
+                        break
+            if name != c and name in out.columns:
+                out[c] = out[name]
+            else:
+                out[c] = None
     return out[columns]
 
 
