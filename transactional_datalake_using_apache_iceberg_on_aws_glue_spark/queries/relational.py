@@ -822,7 +822,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           sum(CAST(round(amount * 100) AS BIGINT)) AS sum_profit_cents
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount)
@@ -840,7 +841,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a name pattern. part (LIKE-filtered), supplier and nation "
         "broadcast; the only shuffle is lineitem-orders + the final "
         "2-key agg — at 100 TB the p_name filter prunes before the "
-        "big join.",
+        "big join. Profit ships as INTEGER CENTS rounded per row "
+        "before the sum: round(sum(double), 2) flaked by one cent at "
+        "sf0.1 (accumulation-order), the same discipline as the "
+        "window sums.",
     tags=("join", "agg"),
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,10 +863,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
-            amount.alias("amount"),
+            F.round(amount * 100).cast("long").alias("amount_cents"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.sum("amount_cents").alias("sum_profit_cents"))
     )
 
 
