@@ -823,7 +823,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_type_profit",
     oracle="""
     SELECT nation, o_year,
-           sum(CAST(round(amount * 100) AS BIGINT)) AS sum_profit_cents
+           CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT)
+             AS sum_profit_cents
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount)
