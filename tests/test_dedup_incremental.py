@@ -84,3 +84,24 @@ def test_band_probe_prunes_partitions(spark, index):
     index.add(_df(spark, [(i, _doc(i)) for i in range(20)]))
     plan = index.bands_table.plan_scan([("band", "=", 3)])
     assert plan["parts_kept"] == 1 and plan["parts_total"] == index.bands
+
+
+def test_empty_index_probe_matches_caller_id_type(spark, tmp_path):
+    """First probe against an empty index must carry the CALLER's id
+    type (r3 advisor finding: a hardcoded long schema broke string-id
+    corpora on union with later probes)."""
+    idx = MinHashIndex(spark, str(tmp_path / "sidx"))
+    docs = spark.createDataFrame(
+        [("a", _doc(1)), ("b", _doc(2))], "doc_id string, text string")
+    empty = idx.find_dups(docs)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["new_id"] == "string"
+    assert dict(empty.dtypes)["index_id"] == "string"
+    # and the string-id corpus works end-to-end: index, re-probe, dup hit
+    accepted, dups = idx.dedup_and_add(docs)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == ["a", "b"]
+    later = idx.find_dups(
+        spark.createDataFrame([("z", _doc(1))], "doc_id string, text string"))
+    # union of first (empty) and later probes — the schema must agree
+    empty.unionByName(later).collect()
+    assert [r["index_id"] for r in later.collect()] == ["a"]

@@ -65,6 +65,19 @@ def test_bucket_reduction_keeps_latest(spark):
     assert len(out) == 1 and out[0]["v"] == 2.0
 
 
+def test_bucket_reduction_latest_is_partition_order_independent(spark):
+    """max_by(value, time), not last(): the in-bucket winner must be
+    the latest BY TIME even when rows arrive shuffled across many
+    partitions in descending time order (r3 advisor finding)."""
+    rows = [("a", T0 + dt.timedelta(seconds=s), float(s))
+            for s in range(40)]
+    df = (spark.createDataFrame(rows, "k string, ts timestamp, v double")
+          .orderBy("ts", ascending=False)       # adversarial input order
+          .repartition(16))                     # round-robin scatter
+    out = gap_fill(df, ["k"], "ts", ["v"], step=MIN_US).collect()
+    assert len(out) == 1 and out[0]["v"] == 39.0
+
+
 def test_numeric_axis_and_guards(spark):
     df = spark.createDataFrame([("a", 0, 1.0), ("a", 10, 2.0)],
                                "k string, t long, v double")

@@ -123,3 +123,63 @@ def test_merge_sql_snapshots_and_idempotent_replay(spark, runner):
     r.sql(stmt)
     assert t.current_version() == v0 + 2  # two commits...
     assert _state(t)[2] == 88              # ...same converged state
+
+
+def test_update_only_ignores_unmatched(spark, runner):
+    """SQL MERGE: WHEN MATCHED THEN UPDATE alone must NOT insert
+    unmatched source rows (r3 advisor finding)."""
+    r, t = runner
+    spark.createDataFrame(
+        [(2, "b", 99), (7, "g", 70)], ROWS
+    ).createOrReplaceTempView("up_only")
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING up_only s ON s.trans_id = t.trans_id
+        WHEN MATCHED THEN UPDATE SET *
+        """)
+    assert _state(t) == {1: 10, 2: 99, 3: 30}
+
+
+def test_insert_only_ignores_matched(spark, runner):
+    """WHEN NOT MATCHED THEN INSERT alone must NOT update matched
+    rows (r3 advisor finding)."""
+    r, t = runner
+    spark.createDataFrame(
+        [(2, "b", 99), (7, "g", 70)], ROWS
+    ).createOrReplaceTempView("ins_only")
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING ins_only s ON s.trans_id = t.trans_id
+        WHEN NOT MATCHED THEN INSERT *
+        """)
+    assert _state(t) == {1: 10, 2: 20, 3: 30, 7: 70}
+
+
+def test_asymmetric_conditions_route_by_matched_state(spark, runner):
+    """UPDATE and INSERT with different conditions: each source row
+    goes to the clause its real matched-state selects."""
+    r, t = runner
+    spark.createDataFrame(
+        [(2, "b", 99, "keep"),    # matched, update cond passes -> updated
+         (3, "c", 77, "skip"),    # matched, update cond fails -> no action
+         (8, "h", 80, "keep"),    # unmatched, insert cond passes -> inserted
+         (9, "i", 90, "skip")],   # unmatched, insert cond fails -> no action
+        ROWS + ", tag string",
+    ).createOrReplaceTempView("asym")
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING asym s ON s.trans_id = t.trans_id
+        WHEN MATCHED AND s.tag = 'keep' THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.tag = 'keep' THEN INSERT *
+        """)
+    assert _state(t) == {1: 10, 2: 99, 3: 30, 8: 80}
+
+
+def test_rejects_invalid_clause_kind(spark, runner):
+    r, t = runner
+    spark.createDataFrame([(1, "a", 1)], ROWS).createOrReplaceTempView("srcx")
+    with pytest.raises(MergeSqlError, match="not valid MERGE"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t USING srcx s "
+              "ON s.trans_id = t.trans_id "
+              "WHEN NOT MATCHED THEN UPDATE SET *")
+    with pytest.raises(MergeSqlError, match="not valid MERGE"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t USING srcx s "
+              "ON s.trans_id = t.trans_id "
+              "WHEN MATCHED THEN INSERT *")

@@ -126,3 +126,37 @@ def test_rename_in_mor_mode_folds_deltas(spark, tmp_path):
     got = {r["trans_id"]: r["cents"]
            for r in table.read_data().select("trans_id", "cents").collect()}
     assert got == fixtures.expected_final_state()
+
+
+def test_retired_names_cannot_be_reused(spark, tmp_path):
+    """r3 advisor finding: after rename a->b (or drop), old files
+    still carry the physical name — re-introducing it as a logical
+    column (by rename or additive merge) would serve stale bytes.
+    All three reuse routes must reject."""
+    import datetime as dt
+
+    table = _two_wave_table(spark, tmp_path, allow_schema_evolution=True)
+    table.rename_column("amount", "amount_cents")
+    # rename another column INTO the freed name
+    with pytest.raises(ValueError, match="previously renamed away"):
+        table.rename_column("device", "amount")
+    # additive merge that re-adds the freed name
+    future = dt.datetime(2030, 1, 1)
+    batch = spark.createDataFrame(
+        [(19, "c_19", "visit", 5, "upsert", future, 10_000)],
+        "trans_id long, customer_id string, event string, amount int, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    with pytest.raises(ValueError, match="previously renamed away"):
+        table.merge(batch)
+    # dropped names retire too
+    table.drop_column("device")
+    with pytest.raises(ValueError, match="previously renamed away"):
+        table.rename_column("sku", "device")
+    batch2 = spark.createDataFrame(
+        [(19, "c_19", "visit", "tablet", "upsert", future, 10_000)],
+        "trans_id long, customer_id string, event string, device string, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    with pytest.raises(ValueError, match="previously renamed away"):
+        table.merge(batch2)

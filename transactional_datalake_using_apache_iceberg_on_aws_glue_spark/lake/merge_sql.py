@@ -44,6 +44,26 @@ neither are dropped — then one ``table.merge`` call applies the
 batch with the usual single-shuffle plan. The two reference
 statements therefore collapse into at most one rewrite per call
 instead of two.
+
+Matched/not-matched semantics: SQL MERGE routes each source row to
+the *first* clause whose matched-state and condition admit it, and a
+row admitted by no clause takes no action. The two reference
+statement shapes need no matched probe to honor that:
+
+- ``UPDATE SET * + INSERT *`` with identical (or absent) clause
+  conditions — matched and unmatched rows get the same upsert, which
+  is exactly ``table.merge``'s latest-wins semantics;
+- ``DELETE``-only — unmatched source rows are filtered by the clause
+  condition the same way, and a delete of a never-present key is a
+  no-op on current state in this engine (latest-wins fold).
+
+Every other clause combination (update-only, insert-only, asymmetric
+conditions, delete alongside insert) genuinely needs to know which
+source rows match the target, so the runner left-joins the batch
+against the table's current key set and evaluates the clauses in
+statement order against the real matched flag — the same
+source-to-target join a row-level-operation engine (Iceberg MERGE)
+performs.
 """
 
 from __future__ import annotations
@@ -110,31 +130,99 @@ class MergeSqlRunner:
         talias, salias = m.group("talias"), m.group("salias")
         self._check_on(m.group("on"), table, talias, salias)
 
-        clauses = list(_CLAUSE_RE.finditer(m.group("clauses")))
-        if not clauses:
+        raw_clauses = list(_CLAUSE_RE.finditer(m.group("clauses")))
+        if not raw_clauses:
             raise MergeSqlError("no WHEN clauses found")
-        delete_cond = upsert_cond = None
-        has_update = has_insert = False
-        for c in clauses:
-            cond = self._src_condition(c.group("cond"), salias, talias)
+        # (kind, not_matched, cond_text, cond_col) in statement order —
+        # SQL MERGE gives the first admitting clause the row.
+        parsed = []
+        for c in raw_clauses:
             action = re.sub(r"\s+", " ", c.group("action")).upper()
-            if action == "DELETE":
-                if c.group("not"):
-                    raise MergeSqlError("WHEN NOT MATCHED THEN DELETE "
-                                        "is not meaningful")
-                delete_cond = cond if cond is not None else F.lit(True)
-            elif action == "UPDATE SET *":
-                has_update = True
-                upsert_cond = self._or(upsert_cond,
-                                       cond if cond is not None else F.lit(True))
-            else:  # INSERT *
-                has_insert = True
-                upsert_cond = self._or(upsert_cond,
-                                       cond if cond is not None else F.lit(True))
+            not_matched = bool(c.group("not"))
+            if action == "DELETE" and not_matched:
+                raise MergeSqlError("WHEN NOT MATCHED THEN DELETE "
+                                    "is not meaningful")
+            if action != "DELETE" and (
+                (action == "UPDATE SET *") == not_matched
+            ):
+                raise MergeSqlError(
+                    f"WHEN {'NOT ' if not_matched else ''}MATCHED THEN "
+                    f"{action} is not valid MERGE (UPDATE is matched-only, "
+                    "INSERT is not-matched-only)"
+                )
+            kind = ("delete" if action == "DELETE"
+                    else "update" if action == "UPDATE SET *" else "insert")
+            cond_text = (None if c.group("cond") is None
+                         else re.sub(r"\s+", " ", c.group("cond")).strip().lower())
+            parsed.append((kind, not_matched, cond_text,
+                           self._src_condition(c.group("cond"), salias, talias)))
+
         src = self.spark.table(m.group("source"))
-        batch = self._to_op_batch(src, delete_cond, upsert_cond,
-                                  has_update or has_insert)
+        batch = (self._fast_path_batch(src, parsed)
+                 if self._fast_path_ok(parsed)
+                 else self._probed_batch(src, table, parsed))
         table.merge(batch)
+
+    @staticmethod
+    def _fast_path_ok(parsed) -> bool:
+        """True when the statement's routing is matched-state-agnostic,
+        so no probe join against current table keys is needed: the
+        reference's full-upsert shape (UPDATE + INSERT, same condition)
+        and its delete-only shape."""
+        kinds = [p[0] for p in parsed]
+        if kinds == ["delete"]:
+            return True
+        if sorted(kinds) == ["insert", "update"]:
+            upd = next(p for p in parsed if p[0] == "update")
+            ins = next(p for p in parsed if p[0] == "insert")
+            return upd[2] == ins[2]
+        return False
+
+    @staticmethod
+    def _fast_path_batch(src: DataFrame, parsed) -> DataFrame:
+        base = (src if OP_COL in src.columns
+                else src.withColumn(OP_COL, F.lit("upsert")))
+        # filter BEFORE rewriting OP_COL — clause conditions may
+        # reference the source's own _op column (s._op = 'delete')
+        if [p[0] for p in parsed] == ["delete"]:
+            cond = parsed[0][3]
+            batch = base if cond is None else base.filter(cond)
+            return batch.withColumn(OP_COL, F.lit("delete"))
+        cond = next(p[3] for p in parsed if p[0] == "update")
+        batch = base if cond is None else base.filter(cond)
+        return batch.withColumn(OP_COL, F.lit("upsert"))
+
+    def _probed_batch(self, src: DataFrame, table: ParquetLakeTable,
+                      parsed) -> DataFrame:
+        """General clause routing: join the source against the table's
+        current keys for a real matched flag, then give each row to the
+        first clause (statement order) whose matched-state + condition
+        admit it; rows admitted by no clause are dropped (SQL: no
+        action). This is the same source-keys join Iceberg's MERGE
+        executes, so its cost is the operation's intrinsic cost."""
+        marker = "__merge_sql_matched"
+        cur_keys = (table.read_data()
+                    .select(*table.key_cols)
+                    .withColumn(marker, F.lit(True)))
+        probed = src.join(cur_keys, on=list(table.key_cols), how="left")
+        matched = F.coalesce(F.col(marker), F.lit(False))
+
+        op_expr = F.lit(None).cast("string")
+        admitted = F.lit(False)
+        for kind, not_matched, _txt, cond in reversed(parsed):
+            gate = (~matched) if not_matched else matched
+            if cond is not None:
+                gate = gate & cond
+            action = F.lit("delete" if kind == "delete" else "upsert")
+            op_expr = F.when(gate, action).otherwise(op_expr)
+            admitted = gate | admitted
+        # reversed() + otherwise-chaining makes the FIRST statement
+        # clause win, matching MERGE's first-match routing. Filter
+        # BEFORE rewriting OP_COL: clause conditions may reference the
+        # source's own _op column and must see its original value.
+        return (probed.filter(admitted)
+                .withColumn(OP_COL, op_expr)
+                .drop(marker))
 
     # -- pieces ----------------------------------------------------------
 
@@ -170,27 +258,3 @@ class MergeSqlRunner:
             )
         return F.expr(re.sub(rf"\b{salias}\.", "", cond, flags=re.IGNORECASE))
 
-    @staticmethod
-    def _or(a, b):
-        return b if a is None else (a | b)
-
-    @staticmethod
-    def _to_op_batch(src: DataFrame, delete_cond, upsert_cond,
-                     any_upsert: bool) -> DataFrame:
-        if OP_COL in src.columns:
-            base = src
-        else:
-            base = src.withColumn(OP_COL, F.lit("upsert"))
-        op = F.col(OP_COL)
-        if delete_cond is not None:
-            op = F.when(delete_cond, F.lit("delete")).otherwise(op)
-        batch = base.withColumn(OP_COL, op)
-        if delete_cond is not None and not any_upsert:
-            # delete-only statement (reference :133-136): non-matching
-            # source rows take no action
-            batch = batch.filter(delete_cond)
-        elif upsert_cond is not None and delete_cond is not None:
-            batch = batch.filter(delete_cond | upsert_cond)
-        elif upsert_cond is not None:
-            batch = batch.filter(upsert_cond)
-        return batch

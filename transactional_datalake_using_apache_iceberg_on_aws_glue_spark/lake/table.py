@@ -166,7 +166,16 @@ def resolve_physical_name(current: str, physical_cols, renames: list) -> str | N
     (``[{"from": old, "to": new}, ...]``). Walks the chain backwards:
     files written before ``a -> b`` carry ``a``; after, ``b``. Returns
     None when no name in the chain exists physically (the column is
-    newer than the files — additive-evolution NULL fill)."""
+    newer than the files — additive-evolution NULL fill).
+
+    Name-first resolution is only sound because retired physical
+    names can never be re-introduced as logical columns:
+    ``rename_column`` / ``drop_column`` / additive merge evolution
+    all reject any name in the manifest's rename/drop history
+    (r3 advisor finding — without the guard, re-adding a column
+    ``a`` after ``a -> b`` would serve pre-rename bytes as the new
+    column; Iceberg avoids this with field IDs, a name-based manifest
+    needs the reuse ban)."""
     phys = set(physical_cols)
     name = current
     if name in phys:
@@ -985,6 +994,16 @@ class ParquetLakeTable:
         if col in LINEAGE_COLS:
             raise ValueError(f"{col!r} is an internal lineage column")
 
+    @staticmethod
+    def _retired_names(m: dict) -> set:
+        """Physical names no new logical column may take: every rename
+        source and every dropped column (drops are recorded in the same
+        history as ``{"from": col, "to": None}``, inert to the
+        resolution chain-walk). Old files still carry these names
+        physically, so a re-introduced logical column of the same name
+        would resolve to stale bytes (r3 advisor finding)."""
+        return {r["from"] for r in m.get("renames", [])}
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a data column — METADATA-ONLY, O(1), no file rewrite
         (Iceberg full schema evolution; plain parquet-by-name cannot do
@@ -1008,6 +1027,12 @@ class ParquetLakeTable:
             raise ValueError(f"column {old!r} does not exist")
         if new in schema.names:
             raise ValueError(f"column {new!r} already exists")
+        if new in self._retired_names(m):
+            raise ValueError(
+                f"column name {new!r} was previously renamed away or "
+                "dropped; old files still carry it physically, so "
+                "re-using it would serve stale data — pick a fresh name"
+            )
         fields = [
             T.StructField(new, f.dataType, f.nullable) if f.name == old else f
             for f in schema.fields
@@ -1034,9 +1059,15 @@ class ParquetLakeTable:
             raise ValueError(f"column {col!r} does not exist")
         fields = [f for f in schema.fields if f.name != col]
         stats = _rename_stats_col(m.get("stats", {}), col, None)
+        # record the drop in the rename history as {"from": col,
+        # "to": None} — inert to the resolution chain-walk (no logical
+        # name equals None) but it retires the physical name so it can
+        # never be re-introduced (see _retired_names)
+        renames = list(m.get("renames", [])) + [{"from": col, "to": None}]
         return self._commit(
             self.current_version(), "drop-column", m["base"], m["deltas"],
             T.StructType(fields), summary={"dropped": col}, stats=stats,
+            renames=renames,
         )
 
     def maybe_compact(self, max_deltas: int = 8, **compact_kw) -> bool:
@@ -1472,6 +1503,23 @@ class ParquetLakeTable:
                 initial = batch.filter(F.col(OP_COL) != "delete").drop(OP_COL)
             self.create(initial)
             return
+
+        if self.allow_schema_evolution:
+            # additive evolution must not resurrect a retired name: old
+            # files still carry renamed-away/dropped columns physically
+            # and would serve their stale bytes as the "new" column
+            m = self._manifest()
+            current = set(T.StructType.fromJson(m["schema"]).names)
+            bad = sorted(
+                set(batch.columns) & self._retired_names(m) - current
+            )
+            if bad:
+                raise ValueError(
+                    f"batch columns {bad} were previously renamed away "
+                    "or dropped from this table; re-introducing them "
+                    "would serve stale data from pre-evolution files — "
+                    "use fresh column names"
+                )
 
         if self.merge_mode == "mor":
             self._merge_append_delta(batch)

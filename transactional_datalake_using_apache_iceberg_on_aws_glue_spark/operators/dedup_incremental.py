@@ -39,6 +39,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..lake.table import ParquetLakeTable
 from .dedup import minhash_signatures, shingle_hashes
@@ -128,8 +129,17 @@ class MinHashIndex:
     def _find_dups_of_sigs(self, sigs: DataFrame,
                            threshold: float) -> DataFrame:
         if not self.bands_table.exists():
+            # derive the id type from the probe signatures — hardcoding
+            # long broke string-id callers on the first (empty-index)
+            # probe, yielding a schema inconsistent with later probes
+            # (r3 advisor finding)
+            id_type = sigs.schema["doc_id"].dataType
             return self.spark.createDataFrame(
-                [], "new_id long, index_id long, est_jaccard double")
+                [], T.StructType([
+                    T.StructField("new_id", id_type),
+                    T.StructField("index_id", id_type),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]))
         probe = self._band_rows(sigs)
         idx = self.bands_table.read_data()
         cand = (

@@ -8,8 +8,9 @@ primitives:
   to last observation — or a caller-fixed [start, end) so all keys
   align;
 - observations are bucketed to the grid (floor) and LEFT-joined onto
-  the spine; multiple observations in one bucket reduce by ``last``
-  (by time) — change ``agg`` for sum/avg semantics;
+  the spine; multiple observations in one bucket reduce by
+  ``max_by(value, time)`` (deterministic latest-wins regardless of
+  partitioning) — change ``agg`` for sum/avg semantics;
 - ``fill='ffill'`` carries the last observation forward with
   ``last(ignorenulls=True)`` over an unbounded-preceding window —
   one shuffle on the key, the same partitioning the spine join just
@@ -59,7 +60,10 @@ def gap_fill(df: DataFrame, key_cols: list[str], ts_col: str,
         df.withColumn("_slot", slot)
         .groupBy(*key_cols, "_slot")
         .agg(*[
-            F.last(c).alias(c)  # latest observation wins within a bucket
+            # latest observation (by time) wins within a bucket —
+            # max_by, not last(): last() is partition-order-dependent
+            # and only looks deterministic on single-partition frames
+            F.max_by(c, t).alias(c)
             for c in value_cols
         ])
     )
