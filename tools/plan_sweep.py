@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries import load_all
 from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
 
-BENIGN_BNLJ = {"approx_similarity_report", "cosine_topk_bruteforce",
+BENIGN_BNLJ = {"approx_sketch_report", "cosine_topk_bruteforce",
                "ngram_jaccard_pairs"}
 
 

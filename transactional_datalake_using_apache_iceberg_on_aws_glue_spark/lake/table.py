@@ -1045,6 +1045,53 @@ class ParquetLakeTable:
             stats=stats, renames=renames,
         )
 
+    #: legal type promotions (Iceberg's primitive widening rules):
+    #: integrals widen up the chain, float widens to double. Widening
+    #: is METADATA-ONLY because every read path casts file columns to
+    #: the manifest schema (_read_snapshot_slice, the compiled SQL
+    #: views, scan, and the stream reader's declared-type coercion) —
+    #: old files keep the narrow physical type, Iceberg-style.
+    _INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+    def widen_column(self, col: str, new_type) -> int:
+        """Promote a column's type — metadata-only, O(1), no file
+        rewrite. Supported: integral widening (byte->short->int->long)
+        and float->double, exactly Iceberg's primitive promotions
+        (a narrowing or cross-family change raises: it would need a
+        rewrite and can lose data). Time travel to versions before the
+        widen shows the narrow type; merges after it accept batches in
+        either the old or the new type (union coercion widens)."""
+        self._evolution_guard(col)
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        if isinstance(new_type, str):
+            new_type = T._parse_datatype_string(new_type)
+        schema = T.StructType.fromJson(m["schema"])
+        if col not in schema.names:
+            raise ValueError(f"column {col!r} does not exist")
+        old_t = schema[col].dataType
+        old_s, new_s = old_t.simpleString(), new_type.simpleString()
+        ok = (
+            old_s in self._INT_RANK and new_s in self._INT_RANK
+            and self._INT_RANK[new_s] > self._INT_RANK[old_s]
+        ) or (old_s == "float" and new_s == "double")
+        if not ok:
+            raise ValueError(
+                f"cannot widen {col!r} from {old_s} to {new_s}; "
+                "supported promotions: integral widening "
+                "(tinyint<smallint<int<bigint) and float->double"
+            )
+        fields = [
+            T.StructField(col, new_type, f.nullable) if f.name == col else f
+            for f in schema.fields
+        ]
+        return self._commit(
+            self.current_version(), "widen-column", m["base"], m["deltas"],
+            T.StructType(fields), summary={"widened": {col: [old_s, new_s]}},
+            stats=m.get("stats", {}),  # bounds stay valid under widening
+        )
+
     def drop_column(self, col: str) -> int:
         """Drop a data column — metadata-only; files keep the bytes
         (reclaimed as partitions naturally rewrite), readers stop
