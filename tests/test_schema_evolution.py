@@ -160,3 +160,84 @@ def test_retired_names_cannot_be_reused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="previously renamed away"):
         table.merge(batch2)
+
+
+def test_widen_column_int_to_long(spark, tmp_path):
+    """Type promotion (r4, ROADMAP #7): write int, widen to long
+    metadata-only, merge a long batch, time-travel across the
+    boundary. Old files keep the narrow physical type; every read
+    path casts to the manifest schema."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    table = ParquetLakeTable(spark, str(tmp_path / "w"), key_cols=["id"],
+                             partition_col=None)
+    df = spark.createDataFrame([(1, 100), (2, 200)], "id long, v int")
+    table.create(df.withColumn("_op_timestamp", F.current_timestamp())
+                   .withColumn("_txn_id", F.lit(1)))
+    files_before = table.file_count()
+    v = table.widen_column("v", "bigint")
+    assert table.file_count() == files_before  # metadata-only
+    assert dict(table.read_data().dtypes)["v"] == "bigint"
+
+    # merge a batch carrying values only a long can hold
+    big = 3_000_000_000
+    future = dt.datetime(2030, 1, 1)
+    batch = spark.createDataFrame(
+        [(3, big, "upsert", future, 2), (1, big + 1, "upsert", future, 2)],
+        "id long, v long, _op string, _op_timestamp timestamp, _txn_id long",
+    )
+    table.merge(batch)
+    got = {r["id"]: r["v"] for r in table.read_data().collect()}
+    assert got == {1: big + 1, 2: 200, 3: big}
+
+    # time travel BEFORE the widen shows the narrow type + old values
+    old = table.read_data(as_of_version=v - 1)
+    assert dict(old.dtypes)["v"] == "int"
+    assert {r["id"]: r["v"] for r in old.collect()} == {1: 100, 2: 200}
+
+    # SQL view surface serves the widened column
+    table.register_sql("wt", database="widen_db")
+    assert spark.sql("SELECT sum(v) AS s FROM widen_db.wt").collect()[0]["s"] \
+        == big + (big + 1) + 200
+
+
+def test_widen_column_float_to_double_and_mor(spark, tmp_path):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    table = ParquetLakeTable(spark, str(tmp_path / "wm"), key_cols=["id"],
+                             partition_col=None, merge_mode="mor")
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "id long, v float")
+    table.create(df.withColumn("_op_timestamp", F.current_timestamp())
+                   .withColumn("_txn_id", F.lit(1)))
+    table.widen_column("v", "double")
+    future = dt.datetime(2030, 1, 1)
+    batch = spark.createDataFrame(
+        [(3, 3.25, "upsert", future, 2)],
+        "id long, v double, _op string, _op_timestamp timestamp, _txn_id long",
+    )
+    table.merge(batch)  # MOR delta append against the widened schema
+    got = {r["id"]: r["v"] for r in table.read_data().collect()}
+    assert got == {1: 1.5, 2: 2.5, 3: 3.25}
+    assert dict(table.read_data().dtypes)["v"] == "double"
+
+
+def test_widen_column_guards(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = ParquetLakeTable(spark, str(tmp_path / "wg"), key_cols=["id"],
+                             partition_col=None)
+    df = spark.createDataFrame([(1, 100, "x")], "id long, v int, s string")
+    table.create(df.withColumn("_op_timestamp", F.current_timestamp())
+                   .withColumn("_txn_id", F.lit(1)))
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("v", "int")        # no-op is not a widen
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("v", "smallint")   # narrowing
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("s", "bigint")     # cross-family
+    with pytest.raises(ValueError, match="merge key"):
+        table.widen_column("id", "bigint")
