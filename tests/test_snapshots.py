@@ -576,3 +576,37 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert table.maybe_compact(max_deltas=3) is False   # reset
     state = _state(table)
     assert state[70] == 0 and state[72] == 2            # data intact
+
+
+def test_clustering_candidates_picks_interleaved_partition(spark, tmp_path):
+    """The auto-clustering selector (ROADMAP #6): from footer stats
+    alone it must flag the partition whose files interleave the
+    cluster columns and SKIP the one a z-order rewrite already tiled
+    — then auto_cluster rewrites exactly the flagged one and the
+    selector converges to empty."""
+    import pyspark.sql.functions as F
+
+    table = ParquetLakeTable(spark, str(tmp_path / "ac"), key_cols=["id"],
+                             partition_col="p")
+    rows = [(i + (0 if p == "a" else 10_000), p, i % 1000, (i * 7) % 1000)
+            for p in ("a", "b") for i in range(1000)]
+    df = (spark.createDataFrame(rows, "id long, p string, v long, w long")
+          .repartition(8)  # round-robin: every file spans ~full v/w range
+          .withColumn("_op_timestamp", F.current_timestamp())
+          .withColumn("_txn_id", F.lit(1)))
+    table.create(df)
+
+    # z-order partition "b" only; "a" keeps the interleaved layout
+    table.compact_partitions(["b"], target_files_per_partition=8,
+                             cluster_by=["v", "w"])
+
+    picked = table.clustering_candidates(["v", "w"])
+    assert picked == ["a"]
+
+    rewritten = table.auto_cluster(["v", "w"],
+                                   target_files_per_partition=8)
+    assert rewritten == ["a"]
+    # both partitions now tiled: selector has nothing left to flag
+    assert table.clustering_candidates(["v", "w"]) == []
+    # data intact through the rewrites
+    assert table.read_data().count() == 2000

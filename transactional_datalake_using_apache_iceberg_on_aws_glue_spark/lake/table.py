@@ -1133,6 +1133,66 @@ class ParquetLakeTable:
         self.compact(**compact_kw)
         return True
 
+    def clustering_candidates(self, cluster_by: list[str],
+                              max_coverage: float = 0.7,
+                              min_files: int = 2) -> list[str]:
+        """Which partitions NEED re-clustering on ``cluster_by`` —
+        decided from the manifest's per-file footer bounds alone
+        (driver metadata, no Spark job, ROADMAP #6 selector).
+
+        Metric per clustered column: MEAN COVERAGE FRACTION = mean over
+        the partition's files of (file bound width / overall partition
+        width), in (0, 1]. Interleaved ingestion order makes every file
+        span ~the whole range (~1.0); a sort rewrite tiles disjointly
+        (~1/n); a k-dim z-order rewrite tiles hyper-rectangles
+        (~n^(-1/k), <= 0.5 per column from 4 files up). A partition is
+        a candidate when ANY clustered column exceeds ``max_coverage``
+        — data skipping is already effective on a column whose files
+        cover small slices. Single-file partitions and columns without
+        footer stats are skipped (nothing to gain / nothing to judge);
+        a degenerate (constant) column never triggers.
+
+        Returns encoded partition tokens accepted verbatim by
+        ``compact_partitions``."""
+        m = self._manifest()
+        if m is None:
+            return []
+        out = []
+        for part_enc in sorted(m["base"]):
+            entry = (m.get("stats") or {}).get(part_enc) or {}
+            files = entry.get("files") or {}
+            if len(files) < min_files:
+                continue
+            worst = 0.0
+            for c in cluster_by:
+                bounds = [fc[c] for fc in files.values() if c in fc]
+                if len(bounds) < min_files:
+                    continue  # stats missing: cannot judge this column
+                lo = min(b[0] for b in bounds)
+                hi = max(b[1] for b in bounds)
+                width = hi - lo
+                if width <= 0:
+                    continue  # degenerate range: clustering is a no-op
+                cov = sum(b[1] - b[0] for b in bounds) / (width * len(bounds))
+                worst = max(worst, cov)
+            if worst > max_coverage:
+                out.append(part_enc)
+        return out
+
+    def auto_cluster(self, cluster_by: list[str],
+                     max_coverage: float = 0.7,
+                     **compact_kw) -> list[str]:
+        """Select-then-rewrite: re-cluster exactly the partitions the
+        overlap metric flags (one atomic commit via
+        ``compact_partitions``); no-op when everything is already
+        tight. Returns the partitions rewritten."""
+        picked = self.clustering_candidates(cluster_by,
+                                            max_coverage=max_coverage)
+        if picked:
+            self.compact_partitions(picked, cluster_by=cluster_by,
+                                    **compact_kw)
+        return picked
+
     def compact_partitions(self, partitions: list,
                            target_files_per_partition: int = 1,
                            cluster_by: list[str] | None = None) -> None:
