@@ -183,3 +183,49 @@ def test_rejects_invalid_clause_kind(spark, runner):
         r.sql("MERGE INTO demo.cdc_db.retail_trans t USING srcx s "
               "ON s.trans_id = t.trans_id "
               "WHEN MATCHED THEN INSERT *")
+
+
+def test_not_matched_by_source_delete_full_sync(spark, runner):
+    """The full-sync statement: matched rows update, new rows insert,
+    target rows ABSENT from the source are deleted."""
+    r, t = runner
+    spark.createDataFrame(
+        [(2, "b", 99), (4, "d", 40)], ROWS
+    ).createOrReplaceTempView("sync_src")
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING sync_src s ON s.trans_id = t.trans_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY TARGET THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+    assert _state(t) == {2: 99, 4: 40}
+
+
+def test_by_source_delete_alone(spark, runner):
+    """Only the BY SOURCE clause: prune target rows not in the source,
+    touch nothing else."""
+    r, t = runner
+    spark.createDataFrame([(1, "a", 0), (3, "c", 0)], ROWS
+                          ).createOrReplaceTempView("keep_src")
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING keep_src s ON s.trans_id = t.trans_id
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+    assert _state(t) == {1: 10, 3: 30}  # 2 pruned; 1,3 NOT updated
+
+
+def test_by_source_guards(spark, runner):
+    r, t = runner
+    spark.createDataFrame([(1, "a", 1)], ROWS).createOrReplaceTempView("gsrc")
+    with pytest.raises(MergeSqlError, match="MATCHED BY SOURCE is not valid"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t USING gsrc s "
+              "ON s.trans_id = t.trans_id "
+              "WHEN MATCHED BY SOURCE THEN DELETE")
+    with pytest.raises(MergeSqlError, match="DELETE only"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t USING gsrc s "
+              "ON s.trans_id = t.trans_id "
+              "WHEN NOT MATCHED BY SOURCE THEN INSERT *")
+    with pytest.raises(MergeSqlError, match="target columns"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t USING gsrc s "
+              "ON s.trans_id = t.trans_id "
+              "WHEN NOT MATCHED BY SOURCE AND s.amount > 5 THEN DELETE")

@@ -603,6 +603,13 @@ def test_clustering_candidates_picks_interleaved_partition(spark, tmp_path):
     picked = table.clustering_candidates(["v", "w"])
     assert picked == ["a"]
 
+    # observability twin: per-(partition, column) coverage rows agree
+    rep = {(r["partition"], r["column"]): r
+           for r in table.clustering_report(["v", "w"]).collect()}
+    assert rep[("a", "v")]["needs_clustering"]
+    assert not rep[("b", "v")]["needs_clustering"]
+    assert rep[("a", "v")]["coverage"] > rep[("b", "v")]["coverage"]
+
     rewritten = table.auto_cluster(["v", "w"],
                                    target_files_per_partition=8)
     assert rewritten == ["a"]

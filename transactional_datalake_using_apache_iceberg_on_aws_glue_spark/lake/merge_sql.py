@@ -26,7 +26,14 @@ raises with a pointer to what IS supported)::
     ON s.<k> = t.<k> [AND s.<k2> = t.<k2> ...]
     [WHEN MATCHED [AND <src-cond>] THEN DELETE]
     [WHEN MATCHED [AND <src-cond>] THEN UPDATE SET *]
-    [WHEN NOT MATCHED [AND <src-cond>] THEN INSERT *]
+    [WHEN NOT MATCHED [BY TARGET] [AND <src-cond>] THEN INSERT *]
+    [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+
+``NOT MATCHED BY SOURCE THEN DELETE`` (the full-sync shape: drop
+target rows absent from the source) is supported unconditionally
+only — a condition there would reference target columns, which this
+subset deliberately excludes. ``BY TARGET`` is the standard's alias
+for the plain NOT MATCHED clause.
 
 - the ON clause must be key equalities over the table's declared
   ``key_cols`` (MERGE's only sound join for a keyed CDC table);
@@ -83,7 +90,8 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?P<by>BY\s+(?:SOURCE|TARGET)\s*)?"
+    r"(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
     r"(?P<action>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -134,11 +142,30 @@ class MergeSqlRunner:
         if not raw_clauses:
             raise MergeSqlError("no WHEN clauses found")
         # (kind, not_matched, cond_text, cond_col) in statement order —
-        # SQL MERGE gives the first admitting clause the row.
+        # SQL MERGE gives the first admitting clause the row. BY SOURCE
+        # deletes are tracked separately: they generate rows FROM the
+        # target, not a routing of source rows.
         parsed = []
+        by_source_delete = False
         for c in raw_clauses:
             action = re.sub(r"\s+", " ", c.group("action")).upper()
             not_matched = bool(c.group("not"))
+            by = re.sub(r"\s+", "", c.group("by") or "").upper()
+            if by == "BYSOURCE":
+                if not not_matched:
+                    raise MergeSqlError(
+                        "WHEN MATCHED BY SOURCE is not valid MERGE")
+                if action != "DELETE":
+                    raise MergeSqlError(
+                        "NOT MATCHED BY SOURCE supports THEN DELETE only "
+                        "in this subset (UPDATE there needs target-side "
+                        "expressions)")
+                if c.group("cond") is not None:
+                    raise MergeSqlError(
+                        "conditions on NOT MATCHED BY SOURCE reference "
+                        "target columns; unsupported in this subset")
+                by_source_delete = True
+                continue
             if action == "DELETE" and not_matched:
                 raise MergeSqlError("WHEN NOT MATCHED THEN DELETE "
                                     "is not meaningful")
@@ -158,9 +185,23 @@ class MergeSqlRunner:
                            self._src_condition(c.group("cond"), salias, talias)))
 
         src = self.spark.table(m.group("source"))
-        batch = (self._fast_path_batch(src, parsed)
-                 if self._fast_path_ok(parsed)
-                 else self._probed_batch(src, table, parsed))
+        parts = []
+        if parsed:
+            parts.append(self._fast_path_batch(src, parsed)
+                         if self._fast_path_ok(parsed)
+                         else self._probed_batch(src, table, parsed))
+        if by_source_delete:
+            # full-sync: target rows whose key has no source row become
+            # deletes — one anti-join on the keys, the operation's
+            # intrinsic cost (same join Spark's own MERGE executes)
+            missing = table.read_data().join(
+                src.select(*table.key_cols).distinct(),
+                on=list(table.key_cols), how="left_anti",
+            ).withColumn(OP_COL, F.lit("delete"))
+            parts.append(missing)
+        batch = parts[0]
+        for extra in parts[1:]:
+            batch = batch.unionByName(extra, allowMissingColumns=True)
         table.merge(batch)
 
     @staticmethod

@@ -1154,16 +1154,25 @@ class ParquetLakeTable:
 
         Returns encoded partition tokens accepted verbatim by
         ``compact_partitions``."""
+        out = []
+        for part_enc, _col, _n, cov in self._coverage_rows(cluster_by,
+                                                           min_files):
+            if cov > max_coverage and part_enc not in out:
+                out.append(part_enc)
+        return sorted(out)
+
+    def _coverage_rows(self, cluster_by: list[str], min_files: int):
+        """(partition_token, column, n_files, coverage) tuples from the
+        manifest stats — the shared metric behind the selector and the
+        report."""
         m = self._manifest()
         if m is None:
-            return []
-        out = []
+            return
         for part_enc in sorted(m["base"]):
             entry = (m.get("stats") or {}).get(part_enc) or {}
             files = entry.get("files") or {}
             if len(files) < min_files:
                 continue
-            worst = 0.0
             for c in cluster_by:
                 bounds = [fc[c] for fc in files.values() if c in fc]
                 if len(bounds) < min_files:
@@ -1174,10 +1183,24 @@ class ParquetLakeTable:
                 if width <= 0:
                     continue  # degenerate range: clustering is a no-op
                 cov = sum(b[1] - b[0] for b in bounds) / (width * len(bounds))
-                worst = max(worst, cov)
-            if worst > max_coverage:
-                out.append(part_enc)
-        return out
+                yield part_enc, c, len(bounds), cov
+
+    def clustering_report(self, cluster_by: list[str],
+                          max_coverage: float = 0.7,
+                          min_files: int = 2) -> DataFrame:
+        """Observability twin of ``clustering_candidates``: one row per
+        (partition, clustered column) with the file count, the mean
+        coverage fraction, and whether it crosses the rewrite
+        threshold — all from manifest metadata, no data scan."""
+        rows = [
+            (p, c, n, round(cov, 6), cov > max_coverage)
+            for p, c, n, cov in self._coverage_rows(cluster_by, min_files)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, column string, n_files int, "
+            "coverage double, needs_clustering boolean",
+        )
 
     def auto_cluster(self, cluster_by: list[str],
                      max_coverage: float = 0.7,

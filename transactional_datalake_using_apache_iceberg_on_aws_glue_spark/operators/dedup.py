@@ -18,20 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# deterministic MinHash parameters (Carter-Wegman style h(x) = (a*x+b) mod p)
-_MERSENNE_P = (1 << 61) - 1
+# deterministic MinHash parameters (Carter-Wegman style h(x) = (a*x+b)
+# mod p). p is the Mersenne prime 2^31-1 and inputs are folded to 31
+# bits so a*x+b stays under 2^62 — pure LONG arithmetic inside
+# whole-stage codegen. (r4 perf fix: the first version used p=2^61-1
+# with decimal(38,0) math, which dropped every row through BigDecimal
+# and made the 64 min-aggregates ~20x slower than the rest of the
+# sketch suite combined.)
+_P31 = (1 << 31) - 1
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs derived from a small LCG — no RNG state,
-    reproducible across runs/engines."""
+    reproducible across runs/engines. a in [1, p-1], b in [0, p-1]."""
     params = []
     x = seed
     for _ in range(num_hashes):
         x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        a = (x | 1) % _MERSENNE_P  # odd, non-zero
+        a = (x % (_P31 - 1)) + 1  # non-zero
         x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
-        b = x % _MERSENNE_P
+        b = x % _P31
         params.append((a, b))
     return params
 
@@ -59,11 +65,13 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def minhash_signatures(pairs: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 64) -> DataFrame:
     """MinHash signature per doc: one shuffle (groupBy id), num_hashes
-    min-aggregates computed map-side first (partial agg)."""
+    min-aggregates computed map-side first (partial agg). All-long
+    arithmetic: shingle hashes fold to 31 bits, so a*x+b < 2^62 and
+    the whole expression stays in codegen."""
     params = _hash_params(num_hashes)
-    x = F.col("shingle_hash").cast("decimal(38,0)")  # avoid 64-bit overflow
+    x = F.col("shingle_hash").bitwiseAND(F.lit(_P31))  # fold to 31 bits
     mins = [
-        F.min(((F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_P)).cast("long")).alias(f"mh_{i}")
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_P31)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(params)
     ]
     return pairs.groupBy(id_col).agg(*mins)
