@@ -1,0 +1,108 @@
+"""Additive NESTED (struct field) schema evolution: a batch may add a
+field inside a struct column; files written before the field existed
+serve NULL for it. Spark's CAST cannot widen a struct, so every read
+path rebuilds structs explicitly: DataFrame slices via
+``table.conform_expr``, compiled SQL views via ``catalog._conform_sql``,
+the change stream via declared-type dict coercion. Iceberg does this
+with field IDs (schema-evolution spec); the manifest pins each
+version's schema so time travel shows the pre-evolution shape.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    ParquetLakeTable,
+)
+
+OLD = ("id long, payload struct<a:int,b:string>, "
+       "_op string, _op_timestamp timestamp, _txn_id long")
+NEW = ("id long, payload struct<a:int,b:string,c:double>, "
+       "_op string, _op_timestamp timestamp, _txn_id long")
+T1 = dt.datetime(2024, 1, 1)
+T2 = dt.datetime(2030, 1, 1)
+
+
+def _mk(spark, tmp_path, **kw):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["id"],
+                         partition_col=None, allow_schema_evolution=True,
+                         **kw)
+    df = spark.createDataFrame(
+        [(1, (10, "x"), "upsert", T1, 1), (2, (20, "y"), "upsert", T1, 1)],
+        OLD,
+    )
+    t.merge(df)
+    return t
+
+
+def _evolve(spark, t):
+    batch = spark.createDataFrame(
+        [(3, (30, "z", 3.5), "upsert", T2, 2),
+         (1, (11, "x2", 1.5), "upsert", T2, 2)],
+        NEW,
+    )
+    t.merge(batch)
+
+
+def _expect(t):
+    got = {r["id"]: (r["payload"]["a"], r["payload"]["b"], r["payload"]["c"])
+           for r in t.read_data().collect()}
+    assert got == {1: (11, "x2", 1.5), 2: (20, "y", None), 3: (30, "z", 3.5)}
+
+
+def test_struct_evolution_cow(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v_before = t.current_version()
+    _evolve(spark, t)
+    assert "c:double" in dict(t.read_data().dtypes)["payload"]
+    _expect(t)
+    # time travel BEFORE the evolution: narrow struct, old values
+    old = t.read_data(as_of_version=v_before)
+    assert "c:double" not in dict(old.dtypes)["payload"]
+    assert {r["id"]: r["payload"]["a"] for r in old.collect()} == {1: 10, 2: 20}
+
+
+def test_struct_evolution_mor_and_scan(spark, tmp_path):
+    t = _mk(spark, tmp_path, merge_mode="mor")
+    _evolve(spark, t)  # delta append; base files keep the narrow struct
+    _expect(t)
+    # scan() goes through _read_files_slice — same conform requirement
+    got = {r["id"]: r["payload"]["c"] for r in t.scan([]).collect()}
+    assert got == {1: 1.5, 2: None, 3: 3.5}
+
+
+def test_struct_evolution_sql_view(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.register_sql("se_t", database="se_db")
+    _evolve(spark, t)  # commit re-registers the view against new schema
+    rows = spark.sql(
+        "SELECT id, payload.a AS a, payload.c AS c FROM se_db.se_t "
+        "ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["a"], r["c"]) for r in rows] == [
+        (1, 11, 1.5), (2, 20, None), (3, 30, 3.5)]
+
+
+def test_struct_evolution_change_stream(spark, tmp_path):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    t = _mk(spark, tmp_path)
+    _evolve(spark, t)
+    register_lake_stream(spark)
+    rows: list = []
+    q = (
+        spark.readStream.format("lake-changes")
+        .option("path", t.path).option("keys", "id").load()
+        .writeStream.foreachBatch(lambda d, b: rows.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: (r["payload"]["a"], r["payload"]["c"]) for r in rows}
+    assert got == {1: (11, 1.5), 2: (20, None), 3: (30, 3.5)}

@@ -86,6 +86,36 @@ def _partition_predicate(partition_col: str, values: list) -> str | None:
     return " OR ".join(clauses)
 
 
+def _conform_sql(expr: str, src_type: T.DataType,
+                 dst_type: T.DataType) -> str:
+    """SQL-text twin of ``table.conform_expr``: CAST for atomics,
+    named_struct rebuild for structs whose files predate added nested
+    fields (SQL CAST cannot widen a struct), transform() for arrays of
+    evolving structs. NULL structs stay NULL."""
+    if isinstance(dst_type, T.StructType):
+        if not isinstance(src_type, T.StructType):
+            return f"CAST(NULL AS {dst_type.simpleString()})"
+        src = {f.name: f.dataType for f in src_type.fields}
+        parts = []
+        for f in dst_type.fields:
+            if f.name in src:
+                sub = _conform_sql(f"{expr}.{_q_ident(f.name)}",
+                                   src[f.name], f.dataType)
+            else:
+                sub = f"CAST(NULL AS {f.dataType.simpleString()})"
+            parts.append(f"'{f.name}', {sub}")
+        rebuilt = f"named_struct({', '.join(parts)})"
+        return (f"IF({expr} IS NULL, "
+                f"CAST(NULL AS {dst_type.simpleString()}), {rebuilt})")
+    if (isinstance(dst_type, T.ArrayType)
+            and isinstance(src_type, T.ArrayType)
+            and src_type.elementType != dst_type.elementType):
+        inner = _conform_sql("__x", src_type.elementType,
+                             dst_type.elementType)
+        return f"transform({expr}, __x -> {inner})"
+    return f"CAST({expr} AS {dst_type.simpleString()})"
+
+
 def view_select_sql(table, as_of_version: int | None = None,
                     as_of_timestamp_ms: int | None = None) -> str:
     """The SELECT equivalent of ``table.read_data(...)`` as SQL text."""
@@ -115,17 +145,21 @@ def view_select_sql(table, as_of_version: int | None = None,
         from .table import resolve_physical_name
 
         root = os.path.join(table.path, dirname)
-        # physical columns of this snapshot (driver metadata probe, no
-        # job) — old snapshots may predate additively-evolved columns
-        # or carry pre-rename names (manifest rename history)
-        phys = set(table.spark.read.parquet(root).columns)
+        # physical schema of this snapshot (driver metadata probe, no
+        # job) — old snapshots may predate additively-evolved columns,
+        # carry pre-rename names (manifest rename history), or hold a
+        # narrower struct than the manifest (nested evolution)
+        phys_schema = table.spark.read.parquet(root).schema
+        phys = set(phys_schema.names)
+        phys_types = {f.name: f.dataType for f in phys_schema.fields}
         renames = m.get("renames", [])
 
         def field_sql(f):
             src = resolve_physical_name(f.name, phys, renames)
             if src is not None:
-                return (f"CAST({_q_ident(src)} AS "
-                        f"{f.dataType.simpleString()}) AS {_q_ident(f.name)}")
+                expr = _conform_sql(_q_ident(src), phys_types[src],
+                                    f.dataType)
+                return f"{expr} AS {_q_ident(f.name)}"
             return (f"CAST(NULL AS {f.dataType.simpleString()})"
                     f" AS {_q_ident(f.name)}")
 

@@ -188,6 +188,61 @@ def resolve_physical_name(current: str, physical_cols, renames: list) -> str | N
     return None
 
 
+def conform_expr(col: Column, src_type: T.DataType,
+                 dst_type: T.DataType) -> Column:
+    """Project a column physically typed ``src_type`` onto the manifest
+    type ``dst_type``: plain CAST for atomics (covers type widening),
+    recursive struct rebuild for ADDITIVE NESTED EVOLUTION — Spark's
+    CAST cannot widen a struct, so files written before a nested field
+    existed need the struct reassembled with NULL for the new field.
+    Arrays of structs conform element-wise via ``transform``. NULL
+    structs stay NULL (not a struct of NULLs)."""
+    if isinstance(dst_type, T.StructType):
+        if not isinstance(src_type, T.StructType):
+            return F.lit(None).cast(dst_type)
+        src = {f.name: f.dataType for f in src_type.fields}
+        parts = []
+        for f in dst_type.fields:
+            if f.name in src:
+                parts.append(
+                    conform_expr(col[f.name], src[f.name], f.dataType)
+                    .alias(f.name))
+            else:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+        rebuilt = F.struct(*parts)
+        return F.when(col.isNull(),
+                      F.lit(None).cast(dst_type)).otherwise(rebuilt)
+    if isinstance(dst_type, T.ArrayType) and isinstance(src_type, T.ArrayType):
+        if src_type.elementType != dst_type.elementType:
+            return F.transform(
+                col,
+                lambda x: conform_expr(x, src_type.elementType,
+                                       dst_type.elementType),
+            )
+        return col.cast(dst_type)
+    return col.cast(dst_type)
+
+
+def merge_struct_types(stored: T.StructType,
+                       incoming: T.StructType) -> T.StructType:
+    """Additive schema union: stored fields keep their order and types;
+    a struct field present in both merges recursively; brand-new
+    incoming fields append at the end (Iceberg's add-column placement)."""
+    inc = {f.name: f for f in incoming.fields}
+    out = []
+    for f in stored.fields:
+        g = inc.get(f.name)
+        if (g is not None and isinstance(f.dataType, T.StructType)
+                and isinstance(g.dataType, T.StructType)):
+            out.append(T.StructField(
+                f.name, merge_struct_types(f.dataType, g.dataType), True))
+        else:
+            out.append(f)
+    stored_names = {f.name for f in stored.fields}
+    out += [g for g in incoming.fields if g.name not in stored_names]
+    return T.StructType(out)
+
+
 class BranchDivergedError(RuntimeError):
     """Raised by ``publish_branch`` when main advanced past the
     branch's fork point — a fast-forward would silently drop main's
@@ -547,10 +602,13 @@ class ParquetLakeTable:
             ]
             df = self.spark.read.option("basePath", base).parquet(*leaves)
         cols = []
+        phys_types = {f.name: f.dataType for f in df.schema.fields}
         for f in schema.fields:
             phys = resolve_physical_name(f.name, df.columns, renames or [])
             if phys is not None:
-                cols.append(F.col(phys).cast(f.dataType).alias(f.name))
+                cols.append(
+                    conform_expr(F.col(phys), phys_types[phys], f.dataType)
+                    .alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -833,10 +891,13 @@ class ParquetLakeTable:
         paths = [os.path.join(base, rel) for rel in relpaths]
         df = self.spark.read.option("basePath", base).parquet(*paths)
         cols = []
+        phys_types = {f.name: f.dataType for f in df.schema.fields}
         for f in schema.fields:
             phys = resolve_physical_name(f.name, df.columns, renames or [])
             if phys is not None:
-                cols.append(F.col(phys).cast(f.dataType).alias(f.name))
+                cols.append(
+                    conform_expr(F.col(phys), phys_types[phys], f.dataType)
+                    .alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -1690,8 +1751,11 @@ class ParquetLakeTable:
             for f in stored.fields:  # missing stored columns fill NULL
                 if f.name not in delta.columns:
                     delta = delta.withColumn(f.name, F.lit(None).cast(f.dataType))
-            new_fields = [f for f in delta.schema.fields if f.name not in stored.names]
-            schema = T.StructType(list(stored.fields) + new_fields)
+            # recursive union: new top-level columns append, and a
+            # struct column carrying new nested fields widens the
+            # stored struct (additive nested evolution) — read paths
+            # conform older/narrower files via conform_expr
+            schema = merge_struct_types(stored, delta.schema)
         else:
             delta = delta.select(*stored.names)  # errors loudly on drift
             schema = stored

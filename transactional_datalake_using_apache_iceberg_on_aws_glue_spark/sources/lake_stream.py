@@ -294,6 +294,18 @@ def _coerce(v, dtype):
     import numpy as np
     import pandas as pd
 
+    if isinstance(dtype, T.StructType):
+        # struct columns arrive as dicts from pyarrow; files written
+        # before a nested field existed lack its key — fill None and
+        # coerce subvalues (additive nested evolution)
+        if isinstance(v, dict):
+            return {f.name: _coerce(v.get(f.name), f.dataType)
+                    for f in dtype.fields}
+        return None if v is None or (not isinstance(v, (list, tuple))
+                                     and pd.isna(v)) else v
+    if isinstance(dtype, T.ArrayType) and isinstance(
+            v, (list, tuple, np.ndarray)):
+        return [_coerce(x, dtype.elementType) for x in v]
     if v is None or (not isinstance(v, (list, tuple, np.ndarray))
                      and pd.isna(v)):
         return None
