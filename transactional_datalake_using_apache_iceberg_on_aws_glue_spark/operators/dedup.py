@@ -144,6 +144,12 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
     Returns (doc_a, doc_b[, jaccard]) near-duplicate pairs.
     """
     sh = shingle_hashes(docs, text_col, id_col)
+    if verify:
+        # the shingle frame feeds BOTH the signatures and the exact-
+        # Jaccard verification; a lazy localCheckpoint materializes it
+        # once on first use instead of re-tokenizing the corpus twice
+        # (freed with the DataFrame, no explicit unpersist needed)
+        sh = sh.localCheckpoint(eager=False)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
     if not verify:
