@@ -36,15 +36,19 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_type_profit",
     "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_shipmode",
     "q13_customer_distribution",
+    "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q20_dominant_part_suppliers",
     "q21_exclusive_return_supplier",
     "q22_dormant_rich_customers",
     "topk_suppliers_per_nation",
     "rollup_grouping_sets_lineitem",
     "distinct_counts_lineitem",
-    "events_daily_rollup",
+    "events_json_daily_rollup",
     "events_sessionization",
     "window_frames_orders",
     "events_asof_signup",

@@ -28,8 +28,11 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_q3_uses_take_ordered(spark, sf_dir):
+    # global orderBy+limit plans as TakeOrderedAndProject (per-partition
+    # heaps, no full sort) — q3 and q18 are the registry's gated carriers
+    # of the shape since global_topk_orders retired in r4
     assert P.has_take_ordered(_q("q3_shipping_priority", spark, sf_dir))
-    assert P.has_take_ordered(_q("global_topk_orders", spark, sf_dir))
+    assert P.has_take_ordered(_q("q18_large_volume_customers", spark, sf_dir))
 
 
 def test_semi_join_prunes_probe_columns(spark, sf_dir):
@@ -37,7 +40,7 @@ def test_semi_join_prunes_probe_columns(spark, sf_dir):
     own filter column — the semi branch filters o_orderstatus, the anti
     branch o_totalprice; anything else (o_orderdate, o_comment, ...) in
     ReadSchema means Catalyst failed to column-prune the probe."""
-    df = _q("semi_anti_join_customers", spark, sf_dir)
+    df = _q("set_semi_anti_customers", spark, sf_dir)
     scans = P.read_schema_columns(df)
     order_scans = [s for s in scans if "o_custkey" in s]
     allowed = [{"o_custkey", "o_orderstatus"}, {"o_custkey", "o_totalprice"}]
@@ -114,3 +117,44 @@ def test_q9_pushes_name_filter_and_avoids_cartesian(spark, sf_dir):
     assert P.has_broadcast_join(df)
     assert not P.has_cartesian(df)
     assert any("p_name" in f for f in P.pushed_filters(df))
+
+
+def test_q12_pushes_shipdate_range(spark, sf_dir):
+    df = _q("q12_priority_shipmode", spark, sf_dir)
+    pushed = P.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    # the orders scan reads only the join key + priority column
+    scans = P.read_schema_columns(df)
+    order_scans = [s for s in scans if "o_orderkey" in s]
+    assert order_scans and all(
+        s == {"o_orderkey", "o_orderpriority"} for s in order_scans
+    ), scans
+
+
+def test_q16_broadcasts_complaint_anti_join(spark, sf_dir):
+    df = _q("q16_supplier_part_variety", spark, sf_dir)
+    plan = P.executed_plan(df)
+    # the NOT IN exclusion list is dimension-sized: must broadcast, and
+    # the p_size IN-list must reach the part scan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    assert any("p_size" in f for f in P.pushed_filters(df))
+
+
+def test_q20_semi_join_no_cartesian(spark, sf_dir):
+    df = _q("q20_dominant_part_suppliers", spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert not P.has_cartesian(df)
+    # p_name LIKE 'small%' is sargable: pushed as StringStartsWith
+    assert any("p_name" in f for f in P.pushed_filters(df))
+
+
+def test_q11_scalar_threshold_is_broadcast_not_shuffle(spark, sf_dir):
+    """The global-total comparison must join the 1-row aggregate in as a
+    broadcast (nested-loop over one row == a literal), never shuffle the
+    per-part side again; dims broadcast into the fact scan."""
+    df = _q("q11_important_parts", spark, sf_dir)
+    plan = P.executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -27,12 +27,20 @@ def _full_explain(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across the plan's file scans."""
+    """All PushedFilters entries across the plan's file scans.
+
+    Plan text may truncate long filter lists with '...' before the
+    closing bracket (and In-list filters nest brackets), so parse to
+    end-of-segment rather than requiring a well-formed ']'."""
     text = _full_explain(df)
     out = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        if m.group(1).strip():
-            out.extend(p.strip() for p in m.group(1).split(","))
+    for m in re.finditer(r"PushedFilters: \[([^\n]*)", text):
+        body = m.group(1)
+        # stop at ", ReadSchema" (same line) if present, else EOL
+        body = body.split(", ReadSchema")[0].rstrip()
+        body = body.rstrip("]").rstrip(".")
+        if body.strip():
+            out.extend(p.strip() for p in body.split(",") if p.strip())
     return out
 
 

@@ -22,47 +22,40 @@ from . import register
 
 
 @register(
-    "events_daily_rollup",
+    "events_json_daily_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n, round(sum(value), 2) AS total_value,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_k_n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
     FROM events
     GROUP BY 1, 2
     """,
     doc="Tumbling 1-day event-time window as a batch groupBy on "
         "date_trunc — in streaming this is F.window(ts, '1 day') with a "
-        "watermark; semantics identical (T6).",
-    tags=("events", "window-agg"),
+        "watermark; semantics identical (T6) — enriched with JSON scalar "
+        "extraction from the props column (F.get_json_object, the "
+        "new-engine equivalent of the envelope JSON decode, S1/F-json): "
+        "a conditional count over the extracted value plus its NULL-"
+        "skipping average. (Registry consolidation r4: former "
+        "events_daily_rollup + events_json_props, merged to make room "
+        "for TPC-H q11/q12/q16/q20 under the driver's 50-row window.)",
+    tags=("events", "window-agg", "json"),
 )
-def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-
-
-@register(
-    "events_json_props",
-    oracle="""
-    SELECT event_type,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
-           count(*) AS n
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
-    GROUP BY event_type
-    """,
-    doc="JSON scalar extraction (F.get_json_object) + predicate + agg. "
-        "The new-engine equivalent of the envelope JSON decode (S1/F-json).",
-    tags=("events", "json"),
-)
-def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_json_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("double")
     return (
         ev.withColumn("k", k)
-        .filter(F.col("k") > 50)
-        .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count("*").alias("n"))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint")
+            .alias("high_k_n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
     )
 
 

@@ -169,28 +169,14 @@ def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lake_time_travel_v1",
+    "lake_time_travel_changelog",
     oracle=f"""
-    SELECT o_orderkey AS trans_id, o_orderstatus AS event,
-           {_CENTS_SQL} AS amount_cents
+    SELECT o_orderkey AS trans_id, 'time_travel_v1' AS _change_type,
+           o_orderstatus AS event, {_CENTS_SQL} AS amount_cents
     FROM orders
-    """,
-    doc="read_data(as_of_version=1): the pre-DML snapshot must equal "
-        "the plain orders projection — time travel under the oracle "
-        "gate (Iceberg VERSION AS OF parity).",
-    tags=("cdc", "lake", "time-travel"),
-)
-def lake_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lake(spark, sf_dir, "cow").read_data(as_of_version=1).select(
-        "trans_id", "event", "amount_cents"
-    )
-
-
-@register(
-    "lake_changelog_v1_v2",
-    oracle=f"""
-    SELECT o_orderkey AS trans_id, 'update_postimage' AS _change_type,
-           o_orderstatus AS event, {_CENTS_SQL} + 100000 AS amount_cents
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', o_orderstatus,
+           {_CENTS_SQL} + 100000
     FROM orders WHERE o_orderkey % 10 = 0
     UNION ALL
     SELECT o_orderkey, 'delete', o_orderstatus, {_CENTS_SQL}
@@ -199,13 +185,24 @@ def lake_time_travel_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey + {_NEW}, 'insert', o_orderstatus, {_CENTS_SQL} + 7
     FROM orders WHERE o_orderkey % 30 = 2
     """,
-    doc="read_changes(1, 2): the snapshot diff must reproduce the DML "
-        "wave exactly (insert/update_postimage/delete tagged rows) — "
-        "incremental changelog read under the oracle gate (Iceberg "
-        "create_changelog_view parity).",
-    tags=("cdc", "lake", "changelog"),
+    doc="Time travel + incremental changelog in one tagged union: "
+        "read_data(as_of_version=1) must equal the plain orders "
+        "projection (Iceberg VERSION AS OF parity; tagged "
+        "'time_travel_v1'), and read_changes(1, 2) must reproduce the "
+        "DML wave exactly (insert/update_postimage/delete tagged rows; "
+        "Iceberg create_changelog_view parity) — both value-hashed "
+        "against pure SQL over orders. (Registry consolidation r4: "
+        "former lake_time_travel_v1 + lake_changelog_v1_v2, same "
+        "fixture table, merged to make room for TPC-H q11/q12/q16/q20 "
+        "under the driver's 50-row window.)",
+    tags=("cdc", "lake", "time-travel", "changelog"),
 )
-def lake_changelog_v1_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lake(spark, sf_dir, "cow").read_changes(1, 2).select(
-        "trans_id", "_change_type", "event", "amount_cents"
+def lake_time_travel_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _lake(spark, sf_dir, "cow")
+    v1 = t.read_data(as_of_version=1).select(
+        "trans_id", F.lit("time_travel_v1").alias("_change_type"),
+        "event", "amount_cents",
     )
+    return v1.unionByName(t.read_changes(1, 2).select(
+        "trans_id", "_change_type", "event", "amount_cents"
+    ))

@@ -187,43 +187,6 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Semi / anti joins (SURVEY §2.3 notes them as required surface).
-# --------------------------------------------------------------------------
-@register(
-    "semi_anti_join_customers",
-    oracle="""
-    SELECT 'has_f_order' AS tag, c_custkey, c_name
-    FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                  AND o_orderstatus = 'F')
-    UNION ALL
-    SELECT 'no_big_order' AS tag, c_custkey, c_name
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                      AND o_totalprice > 300000)
-    """,
-    doc="LEFT SEMI (== EXISTS) and LEFT ANTI (== NOT EXISTS) branches in "
-        "one tagged union — both shuffle only the key column of the probe "
-        "side after Catalyst column-prunes; ANTI is the same primitive "
-        "the manual merge fallback uses (SURVEY §2.3 J2 fallback). "
-        "(Registry consolidation r2: former semi_join_customers_with_"
-        "orders + anti_join_customers_without_orders.)",
-    tags=("join",),
-)
-def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    semi = cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi").select(
-        F.lit("has_f_order").alias("tag"), "c_custkey", "c_name"
-    )
-    anti = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
-        F.lit("no_big_order").alias("tag"), "c_custkey", "c_name"
-    )
-    return semi.unionByName(anti)
-
-
-# --------------------------------------------------------------------------
 # Window ranking: per-group top-k (generalization of the CDC dedup W1).
 # --------------------------------------------------------------------------
 @register(
@@ -312,7 +275,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations.
 # --------------------------------------------------------------------------
 @register(
-    "set_ops_segment_customers",
+    "set_semi_anti_customers",
     oracle="""
     SELECT 'union_distinct' AS tag, c_custkey FROM (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -333,16 +296,32 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       EXCEPT
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    UNION ALL
+    SELECT 'has_f_order' AS tag, c_custkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'no_big_order' AS tag, c_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 300000)
     """,
-    doc="The full set-op family in one tagged union: UNION (distinct), "
-        "UNION ALL (bag semantics — duplicates intentionally survive), "
-        "INTERSECT, EXCEPT. Spark plans the distinct variants as hash "
-        "aggregations/semi-anti joins on the key — no row explosion. "
+    doc="The full set-op family plus LEFT SEMI (== EXISTS) and LEFT ANTI "
+        "(== NOT EXISTS) in one tagged union: UNION (distinct), UNION ALL "
+        "(bag semantics — duplicates intentionally survive), INTERSECT, "
+        "EXCEPT, left_semi, left_anti. Spark plans the distinct set ops "
+        "as hash aggregations/semi-anti joins on the key — no row "
+        "explosion; the semi/anti branches shuffle only the probe key "
+        "after Catalyst column-prunes (ANTI is the same primitive the "
+        "manual merge fallback uses, SURVEY §2.3 J2 fallback). "
         "(Registry consolidation r2: former set_ops_segment_customers + "
-        "union_all_order_tiers + intersect_segments.)",
-    tags=("setop",),
+        "union_all_order_tiers + intersect_segments; r4: absorbs former "
+        "semi_anti_join_customers to make room for TPC-H q11/q12/q16/"
+        "q20 under the driver's 50-row window.)",
+    tags=("setop", "join"),
 )
-def set_ops_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich5k = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -353,11 +332,20 @@ def set_ops_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_custkey").alias("c_custkey"))
     )
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     branches = [
         ("union_distinct", building.union(rich5k).distinct()),
         ("union_all", building.unionAll(rich5k)),
         ("intersect", rich1k.intersect(f_orders)),
         ("except", building.subtract(machinery)),  # EXCEPT DISTINCT
+        ("has_f_order",
+         cust.join(_t(spark, sf_dir, "orders")
+                   .filter(F.col("o_orderstatus") == "F"),
+                   cust.c_custkey == F.col("o_custkey"), "left_semi")
+             .select("c_custkey")),
+        ("no_big_order",
+         cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+             .select("c_custkey")),
     ]
     out = None
     for tag, df in branches:
@@ -367,27 +355,11 @@ def set_ops_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Global top-k + distinct counting.
+# Distinct counting.
+# (global_topk_orders retired in r4: its TakeOrderedAndProject shape is
+# already hash-gated through q3/q18 and plan-pinned in test_plans.py —
+# the slot went to a TPC-H query under the driver's 50-row window.)
 # --------------------------------------------------------------------------
-@register(
-    "global_topk_orders",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
-    """,
-    doc="Global top-k: orderBy+limit plans as TakeOrderedAndProject — "
-        "per-partition heaps, no global sort, scale-safe.",
-    tags=("topk",),
-)
-def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(15)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
-    )
-
-
 @register(
     "distinct_counts_lineitem",
     oracle="""
@@ -1058,4 +1030,202 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) custsale
         GROUP BY cntrycode
         """
+    )
+
+
+# --------------------------------------------------------------------------
+# r4: the last four TPC-H shapes — the registry now covers all 22
+# (q6/q14/q19 consolidated in revenue_kpis_q6_q14_q19; the rest
+# standalone). No partsupp table exists in the fixture schema, so —
+# exactly like q2_min_cost_supplier — lineitem plays the part-supplier
+# link and monetary thresholds use exact integer cents so a float
+# summation-order difference can never flip threshold membership
+# across engines.
+# --------------------------------------------------------------------------
+_CENTS_VALUE = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)"
+)
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH natparts AS (
+      SELECT l_partkey, {_CENTS_VALUE} AS value_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    )
+    SELECT l_partkey,
+           CAST(sum(value_cents) AS BIGINT) AS part_value_cents
+    FROM natparts
+    GROUP BY l_partkey
+    HAVING sum(value_cents) * 1000 > (SELECT sum(value_cents) FROM natparts)
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part value restricted to "
+        "one nation group, kept only when it exceeds a fraction of the "
+        "GLOBAL total — a grouped aggregate filtered against an "
+        "uncorrelated scalar subquery over the same input. Spark plan: "
+        "nation/supplier broadcast into the lineitem scan, one shuffle "
+        "for the per-part aggregate, and the one-row global total joins "
+        "back as a broadcast nested loop (a scalar, not a shuffle). "
+        "Value arithmetic is exact BIGINT cents; the threshold compare "
+        "multiplies instead of dividing so no float ever appears. "
+        "Fractional threshold 1/1000 as in the spec.",
+    tags=("agg", "subquery", "join"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    value_cents = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.col("l_quantity").cast("bigint")
+    )
+    natparts = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("l_partkey", value_cents.alias("value_cents"))
+    )
+    per_part = natparts.groupBy("l_partkey").agg(
+        F.sum("value_cents").alias("part_value_cents")
+    )
+    total = natparts.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))  # 1-row scalar, broadcast cross join
+        .filter(F.col("part_value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "part_value_cents")
+    )
+
+
+@register(
+    "q12_priority_shipmode",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (l_linestatus standing in for l_shipmode, which "
+        "this schema lacks): fact-fact equi-join with a date range "
+        "pushed to the lineitem scan, then CASE-conditional counts — "
+        "the canonical pivot-by-predicate aggregate. One shuffle for "
+        "the join (AQE may broadcast the filtered side at small SF), "
+        "map-side partial agg on a 2-value key.",
+    tags=("join", "agg"),
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem as the part-supplier link; the "
+        "s_acctbal < 1000 set plays the 'customer complaints' exclusion "
+        "list): negated attribute filters + IN-list pushed to the part "
+        "scan, NOT IN planned as a broadcast left-anti join against the "
+        "(tiny, dimension-sized) excluded-supplier set, then COUNT "
+        "DISTINCT suppliers per (brand, type, size). The distinct "
+        "aggregate shuffles on the 3-part group key — grows with the "
+        "part catalog, not with fact rows.",
+    tags=("join", "agg", "subquery"),
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(complaints), li.l_suppkey == complaints.s_suppkey,
+                "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_partkey, l_suppkey
+    ), shares AS (
+      SELECT l_suppkey, qty,
+             sum(qty) OVER (PARTITION BY l_partkey) AS total_qty
+      FROM shipped
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shares
+                        WHERE qty * 5 > total_qty)
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): suppliers who "
+        "shipped more than 20% of the total quantity of some 'small%' "
+        "part — a nested IN whose inner query compares a per-(part,"
+        "supplier) aggregate against a correlated per-part total. Like "
+        "q2, the correlated total is expressed as a window sum over the "
+        "aggregated frame (one extra hash exchange on l_partkey, no "
+        "re-scan of the fact), and the outer IN plans as a left-semi "
+        "join. Quantities are exact BIGINTs; share>0.2 is qty*5>total "
+        "so no float division.",
+    tags=("join", "subquery", "window"),
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        shipped.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 5 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return supp.join(winners, supp.s_suppkey == winners.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
     )

@@ -121,6 +121,11 @@ def build_session(
         # blind the lake manifest's scan planning (lake/scan.py) to
         # every timestamp predicate.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # plan-text metadata (PushedFilters / ReadSchema lines) truncates
+        # at 100 chars by default, hiding pushed filters from the plan
+        # introspection helpers (plans/explain.py) and from humans
+        # debugging with .explain("formatted")
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
