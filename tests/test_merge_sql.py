@@ -93,7 +93,7 @@ def test_combined_statement_with_op_condition(spark, runner):
 def test_merge_sql_rejects_out_of_subset(spark, runner):
     r, t = runner
     spark.createDataFrame([(1, "a", 1)], ROWS).createOrReplaceTempView("src")
-    with pytest.raises(MergeSqlError, match="unknown MERGE target"):
+    with pytest.raises(MergeSqlError, match="unknown DML target"):
         r.sql("MERGE INTO nope.t t USING src s ON s.trans_id = t.trans_id "
               "WHEN MATCHED THEN DELETE")
     with pytest.raises(MergeSqlError, match="key equalities"):
@@ -107,7 +107,7 @@ def test_merge_sql_rejects_out_of_subset(spark, runner):
               "ON s.trans_id = t.trans_id "
               "WHEN MATCHED AND t.amount > 5 THEN DELETE")
     with pytest.raises(MergeSqlError, match="unsupported statement"):
-        r.sql("DELETE FROM demo.cdc_db.retail_trans")
+        r.sql("TRUNCATE TABLE demo.cdc_db.retail_trans")
 
 
 def test_merge_sql_snapshots_and_idempotent_replay(spark, runner):
@@ -229,3 +229,116 @@ def test_by_source_guards(spark, runner):
         r.sql("MERGE INTO demo.cdc_db.retail_trans t USING gsrc s "
               "ON s.trans_id = t.trans_id "
               "WHEN NOT MATCHED BY SOURCE AND s.amount > 5 THEN DELETE")
+
+
+# -- row-level DML statements (DELETE FROM / UPDATE / INSERT INTO) -------
+
+
+def test_delete_from_where(spark, runner):
+    r, t = runner
+    r.sql("DELETE FROM demo.cdc_db.retail_trans WHERE amount >= 20")
+    assert _state(t) == {1: 10}
+
+
+def test_delete_from_all_rows_and_alias(spark, runner):
+    r, t = runner
+    r.sql("DELETE FROM demo.cdc_db.retail_trans AS x "
+          "WHERE x.customer_id = 'b'")
+    assert _state(t) == {1: 10, 3: 30}
+    r.sql("DELETE FROM demo.cdc_db.retail_trans")
+    assert _state(t) == {}
+
+
+def test_update_set_where(spark, runner):
+    r, t = runner
+    r.sql("UPDATE demo.cdc_db.retail_trans "
+          "SET amount = amount * 2 WHERE trans_id <= 2")
+    assert _state(t) == {1: 20, 2: 40, 3: 30}
+
+
+def test_update_multi_set_uses_preimage(spark, runner):
+    """All SET expressions evaluate against the PRE-update row (SQL
+    semantics): swapping via a = a + b-ish chains must not see the
+    updated value of an earlier assignment."""
+    r, t = runner
+    r.sql("UPDATE demo.cdc_db.retail_trans t "
+          "SET amount = t.amount + 1, "
+          "customer_id = concat(t.customer_id, cast(t.amount AS string)) "
+          "WHERE t.trans_id = 1")
+    row = {x["trans_id"]: x for x in t.read_data().collect()}
+    assert row[1]["amount"] == 11
+    assert row[1]["customer_id"] == "a10"  # pre-update amount, not 11
+
+
+def test_update_guards(spark, runner):
+    r, _ = runner
+    with pytest.raises(MergeSqlError, match="key column"):
+        r.sql("UPDATE demo.cdc_db.retail_trans SET trans_id = 9")
+    with pytest.raises(MergeSqlError, match="unknown column"):
+        r.sql("UPDATE demo.cdc_db.retail_trans SET nope = 1")
+    with pytest.raises(MergeSqlError, match="duplicate SET"):
+        r.sql("UPDATE demo.cdc_db.retail_trans "
+              "SET amount = 1, amount = 2")
+
+
+def test_insert_values_and_select(spark, runner):
+    r, t = runner
+    r.sql("INSERT INTO demo.cdc_db.retail_trans "
+          "VALUES (7, 'g', 70), (8, 'h', 80)")
+    assert _state(t) == {1: 10, 2: 20, 3: 30, 7: 70, 8: 80}
+    # explicit column list, reordered; SELECT source
+    r.sql("INSERT INTO demo.cdc_db.retail_trans (amount, trans_id, "
+          "customer_id) SELECT 90, 9, 'i'")
+    assert _state(t)[9] == 90
+
+
+def test_insert_duplicate_key_resolves_latest_wins(spark, runner):
+    """Documented divergence from Iceberg's append-only INSERT: on a
+    keyed latest-wins table a re-INSERT of an existing key replaces
+    the row instead of duplicating it."""
+    r, t = runner
+    r.sql("INSERT INTO demo.cdc_db.retail_trans VALUES (2, 'b', 999)")
+    assert _state(t) == {1: 10, 2: 999, 3: 30}
+    assert t.read_data().count() == 3
+
+
+def test_insert_guards(spark, runner):
+    r, _ = runner
+    with pytest.raises(MergeSqlError, match="missing"):
+        r.sql("INSERT INTO demo.cdc_db.retail_trans (trans_id) VALUES (5)")
+    with pytest.raises(MergeSqlError, match="not in table columns"):
+        r.sql("INSERT INTO demo.cdc_db.retail_trans (trans_id, "
+              "customer_id, wrong) VALUES (5, 'e', 1)")
+    with pytest.raises(MergeSqlError, match="expected 3"):
+        r.sql("INSERT INTO demo.cdc_db.retail_trans VALUES (5, 'e')")
+
+
+def test_dml_requires_existing_table(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "fresh"),
+                         key_cols=["trans_id"], partition_col=None)
+    r = MergeSqlRunner(spark)
+    r.register("fresh", t)
+    with pytest.raises(MergeSqlError, match="no committed snapshot"):
+        r.sql("DELETE FROM fresh WHERE trans_id = 1")
+    with pytest.raises(MergeSqlError, match="no committed snapshot"):
+        r.sql("UPDATE fresh SET amount = 1")
+
+
+def test_delete_where_prunes_partitions(spark, tmp_path):
+    """COW DELETE with a partition-column WHERE must leave the other
+    partition's files untouched (Iceberg partition-scoped rewrite)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "p"), key_cols=["trans_id"],
+                         partition_col="event")
+    t.create(spark.createDataFrame(
+        [(1, "visit", 10), (2, "cart", 20), (3, "visit", 30)],
+        "trans_id long, event string, amount int"))
+    before = dict(t._manifest()["base"])
+    r = MergeSqlRunner(spark)
+    r.register("p", t)
+    r.sql("DELETE FROM p WHERE event = 'visit' AND amount > 15")
+    assert _state(t) == {1: 10, 2: 20}
+    after = t._manifest()["base"]
+    key_cart = next(k for k in before if "cart" in k)
+    key_visit = next(k for k in before if "visit" in k)
+    assert after[key_cart] == before[key_cart]  # untouched files
+    assert after[key_visit] != before[key_visit]

@@ -71,6 +71,31 @@ against the table's current key set and evaluates the clauses in
 statement order against the real matched flag — the same
 source-to-target join a row-level-operation engine (Iceberg MERGE)
 performs.
+
+Beyond MERGE, the runner accepts the other three row-level DML
+statements Iceberg's session extension adds to Spark SQL (the full
+surface an Athena/Iceberg user of the reference table has)::
+
+    DELETE FROM <ident> [[AS] t] [WHERE <cond>]
+    UPDATE <ident> [[AS] t] SET <col> = <expr> [, ...] [WHERE <cond>]
+    INSERT INTO <ident> [(c1, ..., cn)] (VALUES (...), ... | SELECT ...)
+
+All three compile onto the same keyed ``table.merge`` one-pass plan:
+
+- DELETE scans the current state with the WHERE pushed into the
+  snapshot read (partition/footer-stat pruning applies), keeps only
+  the key columns, and merges them as ``_op='delete'`` rows — the
+  copy-on-write rewrite then touches only partitions holding matches,
+  exactly Iceberg's COW DELETE shape.
+- UPDATE scans matching rows, applies the SET expressions (full-row
+  image result), and merges them as upserts. SET on a key column is
+  rejected — a key rewrite is a delete+insert, which MERGE expresses
+  explicitly.
+- INSERT evaluates its source (a VALUES literal or any Spark SELECT),
+  conforms it to the declared column order/types, and merges as
+  upserts (this engine is keyed latest-wins; appending a duplicate
+  key resolves to the newest image rather than a duplicate row —
+  documented divergence from Iceberg's append-only INSERT).
 """
 
 from __future__ import annotations
@@ -95,6 +120,43 @@ _CLAUSE_RE = re.compile(
     r"(?P<action>DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b)\w+))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!SET\b)\w+))?"
+    r"\s+SET\s+(?P<set>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.`]+)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?"
+    r"\s+(?P<src>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas outside parentheses (SET lists, column lists —
+    expression arguments keep their commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
 
 
 class MergeSqlError(ValueError):
@@ -120,21 +182,25 @@ class MergeSqlRunner:
         return ident.replace("`", "").strip().lower()
 
     def sql(self, statement: str) -> None:
-        """Parse and execute one MERGE INTO statement."""
+        """Parse and execute one DML statement (MERGE INTO, DELETE
+        FROM, UPDATE, or INSERT INTO) against a registered table."""
+        head = statement.lstrip()[:6].upper()
+        if head.startswith("DELETE"):
+            return self._run_delete(statement)
+        if head.startswith("UPDATE"):
+            return self._run_update(statement)
+        if head.startswith("INSERT"):
+            return self._run_insert(statement)
         m = _MERGE_RE.match(statement)
         if not m:
             raise MergeSqlError(
                 "unsupported statement; expected MERGE INTO <t> t USING "
                 "<s> s ON ... WHEN [NOT] MATCHED [AND cond] THEN "
-                "DELETE | UPDATE SET * | INSERT *"
+                "DELETE | UPDATE SET * | INSERT * — or DELETE FROM / "
+                "UPDATE ... SET / INSERT INTO"
             )
-        target = self._norm_ident(m.group("target"))
-        if target not in self._tables:
-            raise MergeSqlError(
-                f"unknown MERGE target {m.group('target')!r}; "
-                f"registered: {sorted(self._tables)}"
-            )
-        table = self._tables[target]
+        # MERGE may target a not-yet-created table (first merge creates)
+        table = self._resolve(m.group("target"), require_exists=False)
         talias, salias = m.group("talias"), m.group("salias")
         self._check_on(m.group("on"), table, talias, salias)
 
@@ -264,6 +330,149 @@ class MergeSqlRunner:
         return (probed.filter(admitted)
                 .withColumn(OP_COL, op_expr)
                 .drop(marker))
+
+    # -- row-level DML statements (Iceberg SQL-extension parity) ---------
+
+    def _resolve(self, ident: str,
+                 require_exists: bool = True) -> ParquetLakeTable:
+        target = self._norm_ident(ident)
+        if target not in self._tables:
+            raise MergeSqlError(
+                f"unknown DML target {ident!r}; "
+                f"registered: {sorted(self._tables)}"
+            )
+        table = self._tables[target]
+        if require_exists and not table.exists():
+            raise MergeSqlError(
+                f"DML target {ident!r} has no committed snapshot yet; "
+                "create it first (ParquetLakeTable.create or a MERGE)"
+            )
+        return table
+
+    @staticmethod
+    def _where_expr(cond: str | None, alias: str | None):
+        if cond is None:
+            return None
+        if alias:
+            cond = re.sub(rf"\b{alias}\.", "", cond, flags=re.IGNORECASE)
+        return F.expr(cond)
+
+    def _run_delete(self, statement: str) -> None:
+        """``DELETE FROM t WHERE ...`` — Iceberg COW DELETE shape: the
+        WHERE is pushed into the snapshot scan (partition/footer-stat
+        pruning), matching rows merge as ``_op='delete'``, and the
+        rewrite touches only partitions that actually hold matches
+        (``merge``'s affected-partition probe)."""
+        m = _DELETE_RE.match(statement)
+        if not m:
+            raise MergeSqlError(
+                "unsupported DELETE; expected "
+                "DELETE FROM <t> [[AS] a] [WHERE <cond>]"
+            )
+        table = self._resolve(m.group("target"))
+        cond = self._where_expr(m.group("where"), m.group("alias"))
+        data = table.read_data()
+        batch = data.filter(cond) if cond is not None else data
+        table.merge(batch.withColumn(OP_COL, F.lit("delete")))
+
+    def _run_update(self, statement: str) -> None:
+        """``UPDATE t SET c = expr [, ...] WHERE ...`` — scans matching
+        rows, applies every SET expression against the PRE-update row
+        image (standard SQL: one select, not chained withColumn), and
+        merges the full-row results as upserts. SET on a key column is
+        rejected (a key rewrite is delete+insert — say it with MERGE)."""
+        m = _UPDATE_RE.match(statement)
+        if not m:
+            raise MergeSqlError(
+                "unsupported UPDATE; expected "
+                "UPDATE <t> [[AS] a] SET c = expr [, ...] [WHERE <cond>]"
+            )
+        table = self._resolve(m.group("target"))
+        alias = m.group("alias")
+        data = table.read_data()
+        assignments: dict[str, str] = {}
+        for piece in _split_top_level(m.group("set")):
+            am = re.match(r"^(\w+)\s*=\s*(.+)$", piece, re.DOTALL)
+            if not am:
+                raise MergeSqlError(f"bad SET assignment {piece!r}")
+            col = am.group(1)
+            matches = [c for c in data.columns if c.lower() == col.lower()]
+            if not matches:
+                raise MergeSqlError(
+                    f"SET references unknown column {col!r}; "
+                    f"table columns: {data.columns}"
+                )
+            col = matches[0]
+            if col in table.key_cols:
+                raise MergeSqlError(
+                    f"SET on key column {col!r} is not supported — a key "
+                    "rewrite is a delete+insert; express it with MERGE"
+                )
+            if col in assignments:
+                raise MergeSqlError(f"duplicate SET of column {col!r}")
+            rhs = am.group(2).strip()
+            if alias:
+                rhs = re.sub(rf"\b{alias}\.", "", rhs, flags=re.IGNORECASE)
+            assignments[col] = rhs
+        cond = self._where_expr(m.group("where"), alias)
+        matched = data.filter(cond) if cond is not None else data
+        new_cols = {
+            c: F.expr(rhs).cast(data.schema[c].dataType).alias(c)
+            for c, rhs in assignments.items()
+        }
+        batch = matched.select(
+            *[new_cols.get(c, F.col(c)) for c in data.columns]
+        )
+        table.merge(batch.withColumn(OP_COL, F.lit("upsert")))
+
+    def _run_insert(self, statement: str) -> None:
+        """``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` — the
+        source evaluates as a standalone Spark query (``VALUES`` is a
+        valid Spark relation), conforms positionally to the declared
+        column list (or the table's full column order), casts to the
+        declared types, and merges as upserts. Divergence from
+        Iceberg's append-only INSERT, documented in the module
+        docstring: duplicate keys resolve latest-wins, not duplicated."""
+        m = _INSERT_RE.match(statement)
+        if not m:
+            raise MergeSqlError(
+                "unsupported INSERT; expected "
+                "INSERT INTO <t> [(c1, ...)] VALUES (...) | SELECT ..."
+            )
+        table = self._resolve(m.group("target"))
+        data_schema = table.read_data().schema
+        declared = data_schema.names
+        if m.group("cols"):
+            cols = [c.replace("`", "").strip()
+                    for c in _split_top_level(m.group("cols"))]
+            lower = {c.lower(): c for c in declared}
+            cols = [lower.get(c.lower(), c) for c in cols]
+            unknown = sorted(set(cols) - set(declared))
+            if unknown:
+                raise MergeSqlError(
+                    f"INSERT column(s) {unknown} not in table columns "
+                    f"{declared}"
+                )
+            missing = sorted(set(declared) - set(cols))
+            if missing:
+                raise MergeSqlError(
+                    f"INSERT must supply every column (keyed full-row "
+                    f"engine); missing {missing}"
+                )
+        else:
+            cols = list(declared)
+        src = self.spark.sql(m.group("src"))
+        if len(src.columns) != len(cols):
+            raise MergeSqlError(
+                f"INSERT source has {len(src.columns)} column(s), "
+                f"expected {len(cols)}"
+            )
+        renamed = src.toDF(*cols)
+        batch = renamed.select(
+            *[F.col(c).cast(data_schema[c].dataType).alias(c)
+              for c in declared]
+        )
+        table.merge(batch.withColumn(OP_COL, F.lit("upsert")))
 
     # -- pieces ----------------------------------------------------------
 
