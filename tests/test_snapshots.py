@@ -617,3 +617,47 @@ def test_clustering_candidates_picks_interleaved_partition(spark, tmp_path):
     assert table.clustering_candidates(["v", "w"]) == []
     # data intact through the rewrites
     assert table.read_data().count() == 2000
+
+
+def test_merge_replans_and_retries_on_conflict(spark, tmp_path):
+    """Optimistic-concurrency retry (Iceberg commit.retry parity): a
+    merge that loses the commit race REPLANS against the new head and
+    lands on the next attempt — neither writer's rows are lost. With
+    commit_retries=0 the same race surfaces CommitConflictError raw."""
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+    )
+
+    rows = "trans_id long, event string, amount int"
+
+    def _batch(trans_id, amount, op="insert"):
+        return spark.createDataFrame(
+            [(trans_id, "visit", amount)], rows
+        ).withColumn(OP_COL, F.lit(op))
+
+    t1 = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"])
+    t2 = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"])
+    t1.create(spark.createDataFrame([(1, "visit", 10)], rows))
+
+    real_commit = t1._commit
+    raced = {"done": False}
+
+    def racing_commit(*a, **k):
+        if not raced["done"]:
+            raced["done"] = True
+            t2.merge(_batch(2, 20), commit_retries=0)  # rival lands first
+        return real_commit(*a, **k)
+
+    t1._commit = racing_commit
+    t1.merge(_batch(3, 30))  # first attempt conflicts, replan wins
+    assert raced["done"]
+    assert _state(t1) == {1: 10, 2: 20, 3: 30}
+    assert t1.current_version() == 3  # create + rival + retried merge
+
+    # raw mode: same injected race, no retry
+    raced["done"] = False
+    t1._commit = racing_commit
+    with pytest.raises(CommitConflictError):
+        t1.merge(_batch(4, 40), commit_retries=0)

@@ -1677,7 +1677,7 @@ class ParquetLakeTable:
                 out.add(p)
         return out
 
-    def merge(self, batch: DataFrame) -> None:
+    def merge(self, batch: DataFrame, commit_retries: int = 4) -> None:
         """Apply a deduped CDC batch (one row per key, carrying
         ``_op``/``_op_timestamp``/``_txn_id``).
 
@@ -1688,7 +1688,24 @@ class ParquetLakeTable:
         - key matched, batch newer, op = delete            -> drop row
         - key matched, batch older                          -> keep row
         - key unmatched, op != delete                       -> insert row
-        """
+
+        Optimistic concurrency (Iceberg ``commit.retry.num-retries``
+        parity): when another writer publishes a version mid-merge, the
+        whole merge REPLANS against the new head and retries — replays
+        are safe because merge is a pure function of (current state,
+        batch) and the loser's half-written snapshot dir is invisible
+        (never referenced by a manifest; orphan GC reclaims it). Set
+        ``commit_retries=0`` to surface ``CommitConflictError`` raw
+        (the multi-writer race tests pin the conflict itself)."""
+        last: CommitConflictError | None = None
+        for _ in range(commit_retries + 1):
+            try:
+                return self._merge_once(batch)
+            except CommitConflictError as e:
+                last = e
+        raise last
+
+    def _merge_once(self, batch: DataFrame) -> None:
         batch = self._with_partition(batch)  # hidden-transform column
         if not self.exists():
             if self.store_lineage:
