@@ -58,32 +58,50 @@ def test_index_roundtrip_complete(spark, corpus, index):
 
 
 def test_lsh_probe_prunes_partitions(spark, corpus, index):
-    """The probe must scan ONLY matching _bucket directories: the
-    physical plan carries a partition filter on _bucket, and the file
-    index reads fewer partitions than exist."""
+    """The probe must scan ONLY matching _bucket directories. The leaf
+    list is enumerated driver-side before Spark ever lists the tree
+    (r4: a full-tree read + PartitionFilters still paid listing+footer
+    IO over every directory), so the pin is on the scan's actual input
+    files: every file sits in a hamming-ball bucket, and the probe
+    reads strictly fewer leaves than exist."""
     _, q = corpus
     df = index.lsh_topk(q, k=10, hamming_radius=1)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*_bucket[^\]]*)\]", plan)
-    assert m, f"no _bucket partition filter:\n{plan}"
+    ball = set(_hamming_ball(index._query_bucket(q), 8, 1))
+    files = [f for f in df.inputFiles() if "_bucket=" in f]  # index side
+    assert files, "probe read no files"
+    got_buckets = {
+        int(re.search(r"_bucket=(\d+)", f).group(1)) for f in files
+    }
+    assert got_buckets <= ball, f"scanned outside the ball: {got_buckets - ball}"
     n_total = index.read().select("_cell", "_bucket").distinct().count()
-    n_scanned = df.withColumn("one", F.lit(1)).count()  # force
-    # ball of radius 1 over 8 planes = 9 buckets of 256 possible
-    scanned_parts = (
-        spark.read.parquet(index._data_path)
-        .filter(F.col("_bucket").isin(
-            _hamming_ball(index._query_bucket(q), 8, 1)))
-        .select("_cell", "_bucket").distinct().count()
-    )
-    assert scanned_parts < n_total
+    assert len(files) < n_total
 
 
 def test_ivf_probe_prunes_partitions(spark, corpus, index):
     _, q = corpus
     df = index.ivf_topk(q, k=10, n_probe=4)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*_cell[^\]]*)\]", plan)
-    assert m, f"no _cell partition filter:\n{plan}"
+    cells = set(index._probe_cells(q, 4))
+    files = [f for f in df.inputFiles() if "_cell=" in f]  # index side
+    assert files, "probe read no files"
+    got_cells = {int(re.search(r"_cell=(\d+)", f).group(1)) for f in files}
+    assert got_cells <= cells, f"scanned outside probe cells: {got_cells - cells}"
+
+
+def test_build_writes_one_file_per_partition(spark, corpus, index):
+    """The build clusters on (_cell, _bucket) before the partitioned
+    write: each leaf directory holds exactly one parquet file, so probe
+    listing cost is O(matched leaves), not O(write tasks x leaves)."""
+    import os
+
+    for cdir in os.listdir(index._data_path):
+        if not cdir.startswith("_cell="):
+            continue
+        for bdir in os.listdir(os.path.join(index._data_path, cdir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            leaf = os.path.join(index._data_path, cdir, bdir)
+            n = len([f for f in os.listdir(leaf) if f.endswith(".parquet")])
+            assert n == 1, f"{leaf} has {n} files"
 
 
 def _recall(approx_df, exact_df, id_col="vec_id"):

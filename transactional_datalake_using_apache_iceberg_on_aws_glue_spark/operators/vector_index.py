@@ -110,7 +110,12 @@ class VectorIndex:
             "_bucket", hyperplane_bucket(F.col(self.vec_col), self.planes)
         )
         (
-            indexed.write.mode("overwrite")
+            # cluster on the partition keys first: every (cell, bucket)
+            # directory gets exactly ONE file instead of one per write
+            # task (32 tasks x 4096 dirs was a tiny-file explosion that
+            # made probe-side file listing dominate probe latency)
+            indexed.repartition("_cell", "_bucket")
+            .write.mode("overwrite")
             .partitionBy("_cell", "_bucket")
             .parquet(self._data_path)
         )
@@ -158,6 +163,55 @@ class VectorIndex:
         ).collect()
         return int(row[0]["b"])
 
+    def _pruned_read(self, cells: list[int] | None,
+                     buckets: list[int] | None) -> DataFrame | None:
+        """Read ONLY the leaf partition directories matching the probe:
+        the dir list is enumerated driver-side from the index layout
+        (metadata listing, no data), so Spark never discovers the full
+        2^planes x n_cells tree — with a full-tree ``read.parquet`` the
+        probe's wall time was dominated by listing+footers of thousands
+        of directories the filter would drop anyway. Returns None when
+        no matching partition physically exists (empty candidate set)."""
+        want_c = None if cells is None else {int(c) for c in cells}
+        want_b = None if buckets is None else {int(b) for b in buckets}
+        leaves = []
+        for cdir in sorted(os.listdir(self._data_path)):
+            if not cdir.startswith("_cell="):
+                continue
+            if want_c is not None and int(cdir[6:]) not in want_c:
+                continue
+            cpath = os.path.join(self._data_path, cdir)
+            for bdir in sorted(os.listdir(cpath)):
+                if not bdir.startswith("_bucket="):
+                    continue
+                if want_b is not None and int(bdir[8:]) not in want_b:
+                    continue
+                leaves.append(os.path.join(cpath, bdir))
+        if not leaves:
+            return None
+        return (
+            self.spark.read.option("basePath", self._data_path)
+            .parquet(*leaves)
+        )
+
+    def _empty_topk(self, query: DataFrame) -> DataFrame:
+        """Zero-row result with the probe's (id, sim) schema, id typed
+        from a real index leaf when one exists (ids are whatever type
+        the corpus used — hardcoding broke dedup_incremental once,
+        advisor r3)."""
+        for cdir in sorted(os.listdir(self._data_path)):
+            if cdir.startswith("_cell="):
+                cpath = os.path.join(self._data_path, cdir)
+                for bdir in sorted(os.listdir(cpath)):
+                    if bdir.startswith("_bucket="):
+                        leaf = self.spark.read.parquet(
+                            os.path.join(cpath, bdir))
+                        return leaf.limit(0).select(
+                            self.id_col, F.lit(0.0).alias("sim"))
+        return query.limit(0).select(
+            F.lit(0).cast("long").alias(self.id_col),
+            F.lit(0.0).alias("sim"))
+
     def lsh_topk(self, query: DataFrame, k: int = 10,
                  hamming_radius: int = 1) -> DataFrame:
         """Top-k by exact cosine among vectors whose PERSISTED bucket is
@@ -167,9 +221,11 @@ class VectorIndex:
         buckets = _hamming_ball(self._query_bucket(query), self.planes,
                                 hamming_radius)
         sim = cosine_sim_cols(F.col(self.vec_col), F.col("qv"))
+        pruned = self._pruned_read(None, buckets)
+        if pruned is None:
+            return self._empty_topk(query)
         return (
-            self.spark.read.parquet(self._data_path)
-            .filter(F.col("_bucket").isin(buckets))
+            pruned
             .crossJoin(F.broadcast(query))
             .select(self.id_col, sim.alias("sim"))
             .orderBy(F.desc("sim"), F.asc(self.id_col))
@@ -200,9 +256,11 @@ class VectorIndex:
         corpus at file-listing time."""
         cells = self._probe_cells(query, n_probe)
         sim = cosine_sim_cols(F.col(self.vec_col), F.col("qv"))
+        pruned = self._pruned_read(cells, None)
+        if pruned is None:
+            return self._empty_topk(query)
         return (
-            self.spark.read.parquet(self._data_path)
-            .filter(F.col("_cell").isin(cells))
+            pruned
             .crossJoin(F.broadcast(query))
             .select(self.id_col, sim.alias("sim"))
             .orderBy(F.desc("sim"), F.asc(self.id_col))
