@@ -1,0 +1,280 @@
+"""Partition-spec evolution (Iceberg `REPLACE PARTITION FIELD`
+parity): `evolve_partition_spec` is metadata-only — old snapshots keep
+their original directory layout (recorded per-slice in the manifest),
+new writes use the new spec, reads assemble and prune each slice under
+its own spec, and COW merges incrementally migrate the legacy slices
+they touch. The reference's table is statically `PARTITIONED BY
+(event)` (README.md:364); this is the capability its Iceberg runtime
+would supply via ALTER TABLE.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+    OP_COL,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    ParquetLakeTable,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.transforms import (
+    days,
+)
+
+ROWS = "trans_id long, event string, device string, amount int"
+
+
+def _rows(ids, event="visit", device="pc", amount=10):
+    return [(i, event, device, amount + i) for i in ids]
+
+
+def _table(spark, tmp_path, partition_col="event"):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"],
+                         partition_col=partition_col)
+    t.create(spark.createDataFrame(
+        _rows([1, 2], "visit", "pc") + _rows([3, 4], "cart", "mobile"), ROWS))
+    return t
+
+
+def _state(t, **kw):
+    return {r["trans_id"]: (r["event"], r["device"], r["amount"])
+            for r in t.read_data(**kw).collect()}
+
+
+def _batch(spark, rows, op="insert"):
+    return spark.createDataFrame(rows, ROWS).withColumn(OP_COL, F.lit(op))
+
+
+def test_evolve_identity_to_identity_reads_both_layouts(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before = _state(t)
+    v = t.evolve_partition_spec(partition_col="device")
+    assert v == 2
+    # metadata-only: same rows, no data movement
+    assert _state(t) == before
+    # new write lands under device=... layout
+    t.merge(_batch(spark, _rows([10], "visit", "tablet")))
+    got = _state(t)
+    assert got[10] == ("visit", "tablet", 20)
+    snap_dirs = {d for d in os.listdir(t.path) if d.startswith("snap-")}
+    newest = sorted(snap_dirs)[-1]
+    leaves = os.listdir(os.path.join(t.path, newest))
+    assert any(d.startswith("device=") for d in leaves), leaves
+
+
+def test_merge_absorbs_touched_legacy_slice(spark, tmp_path):
+    """A COW merge matching a key inside an old-spec slice migrates that
+    slice to the new layout; untouched old slices stay in place, and no
+    key is ever duplicated or lost."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    # update key 1 (lives in legacy event=visit slice, device=pc)
+    t.merge(_batch(spark, [(1, "visit", "pc", 99)], "update"))
+    got = _state(t)
+    assert got[1] == ("visit", "pc", 99)
+    assert set(got) == {1, 2, 3, 4}
+    # per-key uniqueness after migration
+    n = t.read_data().groupBy("trans_id").count().filter("count > 1").count()
+    assert n == 0
+    # the touched legacy slice's token is gone from the manifest; the
+    # migrated rows now live under device tokens
+    m = t._manifest()
+    assert any(tok in ("pc", "mobile") for tok in m["base"]), m["base"]
+
+
+def test_evolve_to_unpartitioned_and_back(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    before = _state(t)
+    t.evolve_partition_spec()  # unpartitioned
+    assert _state(t) == before
+    t.merge(_batch(spark, _rows([5], "like", "pc")))
+    assert set(_state(t)) == {1, 2, 3, 4, 5}
+    t.evolve_partition_spec(partition_col="event")
+    t.merge(_batch(spark, _rows([6], "like", "pc")))
+    assert set(_state(t)) == {1, 2, 3, 4, 5, 6}
+
+
+def test_time_travel_across_spec_boundary(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v1_state = _state(t)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, [(2, "visit", "pc", 77)], "update"))
+    assert _state(t, as_of_version=1) == v1_state
+    assert _state(t, as_of_version=2) == v1_state  # evolve moved no data
+    assert _state(t)[2] == ("visit", "pc", 77)
+
+
+def test_scan_prunes_per_slice_spec(spark, tmp_path):
+    """After evolution each slice prunes under ITS OWN spec: a predicate
+    on the old partition column token-prunes legacy slices, a predicate
+    on the new one token-prunes new slices — and scan(f) stays
+    equivalent to read_data().filter(f)."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([10, 11], "view", "tablet")))
+
+    plan_old = t.plan_scan([("event", "=", "cart")])
+    # legacy tokens are event values; 'visit' legacy slice pruned
+    assert "visit" not in plan_old["base"]
+    got = {r["trans_id"] for r in t.scan([("event", "=", "cart")]).collect()}
+    assert got == {3, 4}
+
+    plan_new = t.plan_scan([("device", "=", "tablet")])
+    kept_snaps = {snap for snap, _ in plan_new["base"].values()}
+    got = {r["trans_id"] for r in t.scan([("device", "=", "tablet")]).collect()}
+    assert got == {10, 11}
+    # only the new-spec snapshot's tablet token survives among
+    # new-layout slices
+    assert "tablet" in plan_new["base"]
+
+
+def test_evolve_to_hidden_transform_derives_for_legacy(spark, tmp_path):
+    """identity -> days(ts): old slices predate the derived column; the
+    read reconstructs it from the source column, so folds and writes
+    stay consistent; read_data hides it in every version."""
+    rows = "trans_id long, event string, ts timestamp"
+    t = ParquetLakeTable(spark, str(tmp_path / "h"), key_cols=["trans_id"],
+                         partition_col="event")
+    t.create(spark.createDataFrame(
+        [(1, "visit", "2024-01-01 10:00:00"),
+         (2, "cart", "2024-01-02 11:00:00")],
+        "trans_id long, event string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")))
+    t.evolve_partition_spec(partition_by=days("ts"))
+    t.merge(
+        spark.createDataFrame([(3, "view", "2024-01-03 09:00:00")],
+                              "trans_id long, event string, ts string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(OP_COL, F.lit("insert")))
+    df = t.read_data()
+    assert "ts_day" not in df.columns
+    assert {r["trans_id"] for r in df.collect()} == {1, 2, 3}
+    # predicate on the SOURCE column token-prunes the new-layout slice
+    # through the days() projection (legacy slices carry event tokens,
+    # which a ts predicate cannot token-prune — they stay, soundly)
+    plan = t.plan_scan([("ts", "<", "2024-01-02")])
+    assert "2024-01-03" not in plan["base"]
+    assert plan["parts_kept"] < plan["parts_total"]
+    got = {r["trans_id"]
+           for r in t.scan([("ts", "<", "2024-01-02 00:00:00")]).collect()}
+    assert got == {1}
+
+
+def test_compact_migrates_everything(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.compact()
+    m = t._manifest()
+    assert set(m["base"]) == {"pc", "mobile"}
+    assert m.get("slice_specs") in (None, {})  # everything current-spec
+    assert set(_state(t)) == {1, 2, 3, 4}
+
+
+def test_compact_partitions_refuses_legacy_tokens(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    with pytest.raises(ValueError, match="previous partition spec"):
+        t.compact_partitions(["visit"])
+
+
+def test_second_handle_adopts_evolved_spec(spark, tmp_path):
+    """A handle constructed with the ORIGINAL ctor spec must write
+    under the table's current (evolved) spec — the manifest, not the
+    constructor, owns the spec."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    stale = ParquetLakeTable(spark, t.path, key_cols=["trans_id"],
+                             partition_col="event")
+    stale.merge(_batch(spark, _rows([20], "view", "watch")))
+    assert stale.partition_col == "device"  # synced during merge
+    got = _state(t)
+    assert got[20] == ("view", "watch", 30)
+    assert "watch" in t._manifest()["base"]
+
+
+def test_changelog_across_spec_boundary(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, [(3, "cart", "mobile", 55)], "update"))
+    changes = {r["trans_id"]: r["_change_type"]
+               for r in t.read_changes(1, t.current_version()).collect()}
+    assert changes == {3: "update_postimage"}
+
+
+def test_evolve_guards(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in"):
+        t.evolve_partition_spec(partition_col="nope")
+    # no-op evolve returns current version, commits nothing
+    v = t.current_version()
+    assert t.evolve_partition_spec(partition_col="event") == v
+    assert t.current_version() == v
+
+
+def test_sql_view_across_spec_boundary(spark, tmp_path):
+    """The compiled catalog view reads every slice under its own
+    layout: legacy snapshots filter on THEIR partition column, new ones
+    on the current spec's."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([10], "view", "tablet")))
+    name = t.register_sql("spec_evo_view")
+    got = {r["trans_id"]: r["device"]
+           for r in spark.sql(f"SELECT trans_id, device FROM {name}").collect()}
+    assert got == {1: "pc", 2: "pc", 3: "mobile", 4: "mobile", 10: "tablet"}
+
+
+def test_metadata_files_across_spec_boundary(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([10], "view", "tablet")))
+    files = t.metadata("files").collect()
+    parts = {r["partition"] for r in files}
+    # legacy tokens (event values) and new tokens (device values) coexist
+    assert "tablet" in parts
+    assert parts & {"visit", "cart"}
+    assert all(r["size_bytes"] > 0 for r in files)
+
+
+def test_change_stream_across_spec_boundary(spark, tmp_path):
+    """readStream over the snapshot log keeps working through an
+    evolve: legacy diff tasks fill THEIR OWN partition column from the
+    dir token; migration rewrites surface as delete+insert (the
+    documented partition-move shape), so keyed upserts converge."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources import (
+        register_lake_stream,
+    )
+
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([10], "view", "tablet")))
+    register_lake_stream(spark)
+    out_dir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lake-changes")
+        .option("path", t.path)
+        .option("keys", "trans_id")
+        .option("partitionCol", "device")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    # fold the change feed per key: the latest non-delete image per key
+    # must equal the table's live state
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["trans_id"], []).append(r)
+    live = _state(t)
+    assert set(live) <= set(latest)
+    # key 10's insert carries its device value from the NEW layout
+    k10 = [r for r in rows if r["trans_id"] == 10]
+    assert any(r["device"] == "tablet" for r in k10)

@@ -129,7 +129,11 @@ def view_select_sql(table, as_of_version: int | None = None,
     if m is None:
         raise ValueError(f"table at {table.path} has no committed versions")
     schema = T.StructType.fromJson(m["schema"])
-    hidden = set(table.hidden_partition_cols())
+    # hidden derived column per the MANIFEST's spec (a pinned
+    # time-travel view across a partition-spec evolution hides that
+    # version's own derived column, not the handle's)
+    m_pcol, m_ptrans = table._manifest_spec(m)
+    hidden = {m_pcol} if m_ptrans is not None else set()
     data_fields = [
         f for f in schema.fields
         if f.name not in LINEAGE_COLS and f.name not in hidden
@@ -144,6 +148,11 @@ def view_select_sql(table, as_of_version: int | None = None,
     def layer_sql(dirname: str, part_values: list | None, layer: int) -> str:
         from .table import resolve_physical_name
 
+        # the slice's OWN spec decides its partition predicate column
+        # (partition-spec evolution leaves old snapshots in their
+        # original layout; Spark's partition discovery on the root read
+        # re-derives whichever column the directories carry)
+        slice_col = table._slice_spec(m, dirname)[0]
         root = os.path.join(table.path, dirname)
         # physical schema of this snapshot (driver metadata probe, no
         # job) — old snapshots may predate additively-evolved columns,
@@ -165,13 +174,15 @@ def view_select_sql(table, as_of_version: int | None = None,
 
         sel = ", ".join(field_sql(f) for f in schema.fields)
         sql = f"SELECT {sel}, {layer} AS {_q_ident(_LAYER)} FROM {_q_path(root)}"
-        if table.partition_col and part_values is not None:
-            pred = _partition_predicate(table.partition_col, part_values)
+        if slice_col and part_values is not None:
+            pred = _partition_predicate(slice_col, part_values)
             sql += f" WHERE {pred}"
         return sql
 
     layers = [
-        layer_sql(snap, None if not table.partition_col else values, 0)
+        layer_sql(
+            snap,
+            None if not table._slice_spec(m, snap)[0] else values, 0)
         for snap, values in sorted(by_snap.items())
     ]
     layers += [

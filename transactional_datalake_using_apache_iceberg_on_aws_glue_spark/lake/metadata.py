@@ -76,8 +76,11 @@ def files_df(table: "ParquetLakeTable", version: int | None = None) -> DataFrame
     stats = m.get("stats", {})
     for part_value, snap in sorted(m["base"].items()):
         d = os.path.join(table.path, snap)
-        if part_value != _ALL:
-            d = os.path.join(d, f"{table.partition_col}={part_value}")
+        # per-slice spec: old snapshots keep their original layout
+        # after a partition-spec evolution
+        slice_col = table._slice_spec(m, snap)[0]
+        if part_value != _ALL and slice_col:
+            d = os.path.join(d, f"{slice_col}={part_value}")
         fstats = stats.get(part_value, {}).get("files", {})
         for f in table.fs.walk_files(d, ".parquet"):
             rel = os.path.relpath(f, os.path.join(table.path, snap))
@@ -88,9 +91,10 @@ def files_df(table: "ParquetLakeTable", version: int | None = None) -> DataFrame
             ))
     for delta in m["deltas"]:
         base = os.path.join(table.path, delta)
+        d_col = table._slice_spec(m, delta)[0]
         for f in table.fs.walk_files(base, ".parquet"):
             rows.append((
-                _part_of(table, f, base), "delta", delta,
+                _part_of(f, base, d_col), "delta", delta,
                 os.path.relpath(f, base), table.fs.size(f), None,
             ))
     return table.spark.createDataFrame(rows, FILES_SCHEMA)
@@ -163,10 +167,10 @@ def _ms_to_dt(ms: int):
     )
 
 
-def _part_of(table: "ParquetLakeTable", path: str, base: str) -> str:
-    if not table.partition_col:
+def _part_of(path: str, base: str, partition_col: str | None) -> str:
+    if not partition_col:
         return _ALL
-    prefix = f"{table.partition_col}="
+    prefix = f"{partition_col}="
     for seg in os.path.relpath(path, base).split(os.sep):
         if seg.startswith(prefix):
             return seg[len(prefix):]

@@ -78,7 +78,7 @@ from .scan import (
     normalize_filters,
     prune_entry,
 )
-from .transforms import Transform
+from .transforms import Transform, transform_from_dict
 
 #: Lineage columns persisted in the table to power the late-data guard.
 #: _deleted marks TOMBSTONES: deletes are retained (invisible to readers)
@@ -93,6 +93,10 @@ _SEQ = "_commit_seq"
 #: pseudo-partition key used in manifests of unpartitioned tables
 _ALL = "__ALL__"
 _VERSIONS_DIR = "_versions"
+
+#: sentinel distinguishing "parameter not passed" from an explicit None
+#: (None is a legal partition spec: unpartitioned)
+_UNSET = object()
 
 #: Hive/Spark directory name for NULL (and empty-string) partition values
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -136,6 +140,22 @@ def _decode_part(name: str):
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _spec_dict(partition_col: str | None,
+               transform: Transform | None) -> dict:
+    """JSON form of one partition spec (Iceberg spec-id analogue —
+    manifests record the table's CURRENT spec plus, after a
+    ``evolve_partition_spec``, the spec each still-referenced snapshot
+    directory was written under)."""
+    return {
+        "partition_col": partition_col,
+        "transform": None if transform is None else transform.to_dict(),
+    }
+
+
+def _spec_load(d: dict) -> tuple[str | None, Transform | None]:
+    return d.get("partition_col"), transform_from_dict(d.get("transform"))
 
 
 def _rename_stats_col(stats: dict, old: str, new: str | None) -> dict:
@@ -440,6 +460,33 @@ class ParquetLakeTable:
             if name.startswith("v") and name.endswith(".json"):
                 yield json.loads(self.fs.read_text(os.path.join(vdir, name)))
 
+    def _sync_spec(self) -> None:
+        """Adopt the CURRENT manifest's partition spec as this handle's
+        active spec. Write paths call this first, so a handle
+        constructed before (or with different arguments than) a
+        ``evolve_partition_spec`` commit writes under the table's real
+        current spec, not its constructor's."""
+        m = self._manifest()
+        if m is not None and m.get("spec") is not None:
+            self.partition_col, self.partition_transform = _spec_load(m["spec"])
+
+    def _manifest_spec(self, m: dict) -> tuple[str | None, Transform | None]:
+        """The partition spec a manifest's own commits write under
+        (pre-spec-evolution manifests default to the handle's spec)."""
+        if m.get("spec") is not None:
+            return _spec_load(m["spec"])
+        return self.partition_col, self.partition_transform
+
+    def _slice_spec(self, m: dict, dirname: str) -> tuple[str | None, Transform | None]:
+        """The partition spec ``dirname`` (a snap-/delta- dir referenced
+        by manifest ``m``) was WRITTEN under — its directory layout.
+        Slices absent from ``slice_specs`` carry the manifest's own
+        spec."""
+        entry = (m.get("slice_specs") or {}).get(dirname)
+        if entry is not None:
+            return _spec_load(entry)
+        return self._manifest_spec(m)
+
     def metadata(self, kind: str, version: int | None = None) -> DataFrame:
         """Iceberg-style metadata table as a DataFrame: ``kind`` in
         ``snapshots | files | partitions | refs`` (lake/metadata.py;
@@ -469,7 +516,8 @@ class ParquetLakeTable:
     def _commit(self, base_version: int, operation: str, base: dict,
                 deltas: list, schema: T.StructType,
                 summary: dict | None = None, stats: dict | None = None,
-                renames: list | None = None) -> int:
+                renames: list | None = None, spec: dict | None = None,
+                slice_specs: dict | None = None) -> int:
         """Publish a new version. The EXCLUSIVE CREATE of the version
         manifest is the atomic claim (O_CREAT|O_EXCL locally,
         conditional PUT on an object store): two racing writers both
@@ -488,12 +536,24 @@ class ParquetLakeTable:
         re-checking the ref pointer before every attempt."""
         vdir = self._versions_path()
         self.fs.makedirs(vdir)
+        prev = self._manifest(base_version) if base_version > 0 else None
         if renames is None:
             # carry the rename history forward (every data commit keeps
             # reading pre-rename files correctly); rename_column and
             # rollback/publish pass their own list explicitly
-            prev = self._manifest(base_version) if base_version > 0 else None
             renames = list(prev.get("renames", [])) if prev else []
+        if spec is None:
+            # the committing handle's active spec IS the current spec
+            spec = _spec_dict(self.partition_col, self.partition_transform)
+        if slice_specs is None:
+            # carry forward: still-referenced dirs keep their recorded
+            # spec; dirs written by THIS commit take the current spec
+            # (absent entry == current). evolve_partition_spec passes
+            # its own full map.
+            slice_specs = dict((prev or {}).get("slice_specs") or {})
+        referenced = set(base.values()) | set(deltas)
+        slice_specs = {d: s for d, s in slice_specs.items()
+                       if d in referenced and s != spec}
         manifest = {
             "parent": base_version,
             "ref": self.ref,
@@ -505,6 +565,8 @@ class ParquetLakeTable:
             "summary": summary or {},
             "stats": stats or {},
             "renames": renames,
+            "spec": spec,
+            "slice_specs": slice_specs,
         }
         new_v = base_version + 1
         while True:
@@ -571,10 +633,13 @@ class ParquetLakeTable:
             part_prefix, _ALL,
         )
 
-    def _list_partition_dirs(self, dest: str) -> list[str]:
-        if not self.partition_col:
+    def _list_partition_dirs(self, dest: str,
+                             partition_col: str | None = _UNSET) -> list[str]:
+        if partition_col is _UNSET:
+            partition_col = self.partition_col
+        if not partition_col:
             return [_ALL]
-        prefix = f"{self.partition_col}="
+        prefix = f"{partition_col}="
         return sorted(
             name[len(prefix):]
             for name in self.fs.listdir(dest)
@@ -583,7 +648,9 @@ class ParquetLakeTable:
 
     def _read_snapshot_slice(self, dirname: str, part_values: list[str],
                              schema: T.StructType,
-                             renames: list | None = None) -> DataFrame:
+                             renames: list | None = None,
+                             partition_col: str | None = _UNSET,
+                             derive: Transform | None = None) -> DataFrame:
         """Read the subset of one snapshot directory that the manifest
         maps to it. Leaf partition dirs are enumerated explicitly (from
         manifest keys, which came from listdir at write time — so names
@@ -591,24 +658,40 @@ class ParquetLakeTable:
         column, and a cast to the manifest schema removes partition
         type-inference drift (e.g. "123" inferred int). Columns missing
         from the files fall back through the manifest's RENAME history
-        (pre-rename files keep serving data under the new name), then
-        to NULL (additive evolution: old snapshots predate the column)."""
+        (pre-rename files keep serving data under the new name), then —
+        when the missing column is the CURRENT spec's hidden partition
+        column (``derive``) — to the transform expression over the
+        source column (slices written under an older spec predate the
+        derived column but carry its source), then to NULL (additive
+        evolution: old snapshots predate the column).
+
+        ``partition_col`` is the spec the SLICE was written under
+        (defaults to the handle's active spec; partition-spec evolution
+        passes each slice's own)."""
+        if partition_col is _UNSET:
+            partition_col = self.partition_col
         base = os.path.join(self.path, dirname)
-        if not self.partition_col:
+        if not partition_col:
             df = self.spark.read.parquet(base)
         else:
             leaves = [
-                os.path.join(base, f"{self.partition_col}={v}") for v in part_values
+                os.path.join(base, f"{partition_col}={v}") for v in part_values
             ]
             df = self.spark.read.option("basePath", base).parquet(*leaves)
         cols = []
         phys_types = {f.name: f.dataType for f in df.schema.fields}
+        dtypes = dict(df.dtypes)
         for f in schema.fields:
             phys = resolve_physical_name(f.name, df.columns, renames or [])
             if phys is not None:
                 cols.append(
                     conform_expr(F.col(phys), phys_types[phys], f.dataType)
                     .alias(f.name))
+            elif (derive is not None and f.name == derive.partition_col
+                    and derive.source_col in dtypes):
+                cols.append(
+                    derive.expr_for_type(dtypes[derive.source_col])
+                    .cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -616,22 +699,33 @@ class ParquetLakeTable:
     def _assemble(self, manifest: dict) -> DataFrame:
         """Materialize a manifest as a DataFrame: per-snapshot reads
         (partition-pruned to the slices the manifest references) folded
-        with deltas if present."""
+        with deltas if present. Each slice is read under ITS OWN
+        partition spec (partition-spec evolution leaves older snapshots
+        in their original layout); a hidden partition column the
+        current spec derives is reconstructed from its source column
+        for slices that predate it."""
         schema = T.StructType.fromJson(manifest["schema"])
         renames = manifest.get("renames", [])
+        _, cur_t = self._manifest_spec(manifest)
+        derive = cur_t if cur_t is not None else None
         base_map: dict = manifest["base"]
         by_snap: dict[str, list[str]] = {}
         for part_value, snap in base_map.items():
             by_snap.setdefault(snap, []).append(part_value)
         parts = [
-            self._read_snapshot_slice(snap, values, schema, renames)
+            self._read_snapshot_slice(
+                snap, values, schema, renames,
+                partition_col=self._slice_spec(manifest, snap)[0],
+                derive=derive)
             for snap, values in sorted(by_snap.items())
         ]
-        deltas = [
-            self._read_snapshot_slice(d, self._list_partition_dirs(
-                os.path.join(self.path, d)), schema, renames)
-            for d in manifest["deltas"]
-        ]
+        deltas = []
+        for d in manifest["deltas"]:
+            d_col = self._slice_spec(manifest, d)[0]
+            deltas.append(self._read_snapshot_slice(
+                d, self._list_partition_dirs(
+                    os.path.join(self.path, d), d_col),
+                schema, renames, partition_col=d_col, derive=derive))
         if not parts and not deltas:
             return self.spark.createDataFrame([], schema)
         if not deltas:
@@ -706,12 +800,20 @@ class ParquetLakeTable:
     def read_data(self, as_of_version: int | None = None,
                   as_of_timestamp_ms: int | None = None) -> DataFrame:
         """Read the LIVE rows (tombstones filtered) without lineage
-        columns — the user-facing relation."""
-        df = self.read(as_of_version, as_of_timestamp_ms)
+        columns — the user-facing relation. Hidden partition columns
+        are dropped per the RESOLVED manifest's spec, so a time-travel
+        read across a partition-spec evolution hides that version's own
+        derived column."""
+        m = self._resolve_as_of(as_of_version, as_of_timestamp_ms)
+        if m is None:
+            raise ValueError(f"table at {self.path} has no committed versions")
+        df = self._assemble(m)
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        pcol, ptrans = self._manifest_spec(m)
+        hidden = [pcol] if ptrans is not None else []
         return df.drop(*[c for c in LINEAGE_COLS if c in df.columns],
-                       *self.hidden_partition_cols())
+                       *[c for c in hidden if c in df.columns])
 
     # -- scan planning -------------------------------------------------------
 
@@ -742,55 +844,76 @@ class ParquetLakeTable:
             raise ValueError(f"table at {self.path} has no committed versions")
         preds = normalize_filters(filters)
         has_deltas = bool(m["deltas"])
-        t = self.partition_transform
-        src_dtype = None
-        if t is not None:
-            schema_types = {
-                f.name: f.dataType.simpleString()
-                for f in T.StructType.fromJson(m["schema"]).fields
-            }
-            src_dtype = schema_types.get(t.source_col)
-        part_eq: list = []      # partition-col =/in predicates
-        part_proj: list = []    # transform-projected (op, value) on tokens
-        stat_preds: list = []   # (col, op, encoded_value) usable against bounds
-        for col, op, value in preds:
-            if self.partition_col is not None and col == self.partition_col:
-                if op == "=":
-                    part_eq.append({_encode_part(value)})
-                elif op == "in":
-                    part_eq.append({_encode_part(v) for v in value})
-                continue  # range ops on the partition col: residual only
-            if t is not None and col == t.source_col:
-                proj = t.project(op, value, src_dtype)
-                if proj is not None:
-                    part_proj.append(proj)
-                # fall through: the source column also has footer stats
-            if col not in self.key_cols and has_deltas:
-                continue  # non-key pruning is unsound under deltas
-            enc = encode_predicate(op, value)
-            if enc is not None:
-                stat_preds.append((col, op, enc))
+        schema_types = {
+            f.name: f.dataType.simpleString()
+            for f in T.StructType.fromJson(m["schema"]).fields
+        }
+
+        # predicate structures are PER SPEC (after a partition-spec
+        # evolution one manifest references slices in different
+        # layouts): a predicate on a slice's partition column prunes
+        # that slice's tokens; the SAME predicate on another slice
+        # (where the column is plain data) prunes via footer stats
+        pred_cache: dict = {}
+
+        def _for_spec(pcol, ptrans):
+            key = (pcol, None if ptrans is None else ptrans.to_dict().__repr__())
+            if key in pred_cache:
+                return pred_cache[key]
+            part_eq: list = []   # partition-col =/in predicates
+            part_proj: list = []  # transform-projected (op, value)
+            stat_preds: list = []  # (col, op, encoded) for bounds
+            for col, op, value in preds:
+                if pcol is not None and col == pcol:
+                    if op == "=":
+                        part_eq.append({_encode_part(value)})
+                    elif op == "in":
+                        part_eq.append({_encode_part(v) for v in value})
+                    continue  # range ops on the partition col: residual
+                if ptrans is not None and col == ptrans.source_col:
+                    proj = ptrans.project(op, value,
+                                          schema_types.get(ptrans.source_col))
+                    if proj is not None:
+                        part_proj.append(proj)
+                    # fall through: the source column also has stats
+                if col not in self.key_cols and has_deltas:
+                    continue  # non-key pruning is unsound under deltas
+                enc = encode_predicate(op, value)
+                if enc is not None:
+                    stat_preds.append((col, op, enc))
+            pred_cache[key] = (part_eq, part_proj, stat_preds)
+            return pred_cache[key]
+
         stats = m.get("stats", {})
         base: dict = {}
+        slice_cols: dict = {}
         files_total = files_kept = 0
         for part, snap in m["base"].items():
+            pcol, ptrans = self._slice_spec(m, snap)
+            slice_cols[snap] = pcol
+            part_eq, part_proj, stat_preds = _for_spec(pcol, ptrans)
             entry = stats.get(part)
             n_files = len((entry or {}).get("files", {}))
             files_total += n_files
             if any(part not in s for s in part_eq):
                 continue
-            if part_proj and not self._token_matches(part, part_proj):
+            if part_proj and not self._token_matches(part, part_proj, ptrans):
                 continue
             keep, subset = prune_entry(entry, stat_preds)
             if not keep:
                 continue
             base[part] = (snap, subset)
             files_kept += len(subset) if subset is not None else n_files
+        for d in m["deltas"]:
+            slice_cols[d] = self._slice_spec(m, d)[0]
+        cur_pcol, cur_ptrans = self._manifest_spec(m)
         return {
             "base": base,
             "deltas": list(m["deltas"]),
             "schema": m["schema"],
             "renames": m.get("renames", []),
+            "slice_cols": slice_cols,
+            "spec": _spec_dict(cur_pcol, cur_ptrans),
             "parts_total": len(m["base"]),
             "parts_kept": len(base),
             "files_total": files_total,
@@ -807,6 +930,8 @@ class ParquetLakeTable:
         plan = self.plan_scan(filters, as_of_version, as_of_timestamp_ms)
         schema = T.StructType.fromJson(plan["schema"])
         renames = plan.get("renames", [])
+        slice_cols = plan.get("slice_cols", {})
+        _, cur_t = _spec_load(plan["spec"])
         by_snap: dict[str, list[str]] = {}
         file_slices: list[tuple[str, list[str]]] = []
         for part, (snap, subset) in plan["base"].items():
@@ -815,17 +940,22 @@ class ParquetLakeTable:
             elif subset:
                 file_slices.append((snap, subset))
         parts = [
-            self._read_snapshot_slice(snap, values, schema, renames)
+            self._read_snapshot_slice(
+                snap, values, schema, renames,
+                partition_col=slice_cols.get(snap, self.partition_col),
+                derive=cur_t)
             for snap, values in sorted(by_snap.items())
         ] + [
             self._read_files_slice(snap, rels, schema, renames)
             for snap, rels in sorted(file_slices)
         ]
-        deltas = [
-            self._read_snapshot_slice(d, self._list_partition_dirs(
-                os.path.join(self.path, d)), schema, renames)
-            for d in plan["deltas"]
-        ]
+        deltas = []
+        for d in plan["deltas"]:
+            d_col = slice_cols.get(d, self.partition_col)
+            deltas.append(self._read_snapshot_slice(
+                d, self._list_partition_dirs(
+                    os.path.join(self.path, d), d_col),
+                schema, renames, partition_col=d_col, derive=cur_t))
         if not parts and not deltas:
             df = self.spark.createDataFrame([], schema)
         elif not deltas:
@@ -839,20 +969,25 @@ class ParquetLakeTable:
             df = self._fold([base_df, *deltas])
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        cur_pcol, cur_ptrans2 = _spec_load(plan["spec"])
+        hidden = [cur_pcol] if cur_ptrans2 is not None else []
         df = df.drop(*[c for c in LINEAGE_COLS if c in df.columns],
-                     *self.hidden_partition_cols())
+                     *[c for c in hidden if c in df.columns])
         residual = self._residual_predicate(filters)
         return df.filter(residual) if residual is not None else df
 
-    def _token_matches(self, part_enc: str, part_proj: list) -> bool:
+    def _token_matches(self, part_enc: str, part_proj: list,
+                       transform: Transform | None = None) -> bool:
         """Evaluate transform-projected predicates against one manifest
         partition token. A NULL token can never satisfy a predicate on
         the source column (SQL comparisons with NULL are never true),
         so NULL partitions prune under any projection."""
+        if transform is None:
+            transform = self.partition_transform
         raw = _decode_part(part_enc)
         if raw is None:
             return False
-        v = self.partition_transform.decode(raw)
+        v = transform.decode(raw)
         for op, pv in part_proj:
             if op == "=" and v != pv:
                 return False
@@ -952,6 +1087,7 @@ class ParquetLakeTable:
 
     def create(self, df: DataFrame) -> None:
         """Initial load (the reference's DMS full-load phase)."""
+        self._sync_spec()
         base_v = self.current_version()
         data = self._with_lineage(df)  # also derives the partition transform column
         snap = self._next_dirname("snap")
@@ -1020,8 +1156,11 @@ class ParquetLakeTable:
         then counts TOTAL output files.
 
         The rewrite is just another snapshot commit: prior versions stay
-        time-travelable until ``expire_snapshots``.
+        time-travelable until ``expire_snapshots``. After a
+        ``evolve_partition_spec`` this is also the eager-migration path:
+        every slice is rewritten under the CURRENT spec.
         """
+        self._sync_spec()
         base_v = self.current_version()
         df = self.read()
         if purge_tombstones and DELETED_COL in df.columns:
@@ -1044,6 +1183,89 @@ class ParquetLakeTable:
                      "clustered_by": cluster_by or []},
             stats=self._collect_key_stats(snap, written),
         )
+
+    # -- partition-spec evolution -------------------------------------------
+
+    def evolve_partition_spec(self, partition_by: Transform | None = None,
+                              partition_col: str | None = None) -> int:
+        """Change the table's partition spec METADATA-ONLY (Iceberg
+        partition-spec evolution): no data moves. Existing snapshot
+        directories keep their original layout, recorded per-slice in
+        the manifest (``slice_specs``); new writes use the new spec.
+        Reads assemble every slice under its own spec; ``plan_scan``
+        prunes each slice with whichever spec it was written under
+        (identity tokens for old slices, transform projection for new,
+        or vice versa); footer-stat pruning is spec-independent.
+
+        Migration is incremental: a COW merge that touches keys inside
+        an old-spec slice absorbs that ENTIRE slice into the new
+        layout (partition-granular bookkeeping cannot split a slice),
+        and ``compact()`` migrates everything eagerly in one commit —
+        Iceberg's ``rewrite_data_files`` after ``REPLACE PARTITION
+        FIELD``, same trade.
+
+        Pass ``partition_by`` (a :mod:`transforms` Transform — identity,
+        days/months/hours, truncate, bucket) or the legacy
+        ``partition_col`` spelling (identity), or neither for
+        unpartitioned. Returns the committed version."""
+        if partition_by is not None:
+            new_t = partition_by if partition_by.hidden else None
+            new_c = partition_by.partition_col
+            src = partition_by.source_col
+        else:
+            new_t, new_c, src = None, partition_col, partition_col
+        self._sync_spec()
+        m = self._manifest()
+        if m is None:
+            # nothing committed yet: just swap the handle's spec
+            self.partition_col, self.partition_transform = new_c, new_t
+            return 0
+        new_spec = _spec_dict(new_c, new_t)
+        if new_spec == _spec_dict(self.partition_col, self.partition_transform):
+            return m["version"]  # no-op
+        schema = T.StructType.fromJson(m["schema"])
+        if src is not None and (new_t is not None or new_c is not None):
+            source_name = src if new_t is not None else new_c
+            if source_name not in schema.names:
+                raise ValueError(
+                    f"partition source column {source_name!r} not in "
+                    f"table schema {schema.names}"
+                )
+        if src in self._retired_names(m):
+            raise ValueError(
+                f"{src!r} was renamed away or dropped; it cannot "
+                "become a partition source"
+            )
+        # schema surgery: the old spec's hidden derived column leaves
+        # the schema, the new spec's (if any) joins it — old slices
+        # reconstruct it from the source column at read time
+        fields = [f for f in schema.fields
+                  if not (self.partition_transform is not None
+                          and f.name == self.partition_col)]
+        if new_t is not None and new_c not in [f.name for f in fields]:
+            src_dtype = schema[src].dataType.simpleString()
+            pd = new_t.partition_dtype(src_dtype)
+            dtype_obj = (schema[src].dataType if pd == src_dtype
+                         else T.StringType() if pd == "string"
+                         else T.IntegerType())
+            fields.append(T.StructField(new_c, dtype_obj, True))
+        new_schema = T.StructType(fields)
+        # every referenced dir keeps the spec it was actually written
+        # under (resolved through the old manifest)
+        referenced = set(m["base"].values()) | set(m["deltas"])
+        slice_specs = {
+            d: _spec_dict(*self._slice_spec(m, d)) for d in referenced
+        }
+        v = self._commit(
+            m["version"], "evolve-spec", m["base"], m["deltas"], new_schema,
+            summary={"from": _spec_dict(self.partition_col,
+                                        self.partition_transform),
+                     "to": new_spec},
+            stats=m.get("stats", {}),
+            spec=new_spec, slice_specs=slice_specs,
+        )
+        self.partition_col, self.partition_transform = new_c, new_t
+        return v
 
     # -- schema evolution (beyond additive) ---------------------------------
 
@@ -1229,7 +1451,10 @@ class ParquetLakeTable:
         m = self._manifest()
         if m is None:
             return
+        cur_spec = _spec_dict(self.partition_col, self.partition_transform)
         for part_enc in sorted(m["base"]):
+            if _spec_dict(*self._slice_spec(m, m["base"][part_enc])) != cur_spec:
+                continue  # legacy-spec slice: merge/compact migrates it
             entry = (m.get("stats") or {}).get(part_enc) or {}
             files = entry.get("files") or {}
             if len(files) < min_files:
@@ -1293,6 +1518,7 @@ class ParquetLakeTable:
         run a full ``compact()`` first (which folds deltas), then roll
         scoped rewrites.
         """
+        self._sync_spec()
         if not self.partition_col:
             raise ValueError("compact_partitions needs a partitioned table")
         m = self._manifest()
@@ -1307,6 +1533,17 @@ class ParquetLakeTable:
         unknown = scope - set(m["base"])
         if unknown:
             raise ValueError(f"unknown partitions: {sorted(unknown)}")
+        cur_spec = _spec_dict(self.partition_col, self.partition_transform)
+        legacy = {
+            tok for tok in scope
+            if _spec_dict(*self._slice_spec(m, m["base"][tok])) != cur_spec
+        }
+        if legacy:
+            raise ValueError(
+                f"partitions {sorted(legacy)} were written under a "
+                "previous partition spec; migrate them with compact() "
+                "(full) or let a merge absorb them"
+            )
         base_v = self.current_version()
         df = self.read().filter(
             F.col(self.partition_col).cast("string").isin(list(scope))
@@ -1562,9 +1799,13 @@ class ParquetLakeTable:
         n = 0
         seen: set[str] = set()
         for part_value, snap in m["base"].items():
-            d = os.path.join(self.path, snap) if part_value == _ALL else os.path.join(
-                self.path, snap, f"{self.partition_col}={part_value}"
-            )
+            # each slice's leaf path follows the spec it was WRITTEN
+            # under (partition-spec evolution leaves old layouts)
+            slice_col = self._slice_spec(m, snap)[0]
+            d = (os.path.join(self.path, snap)
+                 if part_value == _ALL or not slice_col
+                 else os.path.join(self.path, snap,
+                                   f"{slice_col}={part_value}"))
             if d not in seen and self.fs.isdir(d):
                 seen.add(d)
                 n += len(self.fs.walk_files(d, ".parquet"))
@@ -1700,6 +1941,7 @@ class ParquetLakeTable:
         last: CommitConflictError | None = None
         for _ in range(commit_retries + 1):
             try:
+                self._sync_spec()  # write under the table's CURRENT spec
                 return self._merge_once(batch)
             except CommitConflictError as e:
                 last = e
@@ -1784,22 +2026,121 @@ class ParquetLakeTable:
             stats=m.get("stats", {}),  # base files unchanged
         )
 
+    def _mixed_spec_target(self, batch: DataFrame, m: dict,
+                           legacy_dirs: set):
+        """COW target + manifest bookkeeping for a table holding slices
+        from an OLDER partition spec (post ``evolve_partition_spec``,
+        pre full migration). Returns ``(target_df, pop_tokens)`` or
+        ``None`` for an empty batch.
+
+        Absorption rule: any legacy slice whose stored key range
+        overlaps the batch is read IN FULL and rewritten under the
+        current spec (partition-granular bookkeeping cannot split a
+        slice), together with (a) the new-spec partitions the batch
+        touches, (b) new-spec partitions holding matched keys (probe),
+        and (c) new-spec partitions receiving any absorbed legacy row —
+        without (c) the rewrite would clobber an untouched partition's
+        base pointer while its rows also land in the new snapshot."""
+        schema = T.StructType.fromJson(m["schema"])
+        renames = m.get("renames", [])
+        cur_t = self.partition_transform
+        legacy_tokens = {tok: snap for tok, snap in m["base"].items()
+                         if snap in legacy_dirs}
+        new_tokens = {tok: snap for tok, snap in m["base"].items()
+                      if snap not in legacy_dirs}
+
+        batch_parts = {
+            r[0] for r in batch.select(self.partition_col).distinct().collect()
+        }
+        if not batch_parts:
+            return None  # empty batch: nothing to merge
+        batch_enc = {_encode_part(v) for v in batch_parts}
+
+        # legacy slices to absorb: key-range overlap with the batch
+        # (sound over-approximation; batch_enc deliberately NOT
+        # subtracted — legacy tokens live in the OLD spec's value
+        # space, a string collision with a batch value must not
+        # exempt a slice from absorption)
+        absorbed = self._stats_overlapping_partitions(
+            batch, set(), set(legacy_tokens))
+        by_snap: dict[str, list[str]] = {}
+        for tok in absorbed:
+            by_snap.setdefault(legacy_tokens[tok], []).append(tok)
+        legacy_frames = [
+            self._read_snapshot_slice(
+                snap, toks, schema, renames,
+                partition_col=self._slice_spec(m, snap)[0], derive=cur_t)
+            for snap, toks in sorted(by_snap.items())
+        ]
+        legacy_df = (reduce(DataFrame.unionByName, legacy_frames)
+                     if legacy_frames else None)
+        legacy_vals = set()
+        if legacy_df is not None:
+            legacy_vals = {
+                r[0]
+                for r in legacy_df.select(self.partition_col)
+                .distinct().collect()
+            }
+
+        # new-spec partitions holding keys the batch matches
+        candidates = self._stats_overlapping_partitions(
+            batch, batch_enc, set(new_tokens))
+        probe_vals = set()
+        if candidates:
+            probe_vals = {
+                r[0] for r in self._key_match_probe(batch, candidates).collect()
+            }
+
+        affected_vals = batch_parts | legacy_vals | probe_vals
+        affected_enc = {_encode_part(v) for v in affected_vals}
+
+        new_by_snap: dict[str, list[str]] = {}
+        for tok, snap in new_tokens.items():
+            if tok in affected_enc:
+                new_by_snap.setdefault(snap, []).append(tok)
+        frames = [
+            self._read_snapshot_slice(
+                snap, toks, schema, renames,
+                partition_col=self._slice_spec(m, snap)[0], derive=cur_t)
+            for snap, toks in sorted(new_by_snap.items())
+        ] + ([legacy_df] if legacy_df is not None else [])
+        target = (reduce(DataFrame.unionByName, frames) if frames
+                  else self.spark.createDataFrame([], schema))
+        pop_tokens = (affected_enc & set(new_tokens)) | set(absorbed)
+        return target, pop_tokens
+
     def _merge_cow(self, batch: DataFrame) -> None:
         base_v = self.current_version()
-        parts = self._affected_partitions(batch)
-        target = self.read()
-        if parts is not None:
-            # IN-list on the partition column -> parquet partition pruning:
-            # only affected partitions' files are scanned or rewritten.
-            # NULL partition values need the explicit isNull branch
-            # (isin never matches NULL).
-            non_null = [v for v in parts if v is not None]
-            cond = F.col(self.partition_col).isin(non_null)
-            if any(v is None for v in parts):
-                cond = cond | F.col(self.partition_col).isNull()
-            target = target.filter(cond)
-            if not parts:
+        m0 = self._manifest()
+        cur_spec = _spec_dict(self.partition_col, self.partition_transform)
+        legacy_dirs = {
+            snap for snap in set(m0["base"].values())
+            if _spec_dict(*self._slice_spec(m0, snap)) != cur_spec
+        }
+        pop_tokens: set | None
+        if legacy_dirs and self.partition_col:
+            mixed = self._mixed_spec_target(batch, m0, legacy_dirs)
+            if mixed is None:
                 return
+            target, pop_tokens = mixed
+        else:
+            parts = self._affected_partitions(batch)
+            target = self.read()
+            if parts is not None:
+                # IN-list on the partition column -> parquet partition
+                # pruning: only affected partitions' files are scanned or
+                # rewritten. NULL partition values need the explicit
+                # isNull branch (isin never matches NULL).
+                non_null = [v for v in parts if v is not None]
+                cond = F.col(self.partition_col).isin(non_null)
+                if any(v is None for v in parts):
+                    cond = cond | F.col(self.partition_col).isNull()
+                target = target.filter(cond)
+                if not parts:
+                    return
+                pop_tokens = {_encode_part(v) for v in parts}
+            else:
+                pop_tokens = None
 
         tgt = (
             self._with_lineage(target)
@@ -1844,16 +2185,16 @@ class ParquetLakeTable:
         # a partition that came out EMPTY simply isn't referenced any
         # more (the old code had to rmtree it; the pointer swap makes
         # "this partition no longer exists" a pure metadata statement).
+        # pop_tokens is dir-name ENCODED — one shared encoding for batch
+        # values vs manifest keys (Hive path escaping + NULL token); a
+        # str() compare left stale entries for escaped/NULL values,
+        # silently resurrecting pre-merge rows (advisor finding r1).
         new_base = dict(m["base"])
         new_stats = dict(m.get("stats", {}))
-        if parts is not None:
-            for v in parts:
-                # one shared encoding for batch values vs manifest keys
-                # (Hive path escaping + NULL token) — a str() compare
-                # left stale entries for escaped/NULL values, silently
-                # resurrecting pre-merge rows (advisor finding r1)
-                new_base.pop(_encode_part(v), None)
-                new_stats.pop(_encode_part(v), None)
+        if pop_tokens is not None:
+            for tok in pop_tokens:
+                new_base.pop(tok, None)
+                new_stats.pop(tok, None)
             for v in written:
                 new_base[v] = snap
         else:

@@ -139,6 +139,15 @@ class Transform:
     def expr_for_type(self, dtype: str) -> Column:
         return F.col(self.source_col)
 
+    def partition_dtype(self, src_dtype: str) -> str:
+        """Spark type of the derived partition column."""
+        return src_dtype
+
+    def to_dict(self) -> dict:
+        """JSON form for manifests (partition-spec evolution records
+        each snapshot's spec; ``transform_from_dict`` round-trips)."""
+        return {"kind": type(self).__name__, "source_col": self.source_col}
+
     def decode(self, token: str | None):
         return token
 
@@ -164,6 +173,9 @@ class _TimeTransform(Transform):
 
     def expr_for_type(self, dtype: str) -> Column:
         return F.date_format(F.col(self.source_col), self.fmt)
+
+    def partition_dtype(self, src_dtype: str) -> str:
+        return "string"
 
     def _apply(self, value) -> str | None:
         """Literal -> partition token, or None when the literal can't be
@@ -239,6 +251,10 @@ class truncate(Transform):  # noqa: N801
             return F.substring(c, 1, self.width)
         return (c - F.pmod(c, F.lit(self.width))).cast(dtype)
 
+    def to_dict(self) -> dict:
+        return {"kind": "truncate", "source_col": self.source_col,
+                "width": self.width}
+
     def decode(self, token: str | None):
         if token is None:
             return None
@@ -282,6 +298,12 @@ class bucket(Transform):  # noqa: N801
     def expr_for_type(self, dtype: str) -> Column:
         return F.pmod(F.hash(F.col(self.source_col)), F.lit(self.n))
 
+    def partition_dtype(self, src_dtype: str) -> str:
+        return "int"
+
+    def to_dict(self) -> dict:
+        return {"kind": "bucket", "source_col": self.source_col, "n": self.n}
+
     def decode(self, token: str | None):
         return None if token is None else int(token)
 
@@ -297,3 +319,24 @@ class bucket(Transform):  # noqa: N801
             bs = [self._apply(v, dtype) for v in value]
             return None if any(b is None for b in bs) else ("in", set(bs))
         return None
+
+
+def transform_from_dict(d: dict | None) -> Transform | None:
+    """Inverse of ``Transform.to_dict`` — reconstructs the transform a
+    manifest's partition spec recorded."""
+    if d is None:
+        return None
+    kind = d["kind"]
+    if kind == "Transform":
+        return Transform(d["source_col"])
+    if kind == "days":
+        return days(d["source_col"])
+    if kind == "months":
+        return months(d["source_col"])
+    if kind == "hours":
+        return hours(d["source_col"])
+    if kind == "truncate":
+        return truncate(d["source_col"], d["width"])
+    if kind == "bucket":
+        return bucket(d["source_col"], d["n"])
+    raise ValueError(f"unknown partition transform kind {kind!r}")

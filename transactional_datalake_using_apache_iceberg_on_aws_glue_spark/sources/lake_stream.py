@@ -165,13 +165,21 @@ def _list_parquet(path: str, d: str) -> list[str]:
 
 
 class _PartDiff(InputPartition):
-    """One partition value's (old files, new files) diff task."""
+    """One partition value's (old files, new files) diff task.
 
-    def __init__(self, part, old_files, new_files, renames=()):
+    ``fill_col`` is the column the partition token belongs to — the
+    SLICE's own partition column, which after a partition-spec
+    evolution may differ from the stream option (old snapshots keep
+    their original layout; their dir token re-derives their original
+    column, not the current spec's)."""
+
+    def __init__(self, part, old_files, new_files, renames=(),
+                 fill_col=None):
         self.part = part
         self.old_files = old_files
         self.new_files = new_files
         self.renames = list(renames)
+        self.fill_col = fill_col
 
 
 class LakeChangeStreamReader(DataSourceStreamReader):
@@ -213,6 +221,20 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         old_m = None if lo == 0 else _read_manifest(self.path, lo)
         old_base = {} if old_m is None else old_m["base"]
         renames = new_m.get("renames", [])
+
+        def slice_col(m, snap):
+            """The partition column ``snap``'s directory layout uses
+            (per-slice spec after a partition-spec evolution; falls
+            back to the stream's partitionCol option for manifests
+            that predate spec recording)."""
+            entry = (m.get("slice_specs") or {}).get(snap)
+            if entry is not None:
+                return entry.get("partition_col")
+            spec = m.get("spec")
+            if spec is not None:
+                return spec.get("partition_col")
+            return self.partition_col
+
         out = []
         for part, snap in sorted(new_m["base"].items()):
             old_snap = old_base.get(part)
@@ -221,19 +243,22 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             out.append(_PartDiff(
                 part,
                 _partition_files(self.path, old_m, part,
-                                 self.partition_col) if old_snap else [],
+                                 slice_col(old_m, old_snap))
+                if old_snap else [],
                 _partition_files(self.path, new_m, part,
-                                 self.partition_col),
+                                 slice_col(new_m, snap)),
                 renames,
+                fill_col=slice_col(new_m, snap),
             ))
         for part, old_snap in sorted(old_base.items()):
             if part not in new_m["base"]:  # partition disappeared
                 out.append(_PartDiff(
                     part,
                     _partition_files(self.path, old_m, part,
-                                     self.partition_col),
+                                     slice_col(old_m, old_snap)),
                     [],
                     renames,
+                    fill_col=slice_col(old_m, old_snap),
                 ))
         return out or [_PartDiff(_ALL, [], [])]
 
@@ -243,15 +268,17 @@ class LakeChangeStreamReader(DataSourceStreamReader):
     # -- per-task diff (executor-side, pyarrow/pandas only) ---------------
 
     def read(self, partition: _PartDiff):
+        fill_col = (partition.fill_col if partition.fill_col is not None
+                    else self.partition_col)
         part_dtype = (
             dict((f.name, f.dataType) for f in self.change_schema.fields)
-            .get(self.partition_col)
+            .get(fill_col)
         )
         old = _load_live(self.path, partition.old_files, self.columns,
-                         self.keys, self.partition_col, partition.part,
+                         self.keys, fill_col, partition.part,
                          partition.renames, part_dtype)
         new = _load_live(self.path, partition.new_files, self.columns,
-                         self.keys, self.partition_col, partition.part,
+                         self.keys, fill_col, partition.part,
                          partition.renames, part_dtype)
         merged = old.merge(new, on=self.keys, how="outer",
                            suffixes=("_old", "_new"), indicator=True)
