@@ -342,3 +342,54 @@ def test_delete_where_prunes_partitions(spark, tmp_path):
     key_visit = next(k for k in before if "visit" in k)
     assert after[key_cart] == before[key_cart]  # untouched files
     assert after[key_visit] != before[key_visit]
+
+
+# -- ALTER TABLE DDL -----------------------------------------------------
+
+
+def test_alter_table_column_ddl(spark, runner):
+    r, t = runner
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans ADD COLUMN note string")
+    assert "note" in t.read_data().columns
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans RENAME COLUMN note TO memo")
+    cols = t.read_data().columns
+    assert "memo" in cols and "note" not in cols
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans ALTER COLUMN amount TYPE bigint")
+    assert dict(t.read_data().dtypes)["amount"] == "bigint"
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans DROP COLUMN memo")
+    assert "memo" not in t.read_data().columns
+    # data survived the whole DDL run
+    assert _state(t) == {1: 10, 2: 20, 3: 30}
+
+
+def test_alter_table_partition_field(spark, tmp_path):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.transforms import (
+        days,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "p"), key_cols=["trans_id"],
+                         partition_col="event")
+    t.create(spark.createDataFrame(
+        [(1, "visit", "2024-01-01 10:00:00")],
+        "trans_id long, event string, ts string",
+    ).selectExpr("trans_id", "event", "CAST(ts AS timestamp) AS ts"))
+    r = MergeSqlRunner(spark)
+    r.register("p", t)
+    r.sql("ALTER TABLE p REPLACE PARTITION FIELD event WITH days(ts)")
+    assert t.partition_transform == days("ts")
+    r.sql("ALTER TABLE p DROP PARTITION FIELD ts_day")
+    assert t.partition_col is None
+    r.sql("ALTER TABLE p ADD PARTITION FIELD event")
+    assert t.partition_col == "event" and t.partition_transform is None
+    with pytest.raises(MergeSqlError, match="REPLACE PARTITION FIELD"):
+        r.sql("ALTER TABLE p ADD PARTITION FIELD bucket(8, trans_id)")
+    with pytest.raises(MergeSqlError, match="unknown partition transform"):
+        r.sql("ALTER TABLE p REPLACE PARTITION FIELD event WITH years(ts)")
+
+
+def test_alter_table_guards(spark, runner):
+    r, _ = runner
+    with pytest.raises(MergeSqlError, match="unsupported ALTER TABLE clause"):
+        r.sql("ALTER TABLE demo.cdc_db.retail_trans SET TBLPROPERTIES ('a'='b')")
+    with pytest.raises(ValueError, match="already exists"):
+        r.sql("ALTER TABLE demo.cdc_db.retail_trans ADD COLUMN amount int")

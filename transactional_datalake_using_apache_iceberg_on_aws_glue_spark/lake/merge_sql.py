@@ -191,13 +191,15 @@ class MergeSqlRunner:
             return self._run_update(statement)
         if head.startswith("INSERT"):
             return self._run_insert(statement)
+        if head.startswith("ALTER"):
+            return self._run_alter(statement)
         m = _MERGE_RE.match(statement)
         if not m:
             raise MergeSqlError(
                 "unsupported statement; expected MERGE INTO <t> t USING "
                 "<s> s ON ... WHEN [NOT] MATCHED [AND cond] THEN "
                 "DELETE | UPDATE SET * | INSERT * — or DELETE FROM / "
-                "UPDATE ... SET / INSERT INTO"
+                "UPDATE ... SET / INSERT INTO / ALTER TABLE"
             )
         # MERGE may target a not-yet-created table (first merge creates)
         table = self._resolve(m.group("target"), require_exists=False)
@@ -473,6 +475,109 @@ class MergeSqlRunner:
               for c in declared]
         )
         table.merge(batch.withColumn(OP_COL, F.lit("upsert")))
+
+    # -- ALTER TABLE DDL (Iceberg schema/spec evolution statements) ------
+
+    def _run_alter(self, statement: str) -> None:
+        """The Iceberg ``ALTER TABLE`` family, executed jar-free against
+        the engine's metadata-only evolution commits::
+
+            ALTER TABLE t ADD COLUMN name type
+            ALTER TABLE t RENAME COLUMN a TO b
+            ALTER TABLE t DROP COLUMN a
+            ALTER TABLE t ALTER COLUMN a TYPE <wider-type>
+            ALTER TABLE t ADD PARTITION FIELD <spec>
+            ALTER TABLE t DROP PARTITION FIELD <spec>
+            ALTER TABLE t REPLACE PARTITION FIELD <old> WITH <spec>
+
+        ``<spec>`` is a column name (identity) or a transform call:
+        ``days(ts)``, ``months(ts)``, ``hours(ts)``, ``bucket(16, id)``,
+        ``truncate(4, s)``. Single-field specs only (this engine
+        partitions one dimension; Iceberg's multi-field specs are out
+        of subset)."""
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+(?P<rest>.+?)\s*;?\s*$",
+            statement, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise MergeSqlError("unsupported ALTER TABLE statement")
+        table = self._resolve(m.group("target"))
+        rest = re.sub(r"\s+", " ", m.group("rest")).strip()
+
+        mm = re.match(r"^ADD\s+COLUMNS?\s+\(?\s*(?P<name>\w+)\s+"
+                      r"(?P<type>[\w<>,() ]+?)\s*\)?$", rest, re.IGNORECASE)
+        if mm:
+            table.add_column(mm.group("name"), mm.group("type"))
+            return
+        mm = re.match(r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
+                      rest, re.IGNORECASE)
+        if mm:
+            table.rename_column(mm.group("old"), mm.group("new"))
+            return
+        mm = re.match(r"^DROP\s+COLUMN\s+(?P<col>\w+)$", rest, re.IGNORECASE)
+        if mm:
+            table.drop_column(mm.group("col"))
+            return
+        mm = re.match(r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+"
+                      r"(?P<type>\w+)$", rest, re.IGNORECASE)
+        if mm:
+            table.widen_column(mm.group("col"), mm.group("type"))
+            return
+        mm = re.match(r"^ADD\s+PARTITION\s+FIELD\s+(?P<spec>.+)$",
+                      rest, re.IGNORECASE)
+        if mm:
+            if table.partition_col is not None:
+                raise MergeSqlError(
+                    "table already has a partition field; use REPLACE "
+                    "PARTITION FIELD (single-field specs only)")
+            self._evolve(table, mm.group("spec"))
+            return
+        mm = re.match(r"^DROP\s+PARTITION\s+FIELD\s+(?P<spec>.+)$",
+                      rest, re.IGNORECASE)
+        if mm:
+            table.evolve_partition_spec()  # unpartitioned
+            return
+        mm = re.match(r"^REPLACE\s+PARTITION\s+FIELD\s+(?P<old>.+?)\s+"
+                      r"WITH\s+(?P<spec>.+)$", rest, re.IGNORECASE)
+        if mm:
+            self._evolve(table, mm.group("spec"))
+            return
+        raise MergeSqlError(
+            f"unsupported ALTER TABLE clause {rest!r}; supported: "
+            "ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE, "
+            "ADD/DROP/REPLACE PARTITION FIELD"
+        )
+
+    @staticmethod
+    def _evolve(table: ParquetLakeTable, spec_text: str) -> None:
+        from .transforms import bucket, days, hours, months, truncate
+
+        s = spec_text.strip().rstrip(";").strip()
+        call = re.match(r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^)]*)\s*\)$", s)
+        if not call:
+            table.evolve_partition_spec(partition_col=s.replace("`", ""))
+            return
+        fn = call.group("fn").lower()
+        args = [a.strip().replace("`", "")
+                for a in call.group("args").split(",") if a.strip()]
+        if fn in ("days", "day", "months", "month", "hours", "hour"):
+            if len(args) != 1:
+                raise MergeSqlError(f"{fn}() takes one column argument")
+            t = {"days": days, "day": days, "months": months,
+                 "month": months, "hours": hours, "hour": hours}[fn](args[0])
+        elif fn == "bucket":
+            if len(args) != 2 or not args[0].isdigit():
+                raise MergeSqlError("bucket(N, col) expected")
+            t = bucket(args[1], int(args[0]))
+        elif fn == "truncate":
+            if len(args) != 2 or not args[0].isdigit():
+                raise MergeSqlError("truncate(W, col) expected")
+            t = truncate(args[1], int(args[0]))
+        else:
+            raise MergeSqlError(
+                f"unknown partition transform {fn!r}; supported: "
+                "days/months/hours/bucket/truncate or a bare column"
+            )
+        table.evolve_partition_spec(partition_by=t)
 
     # -- pieces ----------------------------------------------------------
 

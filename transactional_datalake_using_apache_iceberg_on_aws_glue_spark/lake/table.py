@@ -1287,6 +1287,32 @@ class ParquetLakeTable:
         would resolve to stale bytes (r3 advisor finding)."""
         return {r["from"] for r in m.get("renames", [])}
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """Add a nullable data column — METADATA-ONLY, O(1): the schema
+        commit appends the field; old files serve NULL for it (the same
+        additive-evolution fallback batch-driven evolution uses, but as
+        an explicit DDL statement like Iceberg's ``ALTER TABLE ... ADD
+        COLUMN``). The name must be fresh — re-introducing a renamed-
+        away or dropped name would serve stale bytes from old files."""
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        schema = T.StructType.fromJson(m["schema"])
+        if name in schema.names:
+            raise ValueError(f"column {name!r} already exists")
+        if name in self._retired_names(m):
+            raise ValueError(
+                f"{name!r} was previously renamed away or dropped; old "
+                "files still carry it physically — use a fresh name"
+            )
+        field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        new_schema = T.StructType(list(schema.fields) + [field])
+        return self._commit(
+            m["version"], "add-column", m["base"], m["deltas"], new_schema,
+            summary={"added": name, "type": dtype},
+            stats=m.get("stats", {}),
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a data column — METADATA-ONLY, O(1), no file rewrite
         (Iceberg full schema evolution; plain parquet-by-name cannot do
