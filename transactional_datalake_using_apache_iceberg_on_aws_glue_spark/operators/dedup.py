@@ -5,8 +5,11 @@ All operators are DataFrame->DataFrame and shuffle on HASHES, never on
 document text — the property that makes them viable at 100 TB:
 
 - exact:    shuffle 32-byte md5 + doc_id
-- minhash:  shuffle (doc_id, shingle_hash) pairs, then (band_key, doc_id)
-- simhash:  one groupBy over exploded token hashes, then bucket join
+- minhash:  signatures fold ROW-LOCALLY over the shingle-hash array
+            (zero shuffle, r4); only the band self-join exchanges
+            (band_key, doc_id)
+- simhash:  the 64-bit signature folds row-locally too (r4); only the
+            pigeonhole bucket join shuffles
 - jaccard:  only for candidate pairs (post-LSH) or bounded subsets
 
 No Python UDFs anywhere — xxhash64 / bit ops / array functions are all
@@ -42,32 +45,46 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                   n: int = 3) -> DataFrame:
-    """(id, shingle_hash) pairs: n-gram word shingles hashed to int64.
-
-    zip_with over shifted slices (NOT element_at-in-lambda, which
-    re-evaluates the split per element — see queries/text.py note).
-    """
+def shingle_hash_arrays(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, array<long> of distinct n-gram shingle hashes) — the
+    UNEXPLODED form: one row per doc, computed entirely row-local
+    (split -> shifted-slice zip_with -> array_distinct -> xxhash64 per
+    element). Signature computation aggregates this array in place
+    with ZERO shuffle; only tiers that genuinely need (id, hash) PAIRS
+    (exact-Jaccard verification joins) explode it."""
     toks = F.split(F.col(text_col), " ")
     size = F.size(toks)
     sh = F.slice(toks, 1, size - (n - 1))
     for k in range(1, n):
         sh = F.zip_with(sh, F.slice(toks, k + 1, size - (n - 1)),
                         lambda x, y: F.concat_ws(" ", x, y))
+    hashes = F.transform(F.array_distinct(sh), lambda g: F.xxhash64(g))
     return (
-        docs.filter(size >= n)
-        .select(id_col, F.explode(F.array_distinct(sh)).alias("_shingle"))
-        .select(id_col, F.xxhash64("_shingle").alias("shingle_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .filter(size >= n)
+        .select(id_col, hashes.alias("shingle_hashes"))
+    )
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3) -> DataFrame:
+    """(id, shingle_hash) pairs: n-gram word shingles hashed to int64
+    (the exploded form of ``shingle_hash_arrays``)."""
+    return (
+        shingle_hash_arrays(docs, text_col, id_col, n)
+        .select(id_col, F.explode("shingle_hashes").alias("shingle_hash"))
     )
 
 
 def minhash_signatures(pairs: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per doc: one shuffle (groupBy id), num_hashes
-    min-aggregates computed map-side first (partial agg). All-long
-    arithmetic: shingle hashes fold to 31 bits, so a*x+b < 2^62 and
-    the whole expression stays in codegen."""
+    """MinHash signature per doc from EXPLODED (id, shingle_hash)
+    pairs: one shuffle (groupBy id), num_hashes min-aggregates computed
+    map-side first (partial agg). All-long arithmetic: shingle hashes
+    fold to 31 bits, so a*x+b < 2^62 and the whole expression stays in
+    codegen. Prefer ``minhash_signatures_from_arrays`` when the
+    unexploded array frame is available — same values, no shuffle."""
     params = _hash_params(num_hashes)
     x = F.col("shingle_hash").bitwiseAND(F.lit(_P31))  # fold to 31 bits
     mins = [
@@ -75,6 +92,42 @@ def minhash_signatures(pairs: DataFrame, id_col: str = "doc_id",
         for i, (a, b) in enumerate(params)
     ]
     return pairs.groupBy(id_col).agg(*mins)
+
+
+def minhash_signatures_from_arrays(arrs: DataFrame, id_col: str = "doc_id",
+                                   num_hashes: int = 64,
+                                   arr_col: str = "shingle_hashes") -> DataFrame:
+    """MinHash signatures computed ROW-LOCALLY over the shingle-hash
+    array — no explode, no shuffle: per doc, ``aggregate`` folds the
+    array into a running array of num_hashes minima (zip_with against
+    the literal (a, b) parameter array). Identical values to
+    ``minhash_signatures`` (same Carter-Wegman params, same 31-bit
+    fold); at 100 TB this removes the (docs x shingles)-row exchange
+    entirely — the signature stage becomes a projection."""
+    params = _hash_params(num_hashes)
+    p_arr = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params
+    ])
+    init = F.array_repeat(F.lit(_P31).cast("long"), num_hashes)  # > any h
+    sig = F.aggregate(
+        F.col(arr_col),
+        init,
+        lambda acc, x: F.zip_with(
+            acc, p_arr,
+            lambda m, p: F.least(
+                m,
+                (p["a"] * x.bitwiseAND(F.lit(_P31)) + p["b"]) % F.lit(_P31),
+            ),
+        ),
+    )
+    # two-step select: materialize the fold ONCE per row, then split
+    # into columns — CollapseProject keeps non-cheap aliases with >1
+    # consumer, so the aggregate is not inlined 64 times
+    return arrs.select(id_col, sig.alias("_sig")).select(
+        id_col,
+        *[F.element_at("_sig", i + 1).alias(f"mh_{i}")
+          for i in range(num_hashes)],
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -143,17 +196,19 @@ def minhash_lsh_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
     Returns (doc_a, doc_b[, jaccard]) near-duplicate pairs.
     """
-    sh = shingle_hashes(docs, text_col, id_col)
+    arrs = shingle_hash_arrays(docs, text_col, id_col)
     if verify:
-        # the shingle frame feeds BOTH the signatures and the exact-
-        # Jaccard verification; a lazy localCheckpoint materializes it
-        # once on first use instead of re-tokenizing the corpus twice
-        # (freed with the DataFrame, no explicit unpersist needed)
-        sh = sh.localCheckpoint(eager=False)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+        # the shingle-ARRAY frame feeds BOTH the signatures and the
+        # exact-Jaccard verification; a lazy localCheckpoint
+        # materializes it once (one row per doc — far more compact
+        # than the exploded pair frame it replaced) instead of
+        # re-tokenizing the corpus twice
+        arrs = arrs.localCheckpoint(eager=False)
+    sig = minhash_signatures_from_arrays(arrs, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
     if not verify:
         return cand
+    sh = arrs.select(id_col, F.explode("shingle_hashes").alias("shingle_hash"))
     return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -164,28 +219,42 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: sign of per-bit sums of token-hash bits.
 
-    Explode tokens -> xxhash64 -> per-doc sums of (2*bit_j - 1) for each
-    bit j -> reassemble the sign bits into one long. One shuffle
-    (groupBy doc); the 64 conditional sums are map-side partial aggs.
-    """
-    tok = (
-        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_t"))
-        .select(id_col, F.xxhash64("_t").alias("h"))
+    Computed ROW-LOCALLY — split -> xxhash64 per token (transform) ->
+    ``aggregate`` folds the hash array into a ``bits``-element array of
+    (2*bit_j - 1) sums -> sign bits reassemble into one long. Zero
+    shuffle: the whole operator is a projection (the r4 rewrite of the
+    original explode + groupBy-with-64-sums, which exchanged one row
+    per TOKEN — the dominant cost at corpus scale)."""
+    hs = F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
+    # bit masks as a literal array (shiftright needs a Python-int
+    # amount, so bit j tests as h & 2^j != 0; bit 63 is the sign bit —
+    # its mask is long MIN_VALUE in two's complement)
+    pow_arr = F.array(*[
+        F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        for j in range(bits)
+    ])
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, pow_arr,
+            lambda s, p: s + F.when(
+                h.bitwiseAND(p) != 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
     )
-    sums = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
+    sig = F.aggregate(
+        F.zip_with(
+            sums, pow_arr,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a.bitwiseXOR(v),  # disjoint bits: XOR == OR
     )
-    sig = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    return sums.select(id_col, sig.alias("simhash"))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, sig.alias("simhash"))
+    )
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

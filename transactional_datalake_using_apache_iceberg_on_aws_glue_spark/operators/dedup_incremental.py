@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.table import ParquetLakeTable
-from .dedup import minhash_signatures, shingle_hashes
+from .dedup import minhash_signatures_from_arrays, shingle_hash_arrays
 
 
 class MinHashIndex:
@@ -70,8 +70,9 @@ class MinHashIndex:
 
     def _signatures(self, docs: DataFrame, text_col: str,
                     id_col: str) -> DataFrame:
-        sh = shingle_hashes(docs, text_col, id_col)
-        sig = minhash_signatures(sh, id_col, self.num_hashes)
+        # array path: signatures fold row-locally, zero shuffle (r4)
+        arrs = shingle_hash_arrays(docs, text_col, id_col)
+        sig = minhash_signatures_from_arrays(arrs, id_col, self.num_hashes)
         cols = [f"mh_{i}" for i in range(self.num_hashes)]
         return sig.select(
             F.col(id_col).alias("doc_id"), F.array(*cols).alias("sig")
