@@ -278,3 +278,52 @@ def test_change_stream_across_spec_boundary(spark, tmp_path):
     # key 10's insert carries its device value from the NEW layout
     k10 = [r for r in rows if r["trans_id"] == 10]
     assert any(r["device"] == "tablet" for r in k10)
+
+
+def test_rollback_across_evolve_restores_spec(spark, tmp_path):
+    """Rollback to a pre-evolve version restores that version's spec
+    together with its schema (spec and schema are coupled here — the
+    derived column lives in the schema), and writes after the rollback
+    use the restored layout."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([10], "view", "tablet")))
+    t.rollback(1)
+    assert t.partition_col == "event"
+    assert set(_state(t)) == {1, 2, 3, 4}
+    t.merge(_batch(spark, _rows([11], "like", "pc")))
+    assert "like" in t._manifest()["base"]  # event layout again
+
+
+def test_concurrent_merges_with_retry_soak(spark, tmp_path):
+    """Retry soak: several threads merging disjoint keys race commits;
+    with replan-and-retry every batch must land exactly once."""
+    import threading
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "c"), key_cols=["trans_id"],
+                         partition_col="event")
+    t.create(spark.createDataFrame(_rows([0]), ROWS))
+    errors = []
+
+    def writer(wid):
+        try:
+            h = ParquetLakeTable(spark, t.path, key_cols=["trans_id"],
+                                 partition_col="event")
+            for j in range(3):
+                key = 100 * wid + j
+                h.merge(_batch(spark, _rows([key])), commit_retries=30)
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errors.append((wid, e))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    expect = {0} | {100 * w + j for w in range(4) for j in range(3)}
+    assert set(_state(t)) == expect

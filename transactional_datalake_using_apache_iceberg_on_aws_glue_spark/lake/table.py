@@ -603,10 +603,26 @@ class ParquetLakeTable:
         """Globally-unique data-directory name for the next commit of
         this ref. Version numbers are table-global, and non-main refs
         get the ref name appended, so two refs committing concurrently
-        can never write into each other's directories."""
+        can never write into each other's directories.
+
+        SAME-ref concurrent writers contest the name through an
+        exclusive claim marker (``_versions/claims/``): the exclusive
+        manifest create protects the COMMIT, but two writers that both
+        planned ``snap-N`` would overwrite each other's DATA files
+        mid-write — the loser's later commit would then reference the
+        winner's bytes (found by the retry-soak test). The loser here
+        just takes the next number; its claim marker is metadata
+        debris, never scanned by readers or GC."""
         nv = max(self.current_version(), self._max_version()) + 1
-        name = f"{prefix}-{nv:06d}"
-        return name if self.ref == "main" else f"{name}-{self.ref}"
+        claims = os.path.join(self._versions_path(), "claims")
+        self.fs.makedirs(claims)
+        while True:
+            name = f"{prefix}-{nv:06d}"
+            if self.ref != "main":
+                name = f"{name}-{self.ref}"
+            if self.fs.create_exclusive(os.path.join(claims, name), ""):
+                return name
+            nv += 1
 
     # -- physical file IO --------------------------------------------------
 
@@ -1616,12 +1632,20 @@ class ParquetLakeTable:
         target = self._manifest(version)
         if target is None:
             raise ValueError(f"version {version} does not exist")
+        # the PARTITION SPEC travels with the schema: a rollback across
+        # an evolve restores the target's spec too — schema and spec
+        # are coupled here (the spec's derived column lives in the
+        # schema), unlike Iceberg where spec ids are table-level
+        t_pcol, t_ptrans = self._manifest_spec(target)
         self._commit(
             self.current_version(), "rollback", target["base"], target["deltas"],
             T.StructType.fromJson(target["schema"]),
             summary={"rolled_back_to": version},
             stats=target.get("stats", {}),
+            spec=_spec_dict(t_pcol, t_ptrans),
+            slice_specs=dict(target.get("slice_specs") or {}),
         )
+        self.partition_col, self.partition_transform = t_pcol, t_ptrans
 
     # -- branches & tags (write-audit-publish) -------------------------------
 
