@@ -327,3 +327,22 @@ def test_concurrent_merges_with_retry_soak(spark, tmp_path):
     assert not errors, errors
     expect = {0} | {100 * w + j for w in range(4) for j in range(3)}
     assert set(_state(t)) == expect
+
+
+def test_mor_deltas_across_spec_boundary(spark, tmp_path):
+    """MOR mode: deltas written before AND after an evolve fold
+    correctly (each layer reads under its own layout), and compact()
+    folds everything into the current spec."""
+    t = ParquetLakeTable(spark, str(tmp_path / "m"), key_cols=["trans_id"],
+                         partition_col="event", merge_mode="mor")
+    t.create(spark.createDataFrame(_rows([1, 2], "visit", "pc"), ROWS))
+    t.merge(_batch(spark, [(2, "visit", "pc", 99)], "update"))  # old-spec delta
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([3], "cart", "mobile")))        # new-spec delta
+    got = _state(t)
+    assert got[2] == ("visit", "pc", 99)
+    assert set(got) == {1, 2, 3}
+    t.compact()
+    assert t._manifest()["deltas"] == []
+    assert t._manifest().get("slice_specs") in (None, {})
+    assert _state(t) == got

@@ -1835,6 +1835,11 @@ class ParquetLakeTable:
                     continue
             self.fs.rmtree(full)
             removed.append(name)
+            try:  # drop the dir's name-claim marker with it (hygiene)
+                self.fs.remove(
+                    os.path.join(self._versions_path(), "claims", name))
+            except FileNotFoundError:
+                pass
         for m in list(self._iter_manifests()):
             if m["version"] not in protected:
                 self.fs.remove(self._manifest_file(m["version"]))
