@@ -6,6 +6,7 @@ must run verbatim against the manual parquet engine — no Iceberg jar.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
     ParquetLakeTable,
@@ -393,3 +394,57 @@ def test_alter_table_guards(spark, runner):
         r.sql("ALTER TABLE demo.cdc_db.retail_trans SET TBLPROPERTIES ('a'='b')")
     with pytest.raises(ValueError, match="already exists"):
         r.sql("ALTER TABLE demo.cdc_db.retail_trans ADD COLUMN amount int")
+
+
+# -- CALL system procedures & branch/tag DDL ------------------------------
+
+
+def test_call_expire_snapshots_and_rollback(spark, runner):
+    r, t = runner
+    r.sql("DELETE FROM demo.cdc_db.retail_trans WHERE trans_id = 3")
+    assert _state(t) == {1: 10, 2: 20}
+    r.sql("CALL demo.system.rollback_to_snapshot("
+          "'demo.cdc_db.retail_trans', 1)")
+    assert _state(t) == {1: 10, 2: 20, 3: 30}
+    removed = r.sql("CALL system.expire_snapshots("
+                    "table => 'demo.cdc_db.retail_trans', retain_last => 1)")
+    assert isinstance(removed, list)
+    with pytest.raises(ValueError):
+        t.read(as_of_version=1)  # expired horizon
+
+
+def test_call_rewrite_data_files(spark, runner):
+    r, t = runner
+    r.sql("INSERT INTO demo.cdc_db.retail_trans VALUES (4, 'd', 40)")
+    r.sql("CALL system.rewrite_data_files(table => 'demo.cdc_db.retail_trans')")
+    assert _state(t) == {1: 10, 2: 20, 3: 30, 4: 40}
+    assert t._manifest()["operation"] == "compact"
+
+
+def test_call_guards(spark, runner):
+    r, _ = runner
+    with pytest.raises(MergeSqlError, match="unknown procedure"):
+        r.sql("CALL system.nope(table => 'demo.cdc_db.retail_trans')")
+    with pytest.raises(MergeSqlError, match="unsupported argument"):
+        r.sql("CALL system.expire_snapshots("
+              "table => 'demo.cdc_db.retail_trans', max_age => 5)")
+    with pytest.raises(MergeSqlError, match="needs argument"):
+        r.sql("CALL system.rollback_to_snapshot("
+              "table => 'demo.cdc_db.retail_trans')")
+
+
+def test_alter_branch_tag_and_fast_forward(spark, runner):
+    r, t = runner
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans CREATE TAG v1")
+    assert t.tag_version("v1") == t.current_version()
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans CREATE BRANCH audit")
+    b = t.branch("audit")
+    b.merge(spark.createDataFrame([(9, "z", 90)], ROWS)
+            .withColumn("_op", F.lit("insert")))
+    assert 9 not in _state(t)  # WAP: main unaffected until publish
+    r.sql("CALL system.fast_forward('demo.cdc_db.retail_trans', 'audit')")
+    assert _state(t)[9] == 90  # publish retires the branch ref itself
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans CREATE BRANCH scratch")
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans DROP BRANCH scratch")
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans DROP TAG v1")
+    assert "scratch" not in t.list_refs()

@@ -193,6 +193,8 @@ class MergeSqlRunner:
             return self._run_insert(statement)
         if head.startswith("ALTER"):
             return self._run_alter(statement)
+        if head.startswith("CALL"):
+            return self._run_call(statement)
         m = _MERGE_RE.match(statement)
         if not m:
             raise MergeSqlError(
@@ -541,10 +543,25 @@ class MergeSqlRunner:
         if mm:
             self._evolve(table, mm.group("spec"))
             return
+        mm = re.match(r"^(?P<verb>CREATE|DROP)\s+(?P<kind>BRANCH|TAG)\s+"
+                      r"(?P<name>\w+)$", rest, re.IGNORECASE)
+        if mm:
+            verb = mm.group("verb").upper()
+            kind = mm.group("kind").upper()
+            name = mm.group("name")
+            if verb == "CREATE" and kind == "BRANCH":
+                table.create_branch(name)
+            elif verb == "CREATE":
+                table.tag(name)
+            elif kind == "BRANCH":
+                table.drop_branch(name)
+            else:
+                table.drop_tag(name)
+            return
         raise MergeSqlError(
             f"unsupported ALTER TABLE clause {rest!r}; supported: "
             "ADD/RENAME/DROP COLUMN, ALTER COLUMN TYPE, "
-            "ADD/DROP/REPLACE PARTITION FIELD"
+            "ADD/DROP/REPLACE PARTITION FIELD, CREATE/DROP BRANCH/TAG"
         )
 
     @staticmethod
@@ -578,6 +595,95 @@ class MergeSqlRunner:
                 "days/months/hours/bucket/truncate or a bare column"
             )
         table.evolve_partition_spec(partition_by=t)
+
+    # -- CALL procedures (Iceberg system stored-procedure parity) --------
+
+    def _run_call(self, statement: str):
+        """Iceberg's maintenance stored procedures, jar-free::
+
+            CALL [<catalog>.]system.expire_snapshots(table => 't'
+                                                     [, retain_last => N])
+            CALL system.rollback_to_snapshot('t', <version>)
+            CALL system.rewrite_data_files(table => 't'
+                 [, sort_order => 'zorder(c1, c2)'])
+            CALL system.fast_forward('t', 'branch')
+            CALL system.remove_orphan_files(table => 't')
+
+        Positional or ``name => value`` arguments; the table argument
+        resolves through the registry like every DML target. Returns
+        whatever the underlying maintenance call returns (e.g. the
+        removed snapshot dirs for expire)."""
+        m = re.match(
+            r"^\s*CALL\s+(?:[\w`]+\.)?system\.(?P<proc>\w+)\s*"
+            r"\((?P<args>.*)\)\s*;?\s*$",
+            statement, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise MergeSqlError(
+                "unsupported CALL; expected CALL [catalog.]system.<proc>(...)")
+        proc = m.group("proc").lower()
+        pos, named = [], {}
+        for piece in _split_top_level(m.group("args")):
+            nm = re.match(r"^(\w+)\s*=>\s*(.+)$", piece, re.DOTALL)
+            if nm:
+                named[nm.group(1).lower()] = self._call_value(nm.group(2))
+            else:
+                pos.append(self._call_value(piece))
+
+        def arg(name, index, default=None, required=False):
+            if name in named:
+                return named.pop(name)
+            if index < len(pos):
+                return pos[index]
+            if required:
+                raise MergeSqlError(f"{proc} needs argument {name!r}")
+            return default
+
+        table = self._resolve(str(arg("table", 0, required=True)))
+        # extract EVERYTHING before executing: leftover named arguments
+        # must reject the statement before any side effect runs
+        if proc == "expire_snapshots":
+            keep = int(arg("retain_last", 1, default=1))
+            run = lambda: table.expire_snapshots(keep_last=keep)  # noqa: E731
+        elif proc == "rollback_to_snapshot":
+            version = int(arg("snapshot_id", 1, required=True))
+            run = lambda: table.rollback(version)  # noqa: E731
+        elif proc == "rewrite_data_files":
+            order = arg("sort_order", 1)
+            cluster = None
+            if order is not None:
+                zm = re.match(r"^zorder\s*\(([^)]*)\)$", str(order).strip(),
+                              re.IGNORECASE)
+                if not zm:
+                    raise MergeSqlError(
+                        "sort_order supports 'zorder(c1, c2, ...)' only")
+                cluster = [c.strip() for c in zm.group(1).split(",")
+                           if c.strip()]
+            run = lambda: table.compact(cluster_by=cluster)  # noqa: E731
+        elif proc == "fast_forward":
+            branch = str(arg("branch", 1, required=True))
+            run = lambda: table.publish_branch(branch)  # noqa: E731
+        elif proc == "remove_orphan_files":
+            # orphan sweep only: protect every live snapshot
+            run = lambda: table.expire_snapshots(keep_last=10 ** 9)  # noqa: E731
+        else:
+            raise MergeSqlError(
+                f"unknown procedure {proc!r}; supported: expire_snapshots, "
+                "rollback_to_snapshot, rewrite_data_files, fast_forward, "
+                "remove_orphan_files"
+            )
+        if named:
+            raise MergeSqlError(
+                f"unsupported argument(s) for {proc}: {sorted(named)}")
+        return run()
+
+    @staticmethod
+    def _call_value(text: str):
+        s = text.strip()
+        if re.match(r"^'.*'$", s, re.DOTALL):
+            return s[1:-1].replace("''", "'")
+        if re.match(r"^-?\d+$", s):
+            return int(s)
+        raise MergeSqlError(f"unsupported CALL argument literal {s!r}")
 
     # -- pieces ----------------------------------------------------------
 
