@@ -146,3 +146,54 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ]
     assert len(first_window) == 1
     assert first_window[0][2] == 2  # late event_id=4 dropped, not re-counted
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    """At-least-once transport dedup: duplicate deliveries of the same
+    (trans_id, txn) inside the watermark must reach the sink once; the
+    batch twin (dropDuplicates) is the oracle for the surviving set."""
+    import json
+    import os
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.streaming.analytics import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        {"trans_id": i, "txn": t, "ts": f"2024-01-01 00:{m:02d}:00", "v": i * 10}
+        for i, t, m in [
+            (1, 100, 1), (1, 100, 2), (1, 100, 3),   # 2 redeliveries
+            (2, 200, 2), (2, 200, 2),                # 1 redelivery
+            (3, 300, 4),
+        ]
+    ]
+    with open(os.path.join(src, "a.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = "trans_id long, txn long, ts string, v long"
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = dedup_within_watermark(stream, ["trans_id", "txn"], "ts", "10 minutes")
+    sink = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 3
+    assert {r["trans_id"] for r in got.collect()} == {1, 2, 3}
+    # batch twin: same operator on the same frame read as batch
+    batch = (
+        spark.read.schema(schema).json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    twin = dedup_within_watermark(batch, ["trans_id", "txn"], "ts")
+    assert twin.count() == 3

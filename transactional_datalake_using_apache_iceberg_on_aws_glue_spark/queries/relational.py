@@ -759,8 +759,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s, n, r, p = (_t(spark, sf_dir, t)
                   for t in ("supplier", "nation", "region", "part"))
+    # the part predicate keeps ~2% of partkeys and the per-part min is
+    # computed WITHIN a partkey, so the broadcast semi-filter is safe
+    # to push to the very front — it shrinks the offers aggregation
+    # shuffle AND the window shuffle by the same factor (r4; the first
+    # version filtered parts after the window, paying two full-size
+    # lineitem exchanges)
+    parts = p.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
     offers = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.join(F.broadcast(parts.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_brand")
         .agg(
             F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100)
             .cast("long")
@@ -772,17 +781,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
               n.n_regionkey == r.r_regionkey)
-        .select("l_partkey", "unit_cost_cents", "s_acctbal", "s_name", "n_name")
+        .select("l_partkey", "p_partkey", "p_brand", "unit_cost_cents",
+                "s_acctbal", "s_name", "n_name")
     )
     w = Window.partitionBy("l_partkey")
     best = (
         eu.withColumn("min_cost", F.min("unit_cost_cents").over(w))
         .filter(F.col("unit_cost_cents") == F.col("min_cost"))
     )
-    parts = p.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
     return (
-        best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey)
-        .select(
+        best.select(
             F.round("s_acctbal", 2).alias("s_acctbal"), "s_name", "n_name",
             "p_partkey", "p_brand", "unit_cost_cents",
         )

@@ -54,3 +54,27 @@ def session_aggregates(events: DataFrame, gap: str = "30 minutes",
             "total_value",
         )
     )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           ts_col: str = "ts",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Streaming source-side dedup: drop redundant deliveries of the
+    same key(s) arriving within the watermark window
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+) — the guard a
+    CDC pipeline puts IN FRONT of ``apply_cdc_batch`` when the
+    transport is at-least-once (Kinesis/Kafka redelivery,
+    DMS task restarts). State is bounded by the watermark: each key
+    is remembered only until the watermark passes its first arrival,
+    unlike ``dropDuplicates`` on a stream, whose state grows forever.
+
+    On a batch frame this degrades to plain ``dropDuplicates`` over
+    the keys (the batch twin used as the oracle in tests) — batch
+    inputs are complete, so the watermark bound is irrelevant there.
+    """
+    if events.isStreaming:
+        return (
+            events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
+    return events.dropDuplicates(keys)
