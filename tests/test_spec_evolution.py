@@ -346,3 +346,51 @@ def test_mor_deltas_across_spec_boundary(spark, tmp_path):
     assert t._manifest()["deltas"] == []
     assert t._manifest().get("slice_specs") in (None, {})
     assert _state(t) == got
+
+
+def test_spec_evolution_random_soak(spark, tmp_path):
+    """Seeded random soak: interleave keyed upsert/delete waves with
+    spec evolutions (event -> device -> unpartitioned -> event) and one
+    compaction; after every step the table must equal a driver-side
+    fold of the applied operations, with no duplicate keys."""
+    import random
+
+    rng = random.Random(7)
+    t = ParquetLakeTable(spark, str(tmp_path / "soak"),
+                         key_cols=["trans_id"], partition_col="event")
+    t.create(spark.createDataFrame(_rows([0], "visit", "pc"), ROWS))
+    expected = {0: ("visit", "pc", 10)}
+    evolutions = {2: dict(partition_col="device"), 4: {},
+                  6: dict(partition_col="event")}
+    for step in range(8):
+        if step in evolutions:
+            t.evolve_partition_spec(**evolutions[step])
+        ops: dict[int, tuple] = {}
+        for _ in range(rng.randint(2, 8)):
+            k = rng.randint(0, 25)
+            if rng.random() < 0.3:
+                ops[k] = None  # delete (possibly of an absent key)
+            else:
+                ops[k] = (rng.choice(["visit", "cart", "view"]),
+                          rng.choice(["pc", "mobile", "tablet"]),
+                          rng.randint(1, 999))
+        rows, del_rows = [], []
+        for k, v in ops.items():
+            if v is None:
+                del_rows.append((k, "visit", "pc", 0))
+                expected.pop(k, None)
+            else:
+                rows.append((k, v[0], v[1], v[2]))
+                expected[k] = v
+        batch = _batch(spark, rows) if rows else None
+        if del_rows:
+            d = _batch(spark, del_rows, "delete")
+            batch = d if batch is None else batch.unionByName(d)
+        t.merge(batch)
+        if step == 5:
+            t.compact()
+        got = _state(t)
+        assert got == expected, f"step {step}: {got} != {expected}"
+        dupes = (t.read_data().groupBy("trans_id").count()
+                 .filter("count > 1").count())
+        assert dupes == 0, f"step {step}: duplicate keys"
