@@ -318,7 +318,12 @@ def embedding_near_dups(emb: DataFrame, vec_col: str = "embedding",
     """
     from .similarity import cosine_sim_cols, hyperplane_bucket
 
-    bucketed = emb.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), planes))
+    # the bucketed frame sits on BOTH sides of the self-join; a lazy
+    # localCheckpoint computes the 2^planes projection once instead of
+    # twice (freed with the DataFrame)
+    bucketed = emb.withColumn(
+        "_bucket", hyperplane_bucket(F.col(vec_col), planes)
+    ).localCheckpoint(eager=False)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
         b,
