@@ -258,3 +258,46 @@ def test_zorder_rejects_unorderable_columns(spark, tmp_path):
         t.compact(cluster_by=["trans_id", "event"])  # string column
     with pytest.raises(ValueError, match="not in schema"):
         t.compact(cluster_by=["trans_id", "nope"])
+
+
+def test_delta_dir_pruning_on_key_predicates(spark, tmp_path):
+    """MOR delta dirs carry their own key-range stats (r4): a key
+    predicate skips whole delta dirs whose ranges cannot match — sound
+    because a key's value is constant across layers — while non-key
+    predicates never prune deltas, and scan(f) stays equivalent to
+    read_data().filter(f)."""
+    t = _mk(spark, str(tmp_path / "t"),
+            [_row(k, "a" if k < 50 else "b", k) for k in range(100)],
+            merge_mode="mor")
+    late = dt.datetime(2024, 2, 1)
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "trans_id long, event string, amount int, ts timestamp, "
+            "_op string, _op_timestamp timestamp, _txn_id long",
+        )
+
+    # two deltas with DISJOINT key ranges
+    t.merge(_batch([(5, "a", 555, TS, "update", late, 1)]))
+    t.merge(_batch([(95, "b", 999, TS, "update", late, 2)]))
+    m = t._manifest()
+    assert len(m["deltas"]) == 2
+    assert set(m["delta_stats"]) == set(m["deltas"])
+
+    plan = t.plan_scan([("trans_id", "=", 5)])
+    assert plan["deltas_total"] == 2
+    assert len(plan["deltas"]) == 1  # the k=95 delta cannot match
+    got = _rows(t.scan([("trans_id", "=", 5)]))
+    assert [(r[0], r[2]) for r in got] == [(5, 555)]
+
+    # non-key predicate: every delta must stay in the plan
+    plan = t.plan_scan([("amount", ">", 900)])
+    assert len(plan["deltas"]) == 2
+    got = _rows(t.scan([("amount", ">", 900)]))
+    assert [(r[0], r[2]) for r in got] == [(95, 999)]
+
+    # compact folds deltas; delta stats leave the manifest with them
+    t.compact()
+    m = t._manifest()
+    assert m["deltas"] == [] and m.get("delta_stats") in (None, {})

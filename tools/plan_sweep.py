@@ -18,7 +18,10 @@ from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries impor
 from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
 
 BENIGN_BNLJ = {"approx_sketch_report", "cosine_topk_bruteforce",
-               "ngram_jaccard_pairs"}
+               "ngram_jaccard_pairs",
+               # 1-row scalar total broadcast-joined against per-part
+               # sums (the scalar-subquery shape; commented in code)
+               "q11_important_parts"}
 
 
 def main() -> int:

@@ -517,7 +517,8 @@ class ParquetLakeTable:
                 deltas: list, schema: T.StructType,
                 summary: dict | None = None, stats: dict | None = None,
                 renames: list | None = None, spec: dict | None = None,
-                slice_specs: dict | None = None) -> int:
+                slice_specs: dict | None = None,
+                delta_stats: dict | None = None) -> int:
         """Publish a new version. The EXCLUSIVE CREATE of the version
         manifest is the atomic claim (O_CREAT|O_EXCL locally,
         conditional PUT on an object store): two racing writers both
@@ -554,6 +555,10 @@ class ParquetLakeTable:
         referenced = set(base.values()) | set(deltas)
         slice_specs = {d: s for d, s in slice_specs.items()
                        if d in referenced and s != spec}
+        if delta_stats is None:
+            # carry per-delta key stats for dirs still outstanding
+            delta_stats = dict((prev or {}).get("delta_stats") or {})
+        delta_stats = {d: s for d, s in delta_stats.items() if d in deltas}
         manifest = {
             "parent": base_version,
             "ref": self.ref,
@@ -567,6 +572,7 @@ class ParquetLakeTable:
             "renames": renames,
             "spec": spec,
             "slice_specs": slice_specs,
+            "delta_stats": delta_stats,
         }
         new_v = base_version + 1
         while True:
@@ -920,12 +926,32 @@ class ParquetLakeTable:
                 continue
             base[part] = (snap, subset)
             files_kept += len(subset) if subset is not None else n_files
+        # delta-dir pruning on KEY predicates only (a key's value is
+        # constant across layers, so a delta whose stored key ranges
+        # cannot match holds no fold winner for any surviving key);
+        # dirs without stats are kept — unknown is unprunable
+        key_preds = []
+        for col, op, value in preds:
+            if col in self.key_cols:
+                enc = encode_predicate(op, value)
+                if enc is not None:
+                    key_preds.append((col, op, enc))
+        kept_deltas = []
+        d_stats = m.get("delta_stats") or {}
         for d in m["deltas"]:
+            entries = d_stats.get(d)
+            if key_preds and entries:
+                if not any(prune_entry(e, key_preds)[0]
+                           for e in entries.values()):
+                    continue  # no partition of this delta can match
+            kept_deltas.append(d)
+        for d in kept_deltas:
             slice_cols[d] = self._slice_spec(m, d)[0]
         cur_pcol, cur_ptrans = self._manifest_spec(m)
         return {
             "base": base,
-            "deltas": list(m["deltas"]),
+            "deltas": kept_deltas,
+            "deltas_total": len(m["deltas"]),
             "schema": m["schema"],
             "renames": m.get("renames", []),
             "slice_cols": slice_cols,
@@ -2074,11 +2100,19 @@ class ParquetLakeTable:
             delta = delta.select(*stored.names)  # errors loudly on drift
             schema = stored
         dname = self._next_dirname("delta")
-        self._write_files(delta, dname)
+        written = self._write_files(delta, dname)
+        # key-range stats for THIS delta dir (O(batch) footer reads):
+        # plan_scan skips whole delta dirs whose key ranges cannot
+        # match a key predicate — sound because a key's value is
+        # constant across layers, so a pruned delta cannot hold the
+        # fold winner of any surviving key
+        new_delta_stats = dict(m.get("delta_stats") or {})
+        new_delta_stats[dname] = self._collect_key_stats(dname, written)
         self._commit(
             base_v, "merge-mor", m["base"], m["deltas"] + [dname], schema,
             summary={"deltas_outstanding": len(m["deltas"]) + 1},
             stats=m.get("stats", {}),  # base files unchanged
+            delta_stats=new_delta_stats,
         )
 
     def _mixed_spec_target(self, batch: DataFrame, m: dict,
