@@ -106,3 +106,44 @@ def test_struct_evolution_change_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: (r["payload"]["a"], r["payload"]["c"]) for r in rows}
     assert got == {1: (11, 1.5), 2: (20, None), 3: (30, 3.5)}
+
+
+def test_nested_widen_int_to_long(spark, tmp_path):
+    """widen_column on a dotted path (Iceberg nested promotion): the
+    struct leaf promotes metadata-only; narrow old files conform at
+    read through the recursive struct rebuild; merges land the wide
+    type; time travel shows the narrow shape; SQL views agree."""
+    t = _mk(spark, tmp_path)
+    t.widen_column("payload.a", "bigint")
+    got = dict(t.read_data().dtypes)
+    assert got["payload"] == "struct<a:bigint,b:string>"
+    assert {r["id"]: r["payload"]["a"]
+            for r in t.read_data().collect()} == {1: 10, 2: 20}
+    # merge a wide value beyond int range
+    big = 5_000_000_000
+    wide = spark.createDataFrame(
+        [(3, (big, "z"), "upsert", T2, 2)],
+        "id long, payload struct<a:bigint,b:string>, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    t.merge(wide)
+    vals = {r["id"]: r["payload"]["a"] for r in t.read_data().collect()}
+    assert vals == {1: 10, 2: 20, 3: big}
+    # time travel: pre-widen schema is narrow
+    old = dict(t.read_data(as_of_version=1).dtypes)
+    assert old["payload"] == "struct<a:int,b:string>"
+    # compiled SQL view agrees
+    name = t.register_sql("nested_widen_view")
+    got_sql = {r["id"]: r["a"] for r in t.spark.sql(
+        f"SELECT id, payload.a AS a FROM {name}").collect()}
+    assert got_sql == vals
+
+
+def test_nested_widen_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.widen_column("payload.nope", "bigint")
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("payload.b", "bigint")  # string -> long: no
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("payload.a", "int")  # no-op/narrowing

@@ -1411,35 +1411,67 @@ class ParquetLakeTable:
         (a narrowing or cross-family change raises: it would need a
         rewrite and can lose data). Time travel to versions before the
         widen shows the narrow type; merges after it accept batches in
-        either the old or the new type (union coercion widens)."""
-        self._evolution_guard(col)
+        either the old or the new type (union coercion widens).
+
+        ``col`` may be a dotted path into (arbitrarily nested) struct
+        columns — ``props.count`` or ``events.element.n`` through an
+        array of structs (Iceberg nested promotion). Narrow files
+        conform at read time through the same recursive struct rebuild
+        additive nested evolution uses (``conform_expr`` /
+        ``_conform_sql``)."""
+        path = col.split(".")
+        self._evolution_guard(path[0])
         m = self._manifest()
         if m is None:
             raise ValueError("table has no committed versions")
         if isinstance(new_type, str):
             new_type = T._parse_datatype_string(new_type)
-        schema = T.StructType.fromJson(m["schema"])
-        if col not in schema.names:
-            raise ValueError(f"column {col!r} does not exist")
-        old_t = schema[col].dataType
-        old_s, new_s = old_t.simpleString(), new_type.simpleString()
-        ok = (
-            old_s in self._INT_RANK and new_s in self._INT_RANK
-            and self._INT_RANK[new_s] > self._INT_RANK[old_s]
-        ) or (old_s == "float" and new_s == "double")
-        if not ok:
-            raise ValueError(
-                f"cannot widen {col!r} from {old_s} to {new_s}; "
-                "supported promotions: integral widening "
-                "(tinyint<smallint<int<bigint) and float->double"
-            )
-        fields = [
-            T.StructField(col, new_type, f.nullable) if f.name == col else f
-            for f in schema.fields
-        ]
+
+        def promote(old_t):
+            old_s, new_s = old_t.simpleString(), new_type.simpleString()
+            ok = (
+                old_s in self._INT_RANK and new_s in self._INT_RANK
+                and self._INT_RANK[new_s] > self._INT_RANK[old_s]
+            ) or (old_s == "float" and new_s == "double")
+            if not ok:
+                raise ValueError(
+                    f"cannot widen {col!r} from {old_s} to {new_s}; "
+                    "supported promotions: integral widening "
+                    "(tinyint<smallint<int<bigint) and float->double"
+                )
+            return old_s, new_s
+
+        changed: dict = {}
+
+        def rebuild(dtype, segs):
+            if isinstance(dtype, T.ArrayType):
+                # step through arrays transparently ('element' segment
+                # optional, Iceberg-path style)
+                inner = segs[1:] if segs and segs[0] == "element" else segs
+                return T.ArrayType(rebuild(dtype.elementType, inner),
+                                   dtype.containsNull)
+            if not segs:
+                changed["types"] = promote(dtype)
+                return new_type
+            if not isinstance(dtype, T.StructType) or segs[0] not in dtype.names:
+                raise ValueError(
+                    f"column path {col!r} does not exist in the schema")
+            return T.StructType([
+                T.StructField(f.name,
+                              rebuild(f.dataType, segs[1:]),
+                              f.nullable)
+                if f.name == segs[0] else f
+                for f in dtype.fields
+            ])
+
+        root = T.StructType.fromJson(m["schema"])
+        new_schema = rebuild(root, path)
+        if "types" not in changed:
+            raise ValueError(f"column path {col!r} does not exist")
+        old_s, new_s = changed["types"]
         return self._commit(
             self.current_version(), "widen-column", m["base"], m["deltas"],
-            T.StructType(fields), summary={"widened": {col: [old_s, new_s]}},
+            new_schema, summary={"widened": {col: [old_s, new_s]}},
             stats=m.get("stats", {}),  # bounds stay valid under widening
         )
 
