@@ -410,3 +410,64 @@ def test_contamination_overlap_planted(spark):
     assert rows[2]["n_bench_hits"] == 0
     assert rows[2]["is_contaminated"] == 0
     assert rows[2]["contamination_frac"] == 0.0
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02" + b"\0" * 7)
+
+
+def _jpeg(w, h):
+    # SOI + APP0 stub + SOF0 carrying (precision, height, width)
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\0" + b"\0" * 9
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03\0\0\0")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\0" * 6
+
+
+def _bmp(w, h):
+    return (b"BM" + b"\0" * 16 + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little", signed=True) + b"\0" * 8)
+
+
+def test_sniff_image_header_pure():
+    """Header sniffing is REAL byte parsing (no codec libs): all four
+    containers report their true dimensions; garbage reports None."""
+    assert MM.media.sniff_image_header(_png(640, 480)) == ("png", 640, 480)
+    assert MM.media.sniff_image_header(_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert MM.media.sniff_image_header(_gif(320, 200)) == ("gif", 320, 200)
+    assert MM.media.sniff_image_header(_bmp(800, 600)) == ("bmp", 800, 600)
+    # top-down BMP stores negative height
+    neg = (b"BM" + b"\0" * 16 + (800).to_bytes(4, "little")
+           + (-600).to_bytes(4, "little", signed=True) + b"\0" * 8)
+    assert MM.media.sniff_image_header(neg) == ("bmp", 800, 600)
+    assert MM.media.sniff_image_header(b"\x00" * 64) is None
+    assert MM.media.sniff_image_header(None) is None
+    assert MM.media.sniff_image_header(b"\xff\xd8\x12garbage") is None
+    truncated_png = _png(640, 480)[:20]
+    assert MM.media.sniff_image_header(truncated_png) is None
+
+
+def test_probe_image_headers_operator(spark):
+    """The Arrow-batched probe validates payload bytes and dead-letters
+    unknown containers with ok=false."""
+    rows = [
+        (1, _png(64, 32)), (2, _jpeg(100, 50)), (3, _gif(10, 20)),
+        (4, b"\x13\x37" * 30),  # junk
+        (5, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           MM.media.probe_image_headers(media).collect()}
+    assert (got[1]["detected_format"], got[1]["header_width"],
+            got[1]["header_height"]) == ("png", 64, 32)
+    assert (got[2]["detected_format"], got[2]["header_width"],
+            got[2]["header_height"]) == ("jpeg", 100, 50)
+    assert got[3]["detected_format"] == "gif"
+    assert got[4]["ok"] is False and got[4]["detected_format"] is None
+    assert got[5]["ok"] is False
+    assert all(got[i]["ok"] for i in (1, 2, 3))
