@@ -96,6 +96,20 @@ All three compile onto the same keyed ``table.merge`` one-pass plan:
   upserts (this engine is keyed latest-wins; appending a duplicate
   key resolves to the newest image rather than a duplicate row —
   documented divergence from Iceberg's append-only INSERT).
+
+The DDL and maintenance surface rounds out the statement family
+(``_run_alter`` / ``_run_call`` docstrings carry the grammar)::
+
+    ALTER TABLE t ADD|RENAME|DROP COLUMN ... / ALTER COLUMN ... TYPE ...
+    ALTER TABLE t ADD|DROP|REPLACE PARTITION FIELD <spec>
+    ALTER TABLE t CREATE|DROP BRANCH|TAG <name>
+    CALL [cat.]system.expire_snapshots | rollback_to_snapshot |
+         rewrite_data_files | fast_forward | remove_orphan_files (...)
+
+each mapping onto the engine's metadata-only evolution commits, the
+write-audit-publish refs, and the compaction/GC machinery — the whole
+SQL surface an Iceberg session extension gives the reference's users,
+executable with no jar.
 """
 
 from __future__ import annotations
