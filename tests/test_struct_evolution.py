@@ -147,3 +147,95 @@ def test_nested_widen_guards(spark, tmp_path):
         t.widen_column("payload.b", "bigint")  # string -> long: no
     with pytest.raises(ValueError, match="cannot widen"):
         t.widen_column("payload.a", "int")  # no-op/narrowing
+
+
+def test_nested_rename_reads_old_files(spark, tmp_path):
+    """rename_column('payload.a', 'z'): metadata-only; files written
+    before the rename serve their nested bytes under the new name in
+    the DataFrame path AND the compiled SQL view; time travel shows
+    the old shape; re-introducing the retired nested name is banned."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("payload.a", "z")
+    got = dict(t.read_data().dtypes)
+    assert got["payload"] == "struct<z:int,b:string>"
+    assert {r["id"]: r["payload"]["z"]
+            for r in t.read_data().collect()} == {1: 10, 2: 20}
+    # merge new data under the new shape
+    new = spark.createDataFrame(
+        [(3, (30, "w"), "upsert", T2, 2)],
+        "id long, payload struct<z:int,b:string>, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    t.merge(new)
+    assert {r["id"]: r["payload"]["z"]
+            for r in t.read_data().collect()} == {1: 10, 2: 20, 3: 30}
+    # SQL view resolves the nested rename for pre-rename files too
+    name = t.register_sql("nested_rename_view")
+    got_sql = {r["id"]: r["z"] for r in t.spark.sql(
+        f"SELECT id, payload.z AS z FROM {name}").collect()}
+    assert got_sql == {1: 10, 2: 20, 3: 30}
+    # time travel: pre-rename schema
+    old = dict(t.read_data(as_of_version=1).dtypes)
+    assert old["payload"] == "struct<a:int,b:string>"
+    # the retired nested name cannot come back through a batch
+    stale = spark.createDataFrame(
+        [(4, (40, "v", 1.0), "upsert", T2, 3)],
+        "id long, payload struct<a:int,b:string,c:double>, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    )
+    with pytest.raises(ValueError, match="renamed away"):
+        t.merge(stale)
+
+
+def test_nested_drop_and_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.drop_column("payload.b")
+    assert dict(t.read_data().dtypes)["payload"] == "struct<a:int>"
+    assert {r["id"]: r["payload"]["a"]
+            for r in t.read_data().collect()} == {1: 10, 2: 20}
+    with pytest.raises(ValueError, match="last field"):
+        t.drop_column("payload.a")
+    # struct-first ordering: a struct with nested history cannot rename
+    with pytest.raises(ValueError, match="struct-first"):
+        t.rename_column("payload", "blob")
+
+
+def test_nested_rename_change_stream(spark, tmp_path):
+    """The readStream diff resolves renamed nested keys in OLD files
+    and does not report unchanged rows as updates across the boundary."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources import (
+        register_lake_stream,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("payload.a", "z")
+    # rewrite one row post-rename (forces a diff task for the slice)
+    t.merge(spark.createDataFrame(
+        [(2, (99, "y"), "upsert", T2, 2)],
+        "id long, payload struct<z:int,b:string>, "
+        "_op string, _op_timestamp timestamp, _txn_id long",
+    ))
+    register_lake_stream(spark)
+    out_dir = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lake-changes")
+        .option("path", t.path)
+        .option("keys", "id")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["id"], []).append(r)
+    # key 2's final image carries the renamed field with the new value
+    finals = [r for r in by_key[2] if r["_change_type"] != "delete"]
+    assert any(r["payload"]["z"] == 99 for r in finals)
+    # key 1 was untouched after the initial insert: no spurious update
+    kinds_1 = {r["_change_type"] for r in by_key.get(1, [])}
+    assert "update_postimage" not in kinds_1

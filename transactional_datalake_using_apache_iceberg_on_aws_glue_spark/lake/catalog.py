@@ -87,20 +87,34 @@ def _partition_predicate(partition_col: str, values: list) -> str | None:
 
 
 def _conform_sql(expr: str, src_type: T.DataType,
-                 dst_type: T.DataType) -> str:
+                 dst_type: T.DataType, renames: list | None = None,
+                 path: str | None = None) -> str:
     """SQL-text twin of ``table.conform_expr``: CAST for atomics,
     named_struct rebuild for structs whose files predate added nested
     fields (SQL CAST cannot widen a struct), transform() for arrays of
-    evolving structs. NULL structs stay NULL."""
+    evolving structs. NULL structs stay NULL. ``renames``/``path``
+    resolve NESTED renamed fields through the manifest history's
+    dotted entries, exactly like the DataFrame path."""
     if isinstance(dst_type, T.StructType):
         if not isinstance(src_type, T.StructType):
             return f"CAST(NULL AS {dst_type.simpleString()})"
+        from .table import resolve_physical_name
+
         src = {f.name: f.dataType for f in src_type.fields}
         parts = []
         for f in dst_type.fields:
-            if f.name in src:
-                sub = _conform_sql(f"{expr}.{_q_ident(f.name)}",
-                                   src[f.name], f.dataType)
+            key = f.name
+            if key not in src and renames and path is not None:
+                phys = resolve_physical_name(
+                    f"{path}.{f.name}", [f"{path}.{n}" for n in src],
+                    renames)
+                if phys is not None:
+                    key = phys.rsplit(".", 1)[1]
+            if key in src:
+                sub = _conform_sql(f"{expr}.{_q_ident(key)}",
+                                   src[key], f.dataType, renames,
+                                   None if path is None
+                                   else f"{path}.{f.name}")
             else:
                 sub = f"CAST(NULL AS {f.dataType.simpleString()})"
             parts.append(f"'{f.name}', {sub}")
@@ -111,7 +125,7 @@ def _conform_sql(expr: str, src_type: T.DataType,
             and isinstance(src_type, T.ArrayType)
             and src_type.elementType != dst_type.elementType):
         inner = _conform_sql("__x", src_type.elementType,
-                             dst_type.elementType)
+                             dst_type.elementType, renames, path)
         return f"transform({expr}, __x -> {inner})"
     return f"CAST({expr} AS {dst_type.simpleString()})"
 
@@ -167,7 +181,7 @@ def view_select_sql(table, as_of_version: int | None = None,
             src = resolve_physical_name(f.name, phys, renames)
             if src is not None:
                 expr = _conform_sql(_q_ident(src), phys_types[src],
-                                    f.dataType)
+                                    f.dataType, renames, f.name)
                 return f"{expr} AS {_q_ident(f.name)}"
             return (f"CAST(NULL AS {f.dataType.simpleString()})"
                     f" AS {_q_ident(f.name)}")

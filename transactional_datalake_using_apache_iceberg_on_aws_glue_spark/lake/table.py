@@ -209,23 +209,42 @@ def resolve_physical_name(current: str, physical_cols, renames: list) -> str | N
 
 
 def conform_expr(col: Column, src_type: T.DataType,
-                 dst_type: T.DataType) -> Column:
+                 dst_type: T.DataType, renames: list | None = None,
+                 path: str | None = None) -> Column:
     """Project a column physically typed ``src_type`` onto the manifest
     type ``dst_type``: plain CAST for atomics (covers type widening),
     recursive struct rebuild for ADDITIVE NESTED EVOLUTION — Spark's
     CAST cannot widen a struct, so files written before a nested field
     existed need the struct reassembled with NULL for the new field.
     Arrays of structs conform element-wise via ``transform``. NULL
-    structs stay NULL (not a struct of NULLs)."""
+    structs stay NULL (not a struct of NULLs).
+
+    ``renames``/``path`` extend the manifest rename history to NESTED
+    fields (r4): dotted entries like ``{"from": "payload.a", "to":
+    "payload.b"}`` resolve through the same ordered chain-walk as
+    top-level renames, so pre-rename files keep serving nested data
+    under the new name. ``path`` is the dotted path of ``col`` itself
+    (None disables nested resolution)."""
     if isinstance(dst_type, T.StructType):
         if not isinstance(src_type, T.StructType):
             return F.lit(None).cast(dst_type)
         src = {f.name: f.dataType for f in src_type.fields}
         parts = []
         for f in dst_type.fields:
-            if f.name in src:
+            key = f.name
+            if key not in src and renames and path is not None:
+                phys = resolve_physical_name(
+                    f"{path}.{f.name}",
+                    [f"{path}.{n}" for n in src],
+                    renames,
+                )
+                if phys is not None:
+                    key = phys.rsplit(".", 1)[1]
+            if key in src:
                 parts.append(
-                    conform_expr(col[f.name], src[f.name], f.dataType)
+                    conform_expr(col[key], src[key], f.dataType, renames,
+                                 None if path is None
+                                 else f"{path}.{f.name}")
                     .alias(f.name))
             else:
                 parts.append(F.lit(None).cast(f.dataType).alias(f.name))
@@ -237,7 +256,7 @@ def conform_expr(col: Column, src_type: T.DataType,
             return F.transform(
                 col,
                 lambda x: conform_expr(x, src_type.elementType,
-                                       dst_type.elementType),
+                                       dst_type.elementType, renames, path),
             )
         return col.cast(dst_type)
     return col.cast(dst_type)
@@ -707,7 +726,8 @@ class ParquetLakeTable:
             phys = resolve_physical_name(f.name, df.columns, renames or [])
             if phys is not None:
                 cols.append(
-                    conform_expr(F.col(phys), phys_types[phys], f.dataType)
+                    conform_expr(F.col(phys), phys_types[phys], f.dataType,
+                                 renames or [], f.name)
                     .alias(f.name))
             elif (derive is not None and f.name == derive.partition_col
                     and derive.source_col in dtypes):
@@ -1073,7 +1093,8 @@ class ParquetLakeTable:
             phys = resolve_physical_name(f.name, df.columns, renames or [])
             if phys is not None:
                 cols.append(
-                    conform_expr(F.col(phys), phys_types[phys], f.dataType)
+                    conform_expr(F.col(phys), phys_types[phys], f.dataType,
+                                 renames or [], f.name)
                     .alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
@@ -1329,6 +1350,47 @@ class ParquetLakeTable:
         would resolve to stale bytes (r3 advisor finding)."""
         return {r["from"] for r in m.get("renames", [])}
 
+    @staticmethod
+    def _dotted_names(dtype, prefix: str = "") -> set:
+        """Every nested field's dotted path in a schema/struct (arrays
+        of structs step through transparently) — the namespace the
+        nested retired-name guard checks."""
+        out: set = set()
+        if isinstance(dtype, T.ArrayType):
+            return ParquetLakeTable._dotted_names(dtype.elementType, prefix)
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                p = f"{prefix}.{f.name}" if prefix else f.name
+                if prefix:
+                    out.add(p)
+                out |= ParquetLakeTable._dotted_names(f.dataType, p)
+        return out
+
+    def _rebuild_nested(self, schema: T.StructType, path: str, fn):
+        """Rebuild ``schema`` applying ``fn(StructType) -> StructType``
+        to the struct that CONTAINS the field at dotted ``path``
+        (arrays of structs step through; 'element' segments optional).
+        Raises when the path does not lead through structs."""
+        segs = path.split(".")
+
+        def walk(dtype, segs):
+            if isinstance(dtype, T.ArrayType):
+                inner = segs[1:] if segs and segs[0] == "element" else segs
+                return T.ArrayType(walk(dtype.elementType, inner),
+                                   dtype.containsNull)
+            if not isinstance(dtype, T.StructType) or segs[0] not in dtype.names:
+                raise ValueError(
+                    f"column path {path!r} does not exist in the schema")
+            if len(segs) == 1:
+                return fn(dtype)
+            return T.StructType([
+                T.StructField(f.name, walk(f.dataType, segs[1:]), f.nullable)
+                if f.name == segs[0] else f
+                for f in dtype.fields
+            ])
+
+        return walk(schema, segs)
+
     def add_column(self, name: str, dtype: str) -> int:
         """Add a nullable data column — METADATA-ONLY, O(1): the schema
         commit appends the field; old files serve NULL for it (the same
@@ -1368,12 +1430,22 @@ class ParquetLakeTable:
 
         Caveat (documented, Iceberg-changelog-like): ``read_changes``
         across the rename boundary sees the column as dropped+added,
-        so every live row reports as changed."""
-        self._evolution_guard(old)
+        so every live row reports as changed.
+
+        ``old`` may be a DOTTED PATH into struct columns (r4 —
+        ``rename_column("payload.a", "b")``, arrays of structs step
+        through): the history records the dotted pair and every read
+        path resolves it through the same chain-walk at that struct
+        level. A struct column that has nested rename history cannot
+        itself be renamed afterwards (the dotted prefixes would
+        dangle) — rename the struct FIRST, nested fields after."""
         m = self._manifest()
         if m is None:
             raise ValueError("table has no committed versions")
         schema = T.StructType.fromJson(m["schema"])
+        if "." in old:
+            return self._rename_nested(m, schema, old, new)
+        self._evolution_guard(old)
         if old not in schema.names:
             raise ValueError(f"column {old!r} does not exist")
         if new in schema.names:
@@ -1383,6 +1455,14 @@ class ParquetLakeTable:
                 f"column name {new!r} was previously renamed away or "
                 "dropped; old files still carry it physically, so "
                 "re-using it would serve stale data — pick a fresh name"
+            )
+        if any(r["from"].startswith(f"{old}.")
+               or (r["to"] or "").startswith(f"{old}.")
+               for r in m.get("renames", [])):
+            raise ValueError(
+                f"{old!r} carries nested rename/drop history; renaming "
+                "the struct now would dangle those dotted entries — "
+                "this engine requires struct-first, fields-after order"
             )
         fields = [
             T.StructField(new, f.dataType, f.nullable) if f.name == old else f
@@ -1394,6 +1474,44 @@ class ParquetLakeTable:
             self.current_version(), "rename-column", m["base"], m["deltas"],
             T.StructType(fields), summary={"renamed": {old: new}},
             stats=stats, renames=renames,
+        )
+
+    def _rename_nested(self, m: dict, schema: T.StructType,
+                       old: str, new: str) -> int:
+        parent, leaf = old.rsplit(".", 1)
+        new_leaf = new.rsplit(".", 1)[-1]
+        if "." in new and new.rsplit(".", 1)[0] != parent:
+            raise ValueError(
+                f"cannot move {old!r} to a different struct ({new!r}); "
+                "nested rename stays within its parent"
+            )
+        self._evolution_guard(parent.split(".")[0])
+        new_path = f"{parent}.{new_leaf}"
+        if new_path in self._retired_names(m):
+            raise ValueError(
+                f"nested name {new_path!r} was previously renamed away "
+                "or dropped; old files still carry it physically — "
+                "pick a fresh name"
+            )
+
+        def apply(struct: T.StructType) -> T.StructType:
+            if new_leaf in struct.names:
+                raise ValueError(f"field {new_path!r} already exists")
+            return T.StructType([
+                T.StructField(new_leaf, f.dataType, f.nullable)
+                if f.name == leaf else f
+                for f in struct.fields
+            ])
+
+        new_schema = self._rebuild_nested(schema, old, apply)
+        renames = list(m.get("renames", [])) + [
+            {"from": old, "to": new_path}
+        ]
+        return self._commit(
+            self.current_version(), "rename-column", m["base"], m["deltas"],
+            new_schema, summary={"renamed": {old: new_path}},
+            stats=m.get("stats", {}),  # footer stats are top-level only
+            renames=renames,
         )
 
     #: legal type promotions (Iceberg's primitive widening rules):
@@ -1479,12 +1597,35 @@ class ParquetLakeTable:
         """Drop a data column — metadata-only; files keep the bytes
         (reclaimed as partitions naturally rewrite), readers stop
         projecting them immediately. Time travel before the drop still
-        shows the column."""
-        self._evolution_guard(col)
+        shows the column. ``col`` may be a dotted path into struct
+        columns (r4): the field leaves the struct's declared shape and
+        the dotted name retires like a top-level one."""
+        self._evolution_guard(col.split(".")[0])
         m = self._manifest()
         if m is None:
             raise ValueError("table has no committed versions")
         schema = T.StructType.fromJson(m["schema"])
+        if "." in col:
+            leaf = col.rsplit(".", 1)[1]
+
+            def apply(struct: T.StructType) -> T.StructType:
+                if len(struct.fields) == 1:
+                    raise ValueError(
+                        f"cannot drop {col!r}: it is the struct's last "
+                        "field — drop the struct column instead"
+                    )
+                return T.StructType(
+                    [f for f in struct.fields if f.name != leaf])
+
+            new_schema = self._rebuild_nested(schema, col, apply)
+            renames = list(m.get("renames", [])) + [
+                {"from": col, "to": None}
+            ]
+            return self._commit(
+                self.current_version(), "drop-column", m["base"],
+                m["deltas"], new_schema, summary={"dropped": col},
+                stats=m.get("stats", {}), renames=renames,
+            )
         if col not in schema.names:
             raise ValueError(f"column {col!r} does not exist")
         fields = [f for f in schema.fields if f.name != col]
@@ -2078,12 +2219,16 @@ class ParquetLakeTable:
         if self.allow_schema_evolution:
             # additive evolution must not resurrect a retired name: old
             # files still carry renamed-away/dropped columns physically
-            # and would serve their stale bytes as the "new" column
+            # and would serve their stale bytes as the "new" column.
+            # The check covers NESTED names too (dotted paths) — same
+            # stale-bytes hazard one struct level down.
             m = self._manifest()
-            current = set(T.StructType.fromJson(m["schema"]).names)
-            bad = sorted(
-                set(batch.columns) & self._retired_names(m) - current
-            )
+            stored_schema = T.StructType.fromJson(m["schema"])
+            current = set(stored_schema.names) | self._dotted_names(
+                stored_schema)
+            batch_names = set(batch.columns) | self._dotted_names(
+                batch.schema)
+            bad = sorted(batch_names & self._retired_names(m) - current)
             if bad:
                 raise ValueError(
                     f"batch columns {bad} were previously renamed away "

@@ -290,14 +290,19 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             elif d["_merge"] == "left_only":
                 kind = "delete"
             else:
-                if all(_eq(d.get(f"{c}_old"), d.get(f"{c}_new"))
+                # compare COERCED images: old files' struct dicts may
+                # carry pre-rename nested keys for identical data
+                if all(_eq(_coerce(d.get(f"{c}_old"), dtypes[c],
+                                   partition.renames, c),
+                           _coerce(d.get(f"{c}_new"), dtypes[c],
+                                   partition.renames, c))
                        for c in data_cols):
                     continue  # unchanged
                 kind = "update_postimage"
             side = "_old" if kind == "delete" else "_new"
             vals = tuple(
                 _coerce(d[c] if c in self.keys else d.get(f"{c}{side}"),
-                        dtypes[c])
+                        dtypes[c], partition.renames, c)
                 for c in self.columns
             )
             yield vals + (kind,)
@@ -312,10 +317,27 @@ def _eq(a, b):
     return a == b
 
 
-def _coerce(v, dtype):
+def _resolve_renamed(current: str, phys_names, renames) -> str | None:
+    """Ordered rename-history chain-walk (self-contained duplicate of
+    lake.table.resolve_physical_name — this module must stay
+    import-free for by-value pickling)."""
+    name = current
+    if name in phys_names:
+        return name
+    for r in reversed(renames or []):
+        if r.get("to") == name:
+            name = r["from"]
+            if name in phys_names:
+                return name
+    return None
+
+
+def _coerce(v, dtype, renames=(), path=""):
     """pandas/numpy scalar -> plain Python value matching the declared
     Spark type (an outer merge floats integral columns via NaN; a
-    hive-directory-derived partition value arrives as str)."""
+    hive-directory-derived partition value arrives as str).
+    ``renames``/``path`` resolve NESTED renamed struct fields: old
+    files' dicts carry the pre-rename key (r4)."""
     import datetime as dt
 
     import numpy as np
@@ -324,15 +346,26 @@ def _coerce(v, dtype):
     if isinstance(dtype, T.StructType):
         # struct columns arrive as dicts from pyarrow; files written
         # before a nested field existed lack its key — fill None and
-        # coerce subvalues (additive nested evolution)
+        # coerce subvalues (additive nested evolution); renamed nested
+        # fields resolve through the manifest history's dotted entries
         if isinstance(v, dict):
-            return {f.name: _coerce(v.get(f.name), f.dataType)
-                    for f in dtype.fields}
+            out = {}
+            for f in dtype.fields:
+                key = f.name
+                sub_path = f"{path}.{f.name}" if path else f.name
+                if key not in v and renames and path:
+                    phys = _resolve_renamed(
+                        sub_path, {f"{path}.{k}" for k in v}, renames)
+                    if phys is not None:
+                        key = phys.rsplit(".", 1)[1]
+                out[f.name] = _coerce(v.get(key), f.dataType,
+                                      renames, sub_path)
+            return out
         return None if v is None or (not isinstance(v, (list, tuple))
                                      and pd.isna(v)) else v
     if isinstance(dtype, T.ArrayType) and isinstance(
             v, (list, tuple, np.ndarray)):
-        return [_coerce(x, dtype.elementType) for x in v]
+        return [_coerce(x, dtype.elementType, renames, path) for x in v]
     if v is None or (not isinstance(v, (list, tuple, np.ndarray))
                      and pd.isna(v)):
         return None
