@@ -448,3 +448,20 @@ def test_alter_branch_tag_and_fast_forward(spark, runner):
     r.sql("ALTER TABLE demo.cdc_db.retail_trans DROP BRANCH scratch")
     r.sql("ALTER TABLE demo.cdc_db.retail_trans DROP TAG v1")
     assert "scratch" not in t.list_refs()
+
+
+def test_alter_table_nested_paths(spark, tmp_path):
+    """ALTER TABLE column DDL accepts dotted struct paths (nested
+    evolution through SQL)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "n"), key_cols=["id"],
+                         partition_col=None, allow_schema_evolution=True)
+    t.merge(spark.createDataFrame(
+        [(1, (10, "x"))], "id long, payload struct<a:int,b:string>"
+    ).withColumn("_op", F.lit("insert")))
+    r = MergeSqlRunner(spark)
+    r.register("n", t)
+    r.sql("ALTER TABLE n ALTER COLUMN payload.a TYPE bigint")
+    r.sql("ALTER TABLE n RENAME COLUMN payload.a TO z")
+    r.sql("ALTER TABLE n DROP COLUMN payload.b")
+    assert dict(t.read_data().dtypes)["payload"] == "struct<z:bigint>"
+    assert t.read_data().collect()[0]["payload"]["z"] == 10

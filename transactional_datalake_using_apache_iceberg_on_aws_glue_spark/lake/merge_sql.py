@@ -524,16 +524,16 @@ class MergeSqlRunner:
         if mm:
             table.add_column(mm.group("name"), mm.group("type"))
             return
-        mm = re.match(r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)$",
+        mm = re.match(r"^RENAME\s+COLUMN\s+(?P<old>[\w.]+)\s+TO\s+(?P<new>[\w.]+)$",
                       rest, re.IGNORECASE)
         if mm:
             table.rename_column(mm.group("old"), mm.group("new"))
             return
-        mm = re.match(r"^DROP\s+COLUMN\s+(?P<col>\w+)$", rest, re.IGNORECASE)
+        mm = re.match(r"^DROP\s+COLUMN\s+(?P<col>[\w.]+)$", rest, re.IGNORECASE)
         if mm:
             table.drop_column(mm.group("col"))
             return
-        mm = re.match(r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+"
+        mm = re.match(r"^ALTER\s+COLUMN\s+(?P<col>[\w.]+)\s+TYPE\s+"
                       r"(?P<type>\w+)$", rest, re.IGNORECASE)
         if mm:
             table.widen_column(mm.group("col"), mm.group("type"))
