@@ -394,3 +394,36 @@ def test_spec_evolution_random_soak(spark, tmp_path):
         dupes = (t.read_data().groupBy("trans_id").count()
                  .filter("count > 1").count())
         assert dupes == 0, f"step {step}: duplicate keys"
+
+
+def test_spec_evolution_with_nested_schema_evolution(spark, tmp_path):
+    """The two evolution axes compose: nested rename/widen inside a
+    struct, THEN a partition-spec change — reads resolve both (dotted
+    rename chain-walk + per-slice layouts) in one table."""
+    rows = "trans_id long, event string, device string, payload struct<a:int,b:string>"
+    t = ParquetLakeTable(spark, str(tmp_path / "x"), key_cols=["trans_id"],
+                         partition_col="event", allow_schema_evolution=True)
+    t.create(spark.createDataFrame(
+        [(1, "visit", "pc", (10, "x")), (2, "cart", "mobile", (20, "y"))],
+        rows))
+    t.rename_column("payload.a", "z")
+    t.widen_column("payload.z", "bigint")
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(spark.createDataFrame(
+        [(3, "view", "tablet", (5_000_000_000, "w"))],
+        "trans_id long, event string, device string, "
+        "payload struct<z:bigint,b:string>",
+    ).withColumn(OP_COL, F.lit("insert")))
+    got = {r["trans_id"]: r["payload"]["z"]
+           for r in t.read_data().collect()}
+    assert got == {1: 10, 2: 20, 3: 5_000_000_000}
+    assert dict(t.read_data().dtypes)["payload"] == "struct<z:bigint,b:string>"
+    # merge into a legacy slice absorbs it while both evolutions hold
+    t.merge(spark.createDataFrame(
+        [(1, "visit", "pc", (99, "x"))],
+        "trans_id long, event string, device string, "
+        "payload struct<z:bigint,b:string>",
+    ).withColumn(OP_COL, F.lit("update")))
+    got = {r["trans_id"]: r["payload"]["z"]
+           for r in t.read_data().collect()}
+    assert got == {1: 99, 2: 20, 3: 5_000_000_000}
