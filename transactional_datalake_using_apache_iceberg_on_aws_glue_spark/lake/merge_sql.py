@@ -209,6 +209,8 @@ class MergeSqlRunner:
             return self._run_alter(statement)
         if head.startswith("CALL"):
             return self._run_call(statement)
+        if head.startswith("CREATE"):
+            return self._run_create(statement)
         m = _MERGE_RE.match(statement)
         if not m:
             raise MergeSqlError(
@@ -360,10 +362,13 @@ class MergeSqlRunner:
                 f"registered: {sorted(self._tables)}"
             )
         table = self._tables[target]
-        if require_exists and not table.exists():
+        # a table is addressable once it has ANY committed manifest —
+        # including the empty declared-schema commit CREATE TABLE makes
+        if require_exists and not table.exists() and table._manifest() is None:
             raise MergeSqlError(
                 f"DML target {ident!r} has no committed snapshot yet; "
-                "create it first (ParquetLakeTable.create or a MERGE)"
+                "create it first (CREATE TABLE, ParquetLakeTable.create "
+                "or a MERGE)"
             )
         return table
 
@@ -579,14 +584,16 @@ class MergeSqlRunner:
         )
 
     @staticmethod
-    def _evolve(table: ParquetLakeTable, spec_text: str) -> None:
+    def _parse_spec(spec_text: str):
+        """``days(ts)`` / ``bucket(16, id)`` / ``truncate(4, s)`` /
+        bare column -> (partition_col, Transform|None) kwargs pair
+        (identity spells as partition_col, matching the ctor)."""
         from .transforms import bucket, days, hours, months, truncate
 
         s = spec_text.strip().rstrip(";").strip()
         call = re.match(r"^(?P<fn>\w+)\s*\(\s*(?P<args>[^)]*)\s*\)$", s)
         if not call:
-            table.evolve_partition_spec(partition_col=s.replace("`", ""))
-            return
+            return {"partition_col": s.replace("`", "")}
         fn = call.group("fn").lower()
         args = [a.strip().replace("`", "")
                 for a in call.group("args").split(",") if a.strip()]
@@ -608,7 +615,79 @@ class MergeSqlRunner:
                 f"unknown partition transform {fn!r}; supported: "
                 "days/months/hours/bucket/truncate or a bare column"
             )
-        table.evolve_partition_spec(partition_by=t)
+        return {"partition_by": t}
+
+    def _evolve(self, table: ParquetLakeTable, spec_text: str) -> None:
+        table.evolve_partition_spec(**self._parse_spec(spec_text))
+
+    def _run_create(self, statement: str) -> ParquetLakeTable:
+        """The reference's table DDL, jar-free (SURVEY S6 — the Athena
+        ``CREATE TABLE ... PARTITIONED BY (event)
+        TBLPROPERTIES ('table_type'='iceberg')`` from README.md:355-368)::
+
+            CREATE TABLE [IF NOT EXISTS] <ident> (<col> <type>, ...)
+            USING lake LOCATION '<path>'
+            [PARTITIONED BY (<col> | days(ts) | bucket(N, c) | ...)]
+            [TBLPROPERTIES ('key_cols'='trans_id'
+                            [, 'merge_mode'='cow|mor'] ...)]
+
+        Commits an EMPTY snapshot carrying the declared schema, so the
+        target schema is authoritative from the first merge (the
+        reference's target-conformance discipline) and the table is
+        immediately addressable by every DML statement. Registers the
+        identifier in this runner; unknown TBLPROPERTIES are accepted
+        and ignored (``table_type='iceberg'`` included). Returns the
+        table handle."""
+        m = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+            r"(?P<target>[\w.`]+)\s*\((?P<cols>.*?)\)\s*"
+            r"USING\s+lake\s+LOCATION\s+'(?P<loc>[^']+)'"
+            r"(?:\s+PARTITIONED\s+BY\s*\((?P<spec>.+?)\)"
+            r"(?=\s+TBLPROPERTIES|\s*;?\s*$))?"
+            r"(?:\s+TBLPROPERTIES\s*\((?P<props>.*?)\))?\s*;?\s*$",
+            statement, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise MergeSqlError(
+                "unsupported CREATE TABLE; expected CREATE TABLE "
+                "[IF NOT EXISTS] <t> (col type, ...) USING lake "
+                "LOCATION '<path>' [PARTITIONED BY (...)] "
+                "[TBLPROPERTIES (...)]"
+            )
+        ident = self._norm_ident(m.group("target"))
+        if ident in self._tables:
+            if m.group("ine"):
+                return self._tables[ident]
+            raise MergeSqlError(f"table {m.group('target')!r} already exists")
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromDDL(m.group("cols"))
+        props = {}
+        for piece in _split_top_level(m.group("props") or ""):
+            pm = re.match(r"^'([^']+)'\s*=\s*'([^']*)'$", piece.strip())
+            if not pm:
+                raise MergeSqlError(f"bad TBLPROPERTIES entry {piece!r}")
+            props[pm.group(1).lower()] = pm.group(2)
+        keys = [k.strip() for k in props.get(
+            "key_cols", props.get("primary_key", "trans_id")).split(",")]
+        unknown_keys = [k for k in keys if k not in schema.names]
+        if unknown_keys:
+            raise MergeSqlError(
+                f"key column(s) {unknown_keys} not in declared columns")
+        kwargs = {}
+        if m.group("spec"):
+            kwargs.update(self._parse_spec(m.group("spec")))
+        else:
+            kwargs["partition_col"] = None
+        merge_mode = props.get("merge_mode", "cow")
+        table = ParquetLakeTable(
+            self.spark, m.group("loc"), key_cols=keys,
+            merge_mode=merge_mode, **kwargs,
+        )
+        if table._manifest() is None:
+            # declared-schema commit: empty snapshot pinning the schema
+            table.create(self.spark.createDataFrame([], schema))
+        self.register(ident, table)
+        return table
 
     # -- CALL procedures (Iceberg system stored-procedure parity) --------
 

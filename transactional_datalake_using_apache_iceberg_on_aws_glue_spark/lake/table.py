@@ -2204,6 +2204,43 @@ class ParquetLakeTable:
     def _merge_once(self, batch: DataFrame) -> None:
         batch = self._with_partition(batch)  # hidden-transform column
         if not self.exists():
+            m0 = self._manifest()
+            if m0 is not None:
+                # a DECLARED schema exists (CREATE TABLE's empty commit,
+                # or the table was emptied by deletes): the target
+                # schema is authoritative — conform the batch to its
+                # column order and types, exactly the reference's
+                # target-schema conformance (SURVEY S4/P2,
+                # spark_sql_merge_into_iceberg.py:96,108). Without
+                # evolution, extra batch columns drop silently (the
+                # reference's .select(target names) behavior) and a
+                # missing declared column errors; with evolution,
+                # missing declared columns NULL-fill and extras append.
+                declared = T.StructType.fromJson(m0["schema"])
+                keep = [c for c in (OP_COL, *LINEAGE_COLS)
+                        if c in batch.columns]
+                cols = []
+                for f in declared.fields:
+                    if f.name in LINEAGE_COLS:
+                        continue
+                    if f.name in batch.columns:
+                        cols.append(F.col(f.name).cast(f.dataType)
+                                    .alias(f.name))
+                    elif self.allow_schema_evolution:
+                        cols.append(F.lit(None).cast(f.dataType)
+                                    .alias(f.name))
+                    else:
+                        raise ValueError(
+                            f"batch is missing declared column "
+                            f"{f.name!r} (schema is authoritative; "
+                            "enable allow_schema_evolution for "
+                            "NULL-fill)"
+                        )
+                extras = [
+                    c for c in batch.columns
+                    if c not in declared.names and c not in keep
+                ] if self.allow_schema_evolution else []
+                batch = batch.select(*cols, *keep, *extras)
             if self.store_lineage:
                 # keep deletes as tombstones even on first contact: their
                 # lineage must outlive the (absent) row to block stale
