@@ -98,8 +98,11 @@ All three compile onto the same keyed ``table.merge`` one-pass plan:
   documented divergence from Iceberg's append-only INSERT).
 
 The DDL and maintenance surface rounds out the statement family
-(``_run_alter`` / ``_run_call`` docstrings carry the grammar)::
+(``_run_create`` / ``_run_alter`` / ``_run_call`` docstrings carry
+the grammar)::
 
+    CREATE TABLE [IF NOT EXISTS] t (cols) USING lake LOCATION '...'
+        [PARTITIONED BY (...)] [TBLPROPERTIES (...)]
     ALTER TABLE t ADD|RENAME|DROP COLUMN ... / ALTER COLUMN ... TYPE ...
     ALTER TABLE t ADD|DROP|REPLACE PARTITION FIELD <spec>
     ALTER TABLE t CREATE|DROP BRANCH|TAG <name>
