@@ -549,3 +549,15 @@ def test_create_table_hidden_partitioning(spark, tmp_path):
     r.sql("INSERT INTO ht VALUES (1, TIMESTAMP '2024-01-05 10:00:00')")
     assert t.read_data().count() == 1
     assert "ts_day" not in t.read_data().columns
+
+
+def test_call_compute_table_stats(spark, runner):
+    r, t = runner
+    out = r.sql("CALL system.compute_table_stats("
+                "table => 'demo.cdc_db.retail_trans')")
+    assert out["row_count"] == 3
+    assert t.table_stats()["row_count"] == 3
+    out2 = r.sql("CALL system.compute_table_stats("
+                 "table => 'demo.cdc_db.retail_trans', "
+                 "columns => 'amount,customer_id')")
+    assert set(out2["columns"]) == {"amount", "customer_id"}

@@ -661,3 +661,37 @@ def test_merge_replans_and_retries_on_conflict(spark, tmp_path):
     t1._commit = racing_commit
     with pytest.raises(CommitConflictError):
         t1.merge(_batch(4, 40), commit_retries=0)
+
+
+def test_compute_stats_and_carry(spark, tmp_path):
+    """ANALYZE parity: one pass stores row count + per-column NDV/null
+    counts in the manifest; ordinary commits carry them forward with
+    computed_at_version marking staleness; recompute refreshes."""
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"])
+    t.create(spark.createDataFrame(
+        [(i, "visit" if i % 2 else None, i % 5) for i in range(100)],
+        "trans_id long, event string, amount int"))
+    stats = t.compute_stats()
+    assert stats["row_count"] == 100
+    assert stats["columns"]["amount"]["ndv"] == 5
+    assert stats["columns"]["event"]["null_count"] == 50
+    assert stats["computed_at_version"] == 1
+    assert t.table_stats() == stats
+    # a later merge carries the (now stale) stats forward
+    t.merge(spark.createDataFrame(
+        [(999, "cart", 7)], "trans_id long, event string, amount int"
+    ).withColumn(OP_COL, F.lit("insert")))
+    carried = t.table_stats()
+    assert carried["row_count"] == 100  # stale by design
+    assert carried["computed_at_version"] == 1
+    fresh = t.compute_stats(["amount"])
+    assert fresh["row_count"] == 101
+    assert set(fresh["columns"]) == {"amount"}
+    with pytest.raises(ValueError, match="unknown column"):
+        t.compute_stats(["nope"])

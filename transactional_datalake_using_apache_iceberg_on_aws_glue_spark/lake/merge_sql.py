@@ -159,15 +159,19 @@ _INSERT_RE = re.compile(
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split on commas outside parentheses (SET lists, column lists —
-    expression arguments keep their commas)."""
-    parts, depth, cur = [], 0, []
+    """Split on commas outside parentheses AND outside single-quoted
+    strings (SET lists, column lists, CALL arguments — expression
+    arguments and string literals keep their commas)."""
+    parts, depth, cur, in_str = [], 0, [], False
     for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_str:
             parts.append("".join(cur))
             cur = []
         else:
@@ -761,11 +765,16 @@ class MergeSqlRunner:
         elif proc == "remove_orphan_files":
             # orphan sweep only: protect every live snapshot
             run = lambda: table.expire_snapshots(keep_last=10 ** 9)  # noqa: E731
+        elif proc == "compute_table_stats":
+            cols = arg("columns", 1)
+            col_list = (None if cols is None else
+                        [c.strip() for c in str(cols).split(",") if c.strip()])
+            run = lambda: table.compute_stats(col_list)  # noqa: E731
         else:
             raise MergeSqlError(
                 f"unknown procedure {proc!r}; supported: expire_snapshots, "
                 "rollback_to_snapshot, rewrite_data_files, fast_forward, "
-                "remove_orphan_files"
+                "remove_orphan_files, compute_table_stats"
             )
         if named:
             raise MergeSqlError(

@@ -537,7 +537,8 @@ class ParquetLakeTable:
                 summary: dict | None = None, stats: dict | None = None,
                 renames: list | None = None, spec: dict | None = None,
                 slice_specs: dict | None = None,
-                delta_stats: dict | None = None) -> int:
+                delta_stats: dict | None = None,
+                table_stats: dict | None = None) -> int:
         """Publish a new version. The EXCLUSIVE CREATE of the version
         manifest is the atomic claim (O_CREAT|O_EXCL locally,
         conditional PUT on an object store): two racing writers both
@@ -578,6 +579,10 @@ class ParquetLakeTable:
             # carry per-delta key stats for dirs still outstanding
             delta_stats = dict((prev or {}).get("delta_stats") or {})
         delta_stats = {d: s for d, s in delta_stats.items() if d in deltas}
+        if table_stats is None:
+            # table-level NDV stats (compute_stats) ride along until
+            # recomputed — consumers see computed_at_version staleness
+            table_stats = (prev or {}).get("table_stats")
         manifest = {
             "parent": base_version,
             "ref": self.ref,
@@ -592,6 +597,7 @@ class ParquetLakeTable:
             "spec": spec,
             "slice_specs": slice_specs,
             "delta_stats": delta_stats,
+            "table_stats": table_stats,
         }
         new_v = base_version + 1
         while True:
@@ -1246,6 +1252,60 @@ class ParquetLakeTable:
                      "clustered_by": cluster_by or []},
             stats=self._collect_key_stats(snap, written),
         )
+
+    # -- table statistics (ANALYZE / Puffin parity) ---------------------------
+
+    #: types approx_count_distinct handles usefully for planning
+    _STATS_ATOMIC = (T.NumericType, T.StringType, T.DateType,
+                     T.TimestampType, T.TimestampNTZType, T.BooleanType)
+
+    def compute_stats(self, columns: list[str] | None = None) -> dict:
+        """Iceberg ``compute_table_stats`` (Puffin NDV sketches) parity:
+        ONE aggregation pass over the live rows computing the row count
+        plus per-column approx NDV (HyperLogLog++) and null counts,
+        stored in the manifest by a metadata commit (``analyze``).
+        Consumers (join-order/broadcast decisions, dashboards) read
+        them via ``table_stats()`` without scanning; ordinary commits
+        carry them forward with ``computed_at_version`` recording
+        staleness — exactly Iceberg's stats-file lifecycle."""
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        df = self.read_data()
+        if columns is None:
+            columns = [f.name for f in df.schema.fields
+                       if isinstance(f.dataType, self._STATS_ATOMIC)]
+        unknown = [c for c in columns if c not in df.columns]
+        if unknown:
+            raise ValueError(f"unknown column(s) {unknown}")
+        aggs = [F.count("*").alias("__n")]
+        for c in columns:
+            aggs.append(F.approx_count_distinct(c, 0.01).alias(f"__ndv_{c}"))
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        stats = {
+            "row_count": int(row["__n"]),
+            "computed_at_version": m["version"],
+            "columns": {
+                c: {"ndv": int(row[f"__ndv_{c}"]),
+                    "null_count": int(row[f"__null_{c}"])}
+                for c in columns
+            },
+        }
+        self._commit(
+            m["version"], "analyze", m["base"], m["deltas"],
+            T.StructType.fromJson(m["schema"]),
+            summary={"analyzed_columns": columns},
+            stats=m.get("stats", {}), table_stats=stats,
+        )
+        return stats
+
+    def table_stats(self) -> dict | None:
+        """The most recent ``compute_stats`` result carried by the
+        current manifest (None when never analyzed). Pure metadata."""
+        m = self._manifest()
+        return None if m is None else m.get("table_stats")
 
     # -- partition-spec evolution -------------------------------------------
 
