@@ -561,3 +561,109 @@ def test_call_compute_table_stats(spark, runner):
                  "table => 'demo.cdc_db.retail_trans', "
                  "columns => 'amount,customer_id')")
     assert set(out2["columns"]) == {"amount", "customer_id"}
+
+
+def _cdc_table(spark, tmp_path, name="cdc"):
+    """Table whose rows were CDC-ingested with REAL _op_timestamp
+    values — the state in which null-lineage DML batches used to lose
+    the late-data guard and silently no-op (advisor finding r4)."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL, OP_TS_COL, TXN_COL,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / name), key_cols=["trans_id"],
+                         partition_col=None)
+    batch = (spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ROWS)
+        .withColumn(OP_COL, F.lit("insert"))
+        .withColumn(OP_TS_COL, F.to_timestamp(F.lit("2026-01-05 12:00:00")))
+        .withColumn(TXN_COL, F.lit(7).cast("long")))
+    t.merge(batch)
+    return t
+
+
+def test_delete_from_applies_to_cdc_ingested_rows(spark, tmp_path):
+    t = _cdc_table(spark, tmp_path)
+    r = MergeSqlRunner(spark)
+    r.register("t", t)
+    r.sql("DELETE FROM t WHERE amount >= 20")
+    assert _state(t) == {1: 10}
+    r.sql("DELETE FROM t")
+    assert _state(t) == {}
+
+
+def test_update_set_applies_to_cdc_ingested_rows(spark, tmp_path):
+    t = _cdc_table(spark, tmp_path)
+    r = MergeSqlRunner(spark)
+    r.register("t", t)
+    r.sql("UPDATE t SET amount = amount + 1 WHERE trans_id <= 2")
+    assert _state(t) == {1: 11, 2: 21, 3: 30}
+    # chains: a second DML over the first's output
+    r.sql("UPDATE t SET amount = amount * 10")
+    assert _state(t) == {1: 110, 2: 210, 3: 300}
+
+
+def test_insert_overwrites_cdc_ingested_row(spark, tmp_path):
+    t = _cdc_table(spark, tmp_path)
+    r = MergeSqlRunner(spark)
+    r.register("t", t)
+    r.sql("INSERT INTO t VALUES (2, 'b', 999), (4, 'd', 40)")
+    assert _state(t) == {1: 10, 2: 999, 3: 30, 4: 40}
+
+
+def test_by_source_delete_applies_to_cdc_ingested_rows(spark, tmp_path):
+    t = _cdc_table(spark, tmp_path)
+    r = MergeSqlRunner(spark)
+    r.register("t", t)
+    spark.createDataFrame([(1, "a", 10)], ROWS).createOrReplaceTempView(
+        "keep_only")
+    r.sql("""MERGE INTO t t USING keep_only s ON s.trans_id = t.trans_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert _state(t) == {1: 10}
+
+
+def test_dml_on_mor_cdc_table(spark, tmp_path):
+    """Same late-data-guard coverage through the MOR read fold."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL, OP_TS_COL,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "m"), key_cols=["trans_id"],
+                         partition_col=None, merge_mode="mor")
+    t.merge(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ROWS)
+            .withColumn(OP_COL, F.lit("insert"))
+            .withColumn(OP_TS_COL,
+                        F.to_timestamp(F.lit("2026-01-05 12:00:00"))))
+    r = MergeSqlRunner(spark)
+    r.register("t", t)
+    r.sql("UPDATE t SET amount = 77 WHERE trans_id = 1")
+    r.sql("DELETE FROM t WHERE trans_id = 2")
+    assert _state(t) == {1: 77}
+
+
+def test_alias_never_rewrites_string_literals(spark, tmp_path):
+    """Alias stripping is quote-aware: alias ``t`` must not corrupt
+    'http://t.co' into 'http://co' (advisor finding r4)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "u"), key_cols=["trans_id"],
+                         partition_col=None)
+    t.create(spark.createDataFrame(
+        [(1, "http://t.co", 10), (2, "x", 20)], ROWS))
+    r = MergeSqlRunner(spark)
+    r.register("t", t)
+    r.sql("DELETE FROM t t WHERE t.customer_id = 'http://t.co'")
+    assert _state(t) == {2: 20}
+    # SET right-hand sides keep their literals too
+    r.sql("UPDATE t t SET customer_id = 'see t.co docs' "
+          "WHERE t.trans_id = 2")
+    assert {row["customer_id"] for row in t.read_data().collect()} == {
+        "see t.co docs"}
+    # MERGE clause conditions: a source literal containing "t." does
+    # not trip the target-alias guard
+    spark.createDataFrame([(3, "t.co", 30)], ROWS).createOrReplaceTempView(
+        "lit_src")
+    r.sql("""MERGE INTO t t USING lit_src s ON s.trans_id = t.trans_id
+        WHEN MATCHED AND s.customer_id = 't.co' THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.customer_id = 't.co' THEN INSERT *""")
+    assert _state(t) == {2: 20, 3: 30}

@@ -452,6 +452,25 @@ def test_sniff_image_header_pure():
     assert MM.media.sniff_image_header(truncated_png) is None
 
 
+def test_sniff_jpeg_fill_bytes_and_eoi():
+    """0xFF fill/padding bytes between JPEG segments are legal
+    (ITU T.81 B.1.1.2) and must not desync the scan; a stream that hits
+    EOI before any SOF terminates cleanly instead of reading a bogus
+    segment length past it (advisor finding r4)."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\0" + b"\0" * 9
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + (768).to_bytes(2, "big") + (1024).to_bytes(2, "big")
+            + b"\x03\0\0\0")
+    padded = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert MM.media.sniff_image_header(padded) == ("jpeg", 1024, 768)
+    # fill bytes immediately after SOI too
+    padded2 = b"\xff\xd8\xff\xff" + app0[1:] + sof0 + b"\xff\xd9"
+    assert MM.media.sniff_image_header(padded2) == ("jpeg", 1024, 768)
+    # EOI with no SOF: clean None, not a bogus-length overrun
+    no_sof = b"\xff\xd8" + app0 + b"\xff\xd9" + b"\0" * 16
+    assert MM.media.sniff_image_header(no_sof) is None
+
+
 def test_probe_image_headers_operator(spark):
     """The Arrow-batched probe validates payload bytes and dead-letters
     unknown containers with ok=false."""

@@ -427,3 +427,52 @@ def test_spec_evolution_with_nested_schema_evolution(spark, tmp_path):
     got = {r["trans_id"]: r["payload"]["z"]
            for r in t.read_data().collect()}
     assert got == {1: 99, 2: 20, 3: 5_000_000_000}
+
+
+def test_merge_token_collision_across_specs_preserves_legacy(spark, tmp_path):
+    """Old- and new-spec partition tokens share one base-map namespace:
+    a COW merge writing a NEW-spec partition whose encoded token equals
+    a non-absorbed legacy slice's token must not overwrite that slice's
+    base pointer (advisor finding r4 — keys 1,2 vanished). The colliding
+    legacy slice is force-absorbed instead."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    # key 100 is far outside the legacy slices' key ranges, so stats
+    # overlap does NOT absorb event=visit — but device='visit' encodes
+    # to the same token "visit"
+    t.merge(_batch(spark, [(100, "promo", "visit", 1)]))
+    got = _state(t)
+    assert set(got) == {1, 2, 3, 4, 100}, got
+    assert got[1] == ("visit", "pc", 11)
+    assert got[2] == ("visit", "pc", 12)
+    assert got[100] == ("promo", "visit", 1)
+    # converged: no duplicate keys after the forced absorption
+    assert (t.read_data().groupBy("trans_id").count()
+            .filter("count > 1").count()) == 0
+
+
+def test_metadata_commit_from_stale_handle_keeps_spec(spark, tmp_path):
+    """A metadata-only DDL (add_column / compute_stats) issued through a
+    handle constructed with PRE-evolution partition arguments must not
+    revert the table's partition spec (advisor finding r4): _commit
+    carries the previous manifest's spec forward."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.merge(_batch(spark, _rows([10], "visit", "tablet")))
+    before = _state(t)
+    # stale handle: still believes the table is partitioned by event
+    stale = ParquetLakeTable(spark, t.path, key_cols=["trans_id"],
+                             partition_col="event",
+                             allow_schema_evolution=True)
+    stale.add_column("note", "string")
+    stale.compute_stats(["amount"])
+    m = t._manifest()
+    assert m["spec"]["partition_col"] == "device", m["spec"]
+    # reads through a fresh handle still resolve every slice correctly
+    fresh = ParquetLakeTable(spark, t.path, key_cols=["trans_id"])
+    fresh._sync_spec()
+    assert fresh.partition_col == "device"
+    got = {r["trans_id"]: (r["event"], r["device"], r["amount"])
+           for r in fresh.read_data().select(
+               "trans_id", "event", "device", "amount").collect()}
+    assert got == before

@@ -122,8 +122,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import OP_COL
-from .table import ParquetLakeTable
+from ..constants import OP_COL, OP_TS_COL
+from .table import DELETED_COL, ParquetLakeTable
 
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)\s+(?:AS\s+)?(?P<talias>\w+)\s+"
@@ -286,8 +286,11 @@ class MergeSqlRunner:
         if by_source_delete:
             # full-sync: target rows whose key has no source row become
             # deletes — one anti-join on the keys, the operation's
-            # intrinsic cost (same join Spark's own MERGE executes)
-            missing = table.read_data().join(
+            # intrinsic cost (same join Spark's own MERGE executes).
+            # _dml_state keeps the stored lineage so the delete beats
+            # the row it was derived from (late-data guard ties resolve
+            # batch-side).
+            missing = self._dml_state(table).join(
                 src.select(*table.key_cols).distinct(),
                 on=list(table.key_cols), how="left_anti",
             ).withColumn(OP_COL, F.lit("delete"))
@@ -380,12 +383,51 @@ class MergeSqlRunner:
         return table
 
     @staticmethod
-    def _where_expr(cond: str | None, alias: str | None):
+    def _dml_state(table: ParquetLakeTable) -> DataFrame:
+        """Current LIVE rows with lineage columns intact — the batch
+        base for DELETE / UPDATE / NOT-MATCHED-BY-SOURCE.
+
+        Building DML batches from ``read_data()`` dropped
+        ``_op_timestamp``/``_txn_id``, so the merge's late-data guard
+        (``desc_nulls_last`` on the timestamp) ranked the null-ts DML
+        row BELOW any stored row with a real CDC timestamp and silently
+        kept the old row (advisor finding r4). Preserving the stored
+        lineage makes the DML row tie on (ts, txn) and win the
+        batch-beats-target / commit-seq tiebreak in both the COW window
+        and the MOR read fold. Tombstones are filtered (an UPDATE must
+        not resurrect deleted keys) and hidden partition columns
+        dropped so ``merge`` re-derives them — an UPDATE of a
+        transform's source column then repartitions correctly."""
+        m = table._manifest()
+        df = table.read()
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        pcol, ptrans = table._manifest_spec(m)
+        hidden = [pcol] if ptrans is not None else []
+        return df.drop(*[c for c in (DELETED_COL, *hidden)
+                         if c in df.columns])
+
+    @staticmethod
+    def _strip_alias(text: str, alias: str | None) -> str:
+        """Remove ``alias.`` prefixes OUTSIDE single-quoted string
+        literals only — a raw re.sub also rewrote matches inside
+        literals (alias ``t`` turned ``'http://t.co'`` into
+        ``'http://co'``, advisor finding r4). Splitting on ``'`` puts
+        literal text at odd indexes (SQL's escaped ``''`` just yields
+        an untouched empty segment)."""
+        if not alias:
+            return text
+        pat = re.compile(rf"\b{re.escape(alias)}\.", re.IGNORECASE)
+        return "'".join(
+            pat.sub("", seg) if i % 2 == 0 else seg
+            for i, seg in enumerate(text.split("'"))
+        )
+
+    @classmethod
+    def _where_expr(cls, cond: str | None, alias: str | None):
         if cond is None:
             return None
-        if alias:
-            cond = re.sub(rf"\b{alias}\.", "", cond, flags=re.IGNORECASE)
-        return F.expr(cond)
+        return F.expr(cls._strip_alias(cond, alias))
 
     def _run_delete(self, statement: str) -> None:
         """``DELETE FROM t WHERE ...`` — Iceberg COW DELETE shape: the
@@ -401,7 +443,7 @@ class MergeSqlRunner:
             )
         table = self._resolve(m.group("target"))
         cond = self._where_expr(m.group("where"), m.group("alias"))
-        data = table.read_data()
+        data = self._dml_state(table)
         batch = data.filter(cond) if cond is not None else data
         table.merge(batch.withColumn(OP_COL, F.lit("delete")))
 
@@ -419,7 +461,7 @@ class MergeSqlRunner:
             )
         table = self._resolve(m.group("target"))
         alias = m.group("alias")
-        data = table.read_data()
+        data = self._dml_state(table)
         assignments: dict[str, str] = {}
         for piece in _split_top_level(m.group("set")):
             am = re.match(r"^(\w+)\s*=\s*(.+)$", piece, re.DOTALL)
@@ -440,9 +482,7 @@ class MergeSqlRunner:
                 )
             if col in assignments:
                 raise MergeSqlError(f"duplicate SET of column {col!r}")
-            rhs = am.group(2).strip()
-            if alias:
-                rhs = re.sub(rf"\b{alias}\.", "", rhs, flags=re.IGNORECASE)
+            rhs = self._strip_alias(am.group(2).strip(), alias)
             assignments[col] = rhs
         cond = self._where_expr(m.group("where"), alias)
         matched = data.filter(cond) if cond is not None else data
@@ -502,6 +542,13 @@ class MergeSqlRunner:
             *[F.col(c).cast(data_schema[c].dataType).alias(c)
               for c in declared]
         )
+        # statement-executed-now semantics: without a timestamp the
+        # late-data guard would rank the inserted image below any
+        # stored row with a real CDC timestamp and silently keep the
+        # old row (advisor finding r4 — same hazard as DELETE/UPDATE)
+        if table.store_lineage:
+            batch = batch.withColumn(
+                OP_TS_COL, F.current_timestamp().cast("timestamp"))
         table.merge(batch.withColumn(OP_COL, F.lit("upsert")))
 
     # -- ALTER TABLE DDL (Iceberg schema/spec evolution statements) ------
@@ -812,15 +859,18 @@ class MergeSqlRunner:
                 f"{sorted(table.key_cols)}"
             )
 
-    @staticmethod
-    def _src_condition(cond: str | None, salias: str, talias: str):
+    @classmethod
+    def _src_condition(cls, cond: str | None, salias: str, talias: str):
         if cond is None:
             return None
-        if re.search(rf"\b{talias}\.", cond, re.IGNORECASE):
+        # target-alias scan runs on the quote-stripped text so a URL or
+        # prose literal containing "t." can't false-positive
+        outside = " ".join(cond.split("'")[::2])
+        if re.search(rf"\b{re.escape(talias)}\.", outside, re.IGNORECASE):
             raise MergeSqlError(
                 "clause conditions may reference source columns only "
                 f"(the engine's latest-wins merge already orders against "
                 f"the target); got {cond!r}"
             )
-        return F.expr(re.sub(rf"\b{salias}\.", "", cond, flags=re.IGNORECASE))
+        return F.expr(cls._strip_alias(cond, salias))
 

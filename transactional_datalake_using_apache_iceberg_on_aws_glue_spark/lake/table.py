@@ -564,8 +564,20 @@ class ParquetLakeTable:
             # rollback/publish pass their own list explicitly
             renames = list(prev.get("renames", [])) if prev else []
         if spec is None:
-            # the committing handle's active spec IS the current spec
-            spec = _spec_dict(self.partition_col, self.partition_transform)
+            # carry the TABLE's current spec forward, not the handle's:
+            # a metadata-only commit (add/rename/widen/drop column,
+            # compute_stats) from a handle constructed with
+            # pre-evolution partition arguments must not silently
+            # revert the partition spec — absent slice_specs entries
+            # mean "current spec", so a reverted spec re-labels every
+            # new-layout snapshot dir with the wrong partition column
+            # (advisor finding r4). Data write paths _sync_spec()
+            # first, making handle spec == prev spec there, so this is
+            # a pure widening of correctness.
+            if prev is not None and prev.get("spec") is not None:
+                spec = prev["spec"]
+            else:
+                spec = _spec_dict(self.partition_col, self.partition_transform)
         if slice_specs is None:
             # carry forward: still-referenced dirs keep their recorded
             # spec; dirs written by THIS commit take the current spec
@@ -2419,33 +2431,8 @@ class ParquetLakeTable:
             return None  # empty batch: nothing to merge
         batch_enc = {_encode_part(v) for v in batch_parts}
 
-        # legacy slices to absorb: key-range overlap with the batch
-        # (sound over-approximation; batch_enc deliberately NOT
-        # subtracted — legacy tokens live in the OLD spec's value
-        # space, a string collision with a batch value must not
-        # exempt a slice from absorption)
-        absorbed = self._stats_overlapping_partitions(
-            batch, set(), set(legacy_tokens))
-        by_snap: dict[str, list[str]] = {}
-        for tok in absorbed:
-            by_snap.setdefault(legacy_tokens[tok], []).append(tok)
-        legacy_frames = [
-            self._read_snapshot_slice(
-                snap, toks, schema, renames,
-                partition_col=self._slice_spec(m, snap)[0], derive=cur_t)
-            for snap, toks in sorted(by_snap.items())
-        ]
-        legacy_df = (reduce(DataFrame.unionByName, legacy_frames)
-                     if legacy_frames else None)
-        legacy_vals = set()
-        if legacy_df is not None:
-            legacy_vals = {
-                r[0]
-                for r in legacy_df.select(self.partition_col)
-                .distinct().collect()
-            }
-
         # new-spec partitions holding keys the batch matches
+        # (independent of which legacy slices get absorbed)
         candidates = self._stats_overlapping_partitions(
             batch, batch_enc, set(new_tokens))
         probe_vals = set()
@@ -2454,8 +2441,50 @@ class ParquetLakeTable:
                 r[0] for r in self._key_match_probe(batch, candidates).collect()
             }
 
-        affected_vals = batch_parts | legacy_vals | probe_vals
-        affected_enc = {_encode_part(v) for v in affected_vals}
+        # legacy slices to absorb: key-range overlap with the batch
+        # (sound over-approximation; batch_enc deliberately NOT
+        # subtracted — legacy tokens live in the OLD spec's value
+        # space, a string collision with a batch value must not
+        # exempt a slice from absorption)
+        absorbed = self._stats_overlapping_partitions(
+            batch, set(), set(legacy_tokens))
+        while True:
+            by_snap: dict[str, list[str]] = {}
+            for tok in absorbed:
+                by_snap.setdefault(legacy_tokens[tok], []).append(tok)
+            legacy_frames = [
+                self._read_snapshot_slice(
+                    snap, toks, schema, renames,
+                    partition_col=self._slice_spec(m, snap)[0], derive=cur_t)
+                for snap, toks in sorted(by_snap.items())
+            ]
+            legacy_df = (reduce(DataFrame.unionByName, legacy_frames)
+                         if legacy_frames else None)
+            legacy_vals = set()
+            if legacy_df is not None:
+                legacy_vals = {
+                    r[0]
+                    for r in legacy_df.select(self.partition_col)
+                    .distinct().collect()
+                }
+
+            affected_vals = batch_parts | legacy_vals | probe_vals
+            affected_enc = {_encode_part(v) for v in affected_vals}
+
+            # token-namespace collision guard: old- and new-spec tokens
+            # share one base-map namespace, and every token this
+            # rewrite WRITES is a subset of affected_enc — a
+            # non-absorbed legacy slice whose token matches one of them
+            # would have its base pointer silently overwritten by
+            # new_base[v] = snap, dropping its rows (advisor finding
+            # r4). Force-absorb every colliding legacy slice; each new
+            # absorption can surface new derived partition values, so
+            # iterate to a fixpoint (monotone, bounded by the legacy
+            # token count).
+            forced = (set(legacy_tokens) & affected_enc) - absorbed
+            if not forced:
+                break
+            absorbed |= forced
 
         new_by_snap: dict[str, list[str]] = {}
         for tok, snap in new_tokens.items():

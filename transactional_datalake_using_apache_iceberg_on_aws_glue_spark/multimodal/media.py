@@ -130,10 +130,18 @@ def sniff_image_header(payload: bytes | None):
                 abs(int.from_bytes(b[22:26], "little", signed=True)))
     if b[:2] == b"\xff\xd8":  # JPEG: scan for a start-of-frame marker
         i = 2
-        while i + 9 < len(b):
+        while i + 3 < len(b):
             if b[i] != 0xFF:
                 return None  # marker desync: corrupt stream
+            # consecutive 0xFF bytes before a marker are legal fill /
+            # padding (ITU T.81 B.1.1.2) — skip to the real marker byte
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 3 >= len(b):
+                return None
             marker = b[i + 1]
+            if marker == 0xD9:  # EOI: stream ended with no SOF
+                return None
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
