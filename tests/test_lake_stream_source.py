@@ -80,9 +80,12 @@ def test_stream_bootstrap_then_incremental_restart(spark, tmp_path):
     assert got == []
 
 
-def test_stream_mor_gate(spark, tmp_path):
-    """A MOR delta commit must NOT advance the stream (the pandas-side
-    reader cannot fold deltas); compaction folds them and unblocks."""
+def test_stream_mor_deltas_fold_live(spark, tmp_path):
+    """A MOR delta commit ADVANCES the stream (r5): the per-partition
+    tasks fold base + outstanding deltas latest-per-key, so a
+    high-ingest MOR table streams live instead of waiting for
+    compaction, and the streamed diff matches read_changes(v1, v2)
+    on partition-stable keys."""
     from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
         LakeChangeStreamReader,
     )
@@ -90,15 +93,79 @@ def test_stream_mor_gate(spark, tmp_path):
     table = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["trans_id"],
                              merge_mode="mor")
     apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, table.path, ckpt, got)
+    assert {k: a for (k, _, a) in got} == {
+        k: 10 + k for k in fixtures.INSERT_KEYS
+    }
+
+    # wave 2 is a merge-mor commit with OUTSTANDING deltas
     apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
     rdr = LakeChangeStreamReader(
         {"path": table.path, "keys": "trans_id", "partitioncol": "event"}
     )
-    # v2 is a merge-mor commit with outstanding deltas: offset holds at v1
     assert table.current_version() == 2
-    assert rdr.latestOffset() == {"version": 1}
-    table.compact()  # folds deltas -> v3 is clean
+    m = table._manifest()
+    assert m["deltas"], "precondition: deltas must be outstanding"
+    assert rdr.latestOffset() == {"version": 2}
+
+    got.clear()
+    _drain(spark, table.path, ckpt, got)
+    by_kind = {}
+    for k, t, a in got:
+        by_kind.setdefault(t, {})[k] = a
+    # equivalence vs the engine's own snapshot diff on the same bounds
+    oracle = {}
+    for r in table.read_changes(1, 2).collect():
+        oracle.setdefault(r["_change_type"], {})[r["trans_id"]] = r["amount"]
+    assert by_kind == oracle
+    assert set(by_kind.get("delete", {})) == set(fixtures.DELETE_KEYS)
+    assert by_kind.get("update_postimage", {}) == fixtures.UPDATE_AMOUNTS
+    assert set(by_kind.get("insert", {})) == set(fixtures.DML_INSERT_KEYS)
+
+    # compaction folds the deltas into a clean base describing the SAME
+    # state: the stream advances with an empty diff
+    table.compact()
     assert rdr.latestOffset() == {"version": 3}
+    got.clear()
+    _drain(spark, table.path, ckpt, got)
+    assert got == []
+
+
+def test_stream_mor_holds_during_spec_migration(spark, tmp_path):
+    """Per-partition folding needs one token namespace: a manifest with
+    outstanding deltas AND mixed slice specs (mid partition-spec
+    migration) holds the stream offset; compaction (which migrates
+    every slice) unblocks it."""
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        LakeChangeStreamReader,
+    )
+
+    R = "trans_id long, event string, device string, amount int"
+    table = ParquetLakeTable(spark, str(tmp_path / "sm"), key_cols=["trans_id"],
+                             partition_col="event", merge_mode="mor")
+    table.create(spark.createDataFrame(
+        [(1, "visit", "pc", 10), (2, "cart", "mobile", 20)], R))
+    table.evolve_partition_spec(partition_col="device")
+    # delta under the NEW spec while base slices still carry the old one
+    table.merge(spark.createDataFrame([(3, "view", "tablet", 30)], R)
+                .withColumn(OP_COL, F.lit("insert")))
+    rdr = LakeChangeStreamReader(
+        {"path": table.path, "keys": "trans_id", "partitioncol": "device"}
+    )
+    head = table.current_version()
+    m = table._manifest()
+    assert m["deltas"] and m.get("slice_specs"), "precondition: mixed specs"
+    assert rdr.latestOffset()["version"] < head  # held
+    table.compact()  # migrates every slice to the current spec
+    assert rdr.latestOffset() == {"version": table.current_version()}
 
 
 def test_stream_survives_column_rename(spark, tmp_path):

@@ -538,6 +538,7 @@ class ParquetLakeTable:
                 renames: list | None = None, spec: dict | None = None,
                 slice_specs: dict | None = None,
                 delta_stats: dict | None = None,
+                delta_files: dict | None = None,
                 table_stats: dict | None = None) -> int:
         """Publish a new version. The EXCLUSIVE CREATE of the version
         manifest is the atomic claim (O_CREAT|O_EXCL locally,
@@ -591,6 +592,10 @@ class ParquetLakeTable:
             # carry per-delta key stats for dirs still outstanding
             delta_stats = dict((prev or {}).get("delta_stats") or {})
         delta_stats = {d: s for d, s in delta_stats.items() if d in deltas}
+        if delta_files is None:
+            # carry per-delta file lists (token -> relpaths) the same way
+            delta_files = dict((prev or {}).get("delta_files") or {})
+        delta_files = {d: s for d, s in delta_files.items() if d in deltas}
         if table_stats is None:
             # table-level NDV stats (compute_stats) ride along until
             # recomputed — consumers see computed_at_version staleness
@@ -609,6 +614,7 @@ class ParquetLakeTable:
             "spec": spec,
             "slice_specs": slice_specs,
             "delta_stats": delta_stats,
+            "delta_files": delta_files,
             "table_stats": table_stats,
         }
         new_v = base_version + 1
@@ -2416,11 +2422,28 @@ class ParquetLakeTable:
         new_delta_stats = dict(m.get("delta_stats") or {})
         new_delta_stats[dname] = ({_ALL: {"cols": cols}}
                                   if cols and row["__n"] else {})
+        # per-token file list of the committed delta (one recursive
+        # metadata listing, no data reads): the native change stream
+        # plans per-partition fold tasks from the MANIFEST alone, the
+        # same no-directory-walk rule the base slices follow
+        droot = os.path.join(self.path, dname)
+        plen = len(droot.rstrip("/")) + 1
+        by_tok: dict[str, list[str]] = {}
+        pfx = f"{self.partition_col}=" if self.partition_col else None
+        for fp in self.fs.walk_files(droot, ".parquet"):
+            rel = fp[plen:].replace("\\", "/")
+            tok = _ALL
+            if pfx and rel.split("/")[0].startswith(pfx):
+                tok = rel.split("/")[0][len(pfx):]
+            by_tok.setdefault(tok, []).append(rel)
+        new_delta_files = dict(m.get("delta_files") or {})
+        new_delta_files[dname] = {t: sorted(fl) for t, fl in by_tok.items()}
         self._commit(
             base_v, "merge-mor", m["base"], m["deltas"] + [dname], schema,
             summary={"deltas_outstanding": len(m["deltas"]) + 1},
             stats=m.get("stats", {}),  # base files unchanged
             delta_stats=new_delta_stats,
+            delta_files=new_delta_files,
         )
 
     def _mixed_spec_target(self, batch: DataFrame, m: dict,

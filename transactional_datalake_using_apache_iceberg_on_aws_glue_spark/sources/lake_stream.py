@@ -30,10 +30,23 @@ Semantics vs ``ParquetLakeTable.read_changes`` (which diffs globally):
   for partition-spec rewrites; downstream keyed upserts converge
   identically either way.
 
-Constraints (checked, loud): COW tables only — outstanding MOR deltas
-would need the fold re-implemented in pandas; ``latestOffset`` simply
-does not advance past a version while its deltas are outstanding, so
-a compaction unblocks the stream rather than corrupting it.
+MOR tables stream LIVE (r5): a version with outstanding deltas is a
+valid offset — each partition task stacks its base files plus every
+delta dir's files for that partition (ordered layer list from the
+manifest's ``delta_files`` entry) and folds latest-per-key in pandas
+under the SAME (``_op_timestamp`` desc nulls last, ``_txn_id`` desc
+nulls last, layer seq desc) order the engine's ``_fold`` uses, so the
+streamed state matches ``read_data`` exactly. Two scoped relaxations:
+
+- per-partition folding needs ONE token namespace, so a manifest whose
+  referenced dirs carry mixed partition specs (mid spec-migration)
+  holds the offset until migration/compaction completes — the same
+  hold-don't-corrupt posture the COW-only gate had;
+- a key whose partition value CHANGES via a MOR delta folds only in
+  its new partition until compaction rewrites the old base (the old
+  image isn't re-emitted, but its delete surfaces at compaction);
+  keyed-upsert consumers converge — the same partition-move relaxation
+  documented below for COW, one compaction later.
 
 100 TB notes: driver work is manifest JSON only (O(partitions
 changed)); each task streams its partition's parquet through Arrow
@@ -165,7 +178,10 @@ def _list_parquet(path: str, d: str) -> list[str]:
 
 
 class _PartDiff(InputPartition):
-    """One partition value's (old files, new files) diff task.
+    """One partition value's (old layers, new layers) diff task. Each
+    side is an ORDERED list of file lists — layer 0 the base slice,
+    then one layer per outstanding MOR delta dir; a COW version is a
+    single-layer stack.
 
     ``fill_col`` is the column the partition token belongs to — the
     SLICE's own partition column, which after a partition-spec
@@ -173,11 +189,11 @@ class _PartDiff(InputPartition):
     their original layout; their dir token re-derives their original
     column, not the current spec's)."""
 
-    def __init__(self, part, old_files, new_files, renames=(),
+    def __init__(self, part, old_layers, new_layers, renames=(),
                  fill_col=None):
         self.part = part
-        self.old_files = old_files
-        self.new_files = new_files
+        self.old_layers = old_layers
+        self.new_layers = new_layers
         self.renames = list(renames)
         self.fill_col = fill_col
 
@@ -193,6 +209,9 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         self.columns, self.change_schema = _resolve_schema(
             self.path, self.partition_col if hidden else None
         )
+        #: committed delta dirs are immutable — one listing per dir
+        #: ever, only for manifests predating the delta_files entry
+        self._delta_cache: dict[str, dict] = {}
 
     # -- offsets (driver-side) -------------------------------------------
 
@@ -205,13 +224,87 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         return {"version": self._safe_head()}
 
     def _safe_head(self) -> int:
-        """Newest main-lineage version with NO outstanding MOR deltas —
-        the stream holds position (not errors) while deltas are out."""
+        """Newest main-lineage version the per-partition diff can
+        serve. Outstanding MOR deltas FOLD inside the read tasks (r5),
+        so a delta commit advances the stream — as long as every
+        referenced dir shares the manifest's current partition spec:
+        per-partition folding needs one token namespace, so a
+        mid-spec-migration manifest (mixed slice layouts) holds the
+        offset until migration/compaction completes (hold, not
+        corrupt — the pre-r5 posture, now scoped to the one genuinely
+        unfoldable shape)."""
         head = _current_version(self.path)
         for v in _lineage_of(self.path, head):
-            if not _read_manifest(self.path, v)["deltas"]:
+            m = _read_manifest(self.path, v)
+            if not m["deltas"]:
+                return v
+            # slice_specs records only dirs whose layout differs from
+            # the manifest's current spec — empty intersection means
+            # every base slice and delta dir folds in one namespace
+            sspecs = m.get("slice_specs") or {}
+            dirs = set(m["base"].values()) | set(m["deltas"])
+            if not any(d in sspecs for d in dirs):
                 return v
         return 0
+
+    def _slice_col(self, m: dict, dirname: str | None):
+        """The partition column ``dirname``'s directory layout uses
+        (per-slice spec after a partition-spec evolution; falls back
+        to the stream's partitionCol option for manifests that
+        predate spec recording). ``dirname=None`` resolves the
+        manifest's CURRENT spec."""
+        entry = (m.get("slice_specs") or {}).get(dirname)
+        if entry is not None:
+            return entry.get("partition_col")
+        spec = m.get("spec")
+        if spec is not None:
+            return spec.get("partition_col")
+        return self.partition_col
+
+    def _delta_token_files(self, m: dict, d: str) -> dict:
+        """{token: [fs-native file paths]} for one committed delta dir
+        — from the manifest's ``delta_files`` entry (the commit listed
+        its own output, so no reader-side walk). Manifests written
+        before the entry existed fall back to ONE listing of the dir —
+        sound because a delta dir referenced by a manifest is complete
+        and immutable — cached for the reader's lifetime."""
+        _fs, root = _fs_and_root(self.path)
+        entry = (m.get("delta_files") or {}).get(d)
+        if entry is not None:
+            return {tok: [posixpath.join(root, d, rel) for rel in rels]
+                    for tok, rels in entry.items()}
+        if d not in self._delta_cache:
+            dcol = self._slice_col(m, d)
+            pfx = f"{dcol}=" if dcol else None
+            base = posixpath.join(root, d)
+            plen = len(base.rstrip("/")) + 1
+            toks: dict[str, list] = {}
+            for fp in _list_parquet(self.path, base):
+                comp = fp[plen:].split("/")[0]
+                tok = (comp[len(pfx):] if pfx and comp.startswith(pfx)
+                       else _ALL)
+                toks.setdefault(tok, []).append(fp)
+            self._delta_cache[d] = toks
+        return self._delta_cache[d]
+
+    def _layered(self, m: dict | None) -> dict:
+        """{token: [base files, delta1 files, ...]} — the ordered MOR
+        layer stack per partition token for one manifest. A COW
+        manifest yields single-layer stacks; a token introduced only
+        by a delta gets an empty base layer placeholder."""
+        if m is None:
+            return {}
+        out: dict[str, list] = {}
+        for part, snap in sorted(m["base"].items()):
+            out[part] = [_partition_files(self.path, m, part,
+                                          self._slice_col(m, snap))]
+        for d in m["deltas"]:
+            for tok, files in sorted(self._delta_token_files(m, d).items()):
+                if not files:
+                    continue
+                out.setdefault(tok, [[]])
+                out[tok].append(files)
+        return out
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
@@ -219,47 +312,28 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             return [_PartDiff(_ALL, [], [])]  # empty batch
         new_m = _read_manifest(self.path, hi)
         old_m = None if lo == 0 else _read_manifest(self.path, lo)
-        old_base = {} if old_m is None else old_m["base"]
         renames = new_m.get("renames", [])
+        old_map = self._layered(old_m)
+        new_map = self._layered(new_m)
 
-        def slice_col(m, snap):
-            """The partition column ``snap``'s directory layout uses
-            (per-slice spec after a partition-spec evolution; falls
-            back to the stream's partitionCol option for manifests
-            that predate spec recording)."""
-            entry = (m.get("slice_specs") or {}).get(snap)
-            if entry is not None:
-                return entry.get("partition_col")
-            spec = m.get("spec")
-            if spec is not None:
-                return spec.get("partition_col")
-            return self.partition_col
+        def fill(part):
+            for m in (new_m, old_m):
+                if m is None:
+                    continue
+                snap = m["base"].get(part)
+                if snap is not None:
+                    return self._slice_col(m, snap)
+            # delta-only token: _safe_head guarantees a uniform spec,
+            # so the token namespace is the current spec's column
+            return self._slice_col(new_m, None)
 
         out = []
-        for part, snap in sorted(new_m["base"].items()):
-            old_snap = old_base.get(part)
-            if old_snap == snap:
-                continue  # file set untouched -> no changes possible
-            out.append(_PartDiff(
-                part,
-                _partition_files(self.path, old_m, part,
-                                 slice_col(old_m, old_snap))
-                if old_snap else [],
-                _partition_files(self.path, new_m, part,
-                                 slice_col(new_m, snap)),
-                renames,
-                fill_col=slice_col(new_m, snap),
-            ))
-        for part, old_snap in sorted(old_base.items()):
-            if part not in new_m["base"]:  # partition disappeared
-                out.append(_PartDiff(
-                    part,
-                    _partition_files(self.path, old_m, part,
-                                     slice_col(old_m, old_snap)),
-                    [],
-                    renames,
-                    fill_col=slice_col(old_m, old_snap),
-                ))
+        for part in sorted(set(old_map) | set(new_map)):
+            o = old_map.get(part, [])
+            n = new_map.get(part, [])
+            if [fl for fl in o if fl] == [fl for fl in n if fl]:
+                continue  # identical layer stacks -> state unchanged
+            out.append(_PartDiff(part, o, n, renames, fill_col=fill(part)))
         return out or [_PartDiff(_ALL, [], [])]
 
     def commit(self, end: dict) -> None:
@@ -274,12 +348,12 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             dict((f.name, f.dataType) for f in self.change_schema.fields)
             .get(fill_col)
         )
-        old = _load_live(self.path, partition.old_files, self.columns,
-                         self.keys, fill_col, partition.part,
-                         partition.renames, part_dtype)
-        new = _load_live(self.path, partition.new_files, self.columns,
-                         self.keys, fill_col, partition.part,
-                         partition.renames, part_dtype)
+        old = _load_state(self.path, partition.old_layers, self.columns,
+                          self.keys, fill_col, partition.part,
+                          partition.renames, part_dtype)
+        new = _load_state(self.path, partition.new_layers, self.columns,
+                          self.keys, fill_col, partition.part,
+                          partition.renames, part_dtype)
         merged = old.merge(new, on=self.keys, how="outer",
                            suffixes=("_old", "_new"), indicator=True)
         data_cols = [c for c in self.columns if c not in self.keys]
@@ -415,32 +489,52 @@ def _decode_token(name: str):
     return "".join(out)
 
 
-def _load_live(path: str, files: list, columns: list, keys: list,
-               partition_col: str | None, part: str,
-               renames: list | None = None, part_dtype=None):
-    """Live rows of one partition slice as pandas: tombstones dropped,
-    columns reindexed to the stream schema (additive evolution ->
-    missing columns become nulls; pre-rename files resolve through the
-    manifest rename history, duplicated from lake.table because this
-    module must stay self-contained for by-value pickling), partition
-    column re-derived from the directory token (hive layout strips it
-    from the files) — unescaped, NULL-token-aware, and parsed into the
-    column's declared type."""
+def _load_state(path: str, layers: list, columns: list, keys: list,
+                partition_col: str | None, part: str,
+                renames: list | None = None, part_dtype=None):
+    """Live rows of one partition slice as pandas. ``layers`` is the
+    ordered MOR stack ``[base files, delta1 files, ...]``; with more
+    than one non-empty layer the latest image per key wins under the
+    SAME (``_op_timestamp`` desc nulls last, ``_txn_id`` desc nulls
+    last, layer seq desc) order the engine's ``_fold`` uses — pandas
+    ``sort_values(na_position='last')`` reproduces desc-nulls-last per
+    column exactly — so the streamed state is bit-identical to
+    ``read_data``. Then: tombstone winners dropped, columns reindexed
+    to the stream schema (additive evolution -> missing columns become
+    nulls; pre-rename files resolve through the manifest rename
+    history, duplicated from lake.table because this module must stay
+    self-contained for by-value pickling), partition column re-derived
+    from the directory token (hive layout strips it from the files) —
+    unescaped, NULL-token-aware, and parsed into the column's declared
+    type."""
     import pandas as pd
     import pyarrow.parquet as pq
 
     fs, _root = _fs_and_root(path)
     frames = []
-    for f in files:
-        t = pq.read_table(f, filesystem=fs)
-        df = t.to_pandas(types_mapper=None)
-        if "_deleted" in df.columns:
-            df = df[~df["_deleted"].fillna(False)]
-        frames.append(df)
+    for seq, files in enumerate(layers):
+        for f in files:
+            t = pq.read_table(f, filesystem=fs)
+            df = t.to_pandas(types_mapper=None)
+            df["__layer_seq"] = seq
+            frames.append(df)
     if frames:
         out = pd.concat(frames, ignore_index=True)
     else:
         out = pd.DataFrame()
+    if (sum(1 for fl in layers if fl) > 1
+            and all(k in out.columns for k in keys)):
+        sort_cols = [c for c in ("_op_timestamp", "_txn_id")
+                     if c in out.columns] + ["__layer_seq"]
+        if "_txn_id" in out.columns:
+            # nullable Int64: exact 64-bit compare (a float64 roundtrip
+            # could misorder giant txn ids) with native NA ordering
+            out["_txn_id"] = out["_txn_id"].astype("Int64")
+        out = (out.sort_values(sort_cols, ascending=False,
+                               na_position="last", kind="stable")
+               .drop_duplicates(subset=keys, keep="first"))
+    if "_deleted" in out.columns:
+        out = out[~out["_deleted"].fillna(False).astype(bool)]
     if partition_col and partition_col in columns and part != _ALL:
         raw = _decode_token(part)
         out[partition_col] = (
