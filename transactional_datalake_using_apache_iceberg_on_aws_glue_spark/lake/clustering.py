@@ -16,9 +16,10 @@ runtimes — here it is a pure Spark Column expression.
 - the Morton key is built from shift/and/or BUILT-INS (whole-stage
   codegen, no UDF); the only extra cost over a plain rewrite is one
   range-exchange on the key, which a compaction pays anyway;
-- normalization bounds come from ONE 2-row aggregate per clustered
-  column (driver-bounded metadata, not data); at cluster scale the
-  same bounds could be served by the manifest stats without a job;
+- normalization bounds are served by the MANIFEST's footer stats when
+  every live slice carries them (``ParquetLakeTable._stats_bounds`` —
+  no Spark job at all), falling back to ONE 2-row aggregate per
+  clustered column (driver-bounded metadata, not data);
 - ``repartitionByRange`` samples the key to build balanced range
   boundaries — skew in the clustered columns becomes file-count skew,
   not task skew.
@@ -67,20 +68,31 @@ def _check_columns(df: DataFrame, cols: list[str]) -> dict[str, str]:
 
 
 def zorder_key(df: DataFrame, cols: list[str],
-               bits: int = ZBITS_DEFAULT) -> Column:
+               bits: int = ZBITS_DEFAULT,
+               bounds: dict | None = None) -> Column:
     """A LongType Morton key interleaving ``bits`` bits of each column
     in ``cols`` (2-4 columns). Bounds for the fixed-point
-    normalization come from one tiny aggregate over ``df``."""
+    normalization come from ``bounds`` (``{col: (lo, hi)}`` on the
+    long axis — e.g. served by the table manifest's footer stats, so
+    a compaction launches no bounds job) or, absent that, one tiny
+    aggregate over ``df``. Bounds only NORMALIZE: the code expression
+    clamps to [0, 2^bits-1], so under-covering bounds degrade
+    clustering tightness, never correctness."""
     if not 2 <= len(cols) <= 4:
         raise ValueError("z-order needs 2-4 columns")
     if bits * len(cols) > 63:
         bits = 63 // len(cols)
     dtypes = _check_columns(df, cols)
     axes = {c: _as_long(F.col(c), dtypes[c]) for c in cols}
-    bounds_row = df.agg(
-        *[F.min(axes[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(axes[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],
-    ).collect()[0]
+    if bounds is not None and all(c in bounds for c in cols):
+        bounds_row = {}
+        for i, c in enumerate(cols):
+            bounds_row[f"lo_{i}"], bounds_row[f"hi_{i}"] = bounds[c]
+    else:
+        bounds_row = df.agg(
+            *[F.min(axes[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(axes[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
     max_code = (1 << bits) - 1
     scaled = []
     for i, c in enumerate(cols):
@@ -108,13 +120,14 @@ def zorder_key(df: DataFrame, cols: list[str],
 
 def cluster_files(df: DataFrame, cols: list[str], n_files: int,
                   partition_col: str | None = None,
-                  bits: int = ZBITS_DEFAULT) -> DataFrame:
+                  bits: int = ZBITS_DEFAULT,
+                  bounds: dict | None = None) -> DataFrame:
     """Lay ``df`` out as ~``n_files`` files whose footer bounds are
     tight hyper-rectangles over ``cols``: range-partition on
     (partition_col?, morton_key) and sort within partitions so row
     groups inherit the clustering too. The helper column is dropped
     before the write; dropping a projection does not reorder rows."""
-    z = zorder_key(df, cols, bits)
+    z = zorder_key(df, cols, bits, bounds=bounds)
     keyed = df.withColumn("_zcluster", z)
     range_cols = ([partition_col] if partition_col else []) + ["_zcluster"]
     return (
