@@ -23,6 +23,20 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _revenue_cents():
+    """Per-row revenue in EXACT integer cents: round the double product
+    once per row, then sum as BIGINT — order-independent, so the hash
+    oracle can never flake on float summation order (ROADMAP #5; the
+    per-row product is the same IEEE double in both engines, and both
+    round half away from zero, so the cents agree bit-for-bit). DuckDB
+    twin: CAST(round(l_extendedprice * (1 - l_discount) * 100) AS
+    BIGINT), outer CAST(sum(...) AS BIGINT) because DuckDB sums BIGINT
+    into HUGEINT."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
 # --------------------------------------------------------------------------
 # Q1-style pricing summary: the canonical wide aggregate.
 # --------------------------------------------------------------------------
@@ -30,37 +44,55 @@ def _t(spark, sf_dir, name) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           round(sum(l_quantity), 2)                       AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT)                                 AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT)            AS sum_disc_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 100) AS BIGINT))
+                AS BIGINT)                                 AS sum_charge_cents,
+           round(avg(l_quantity), 4)                       AS avg_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / (100.0 * count(*)), 4)                  AS avg_price,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                 / (100.0 * count(*)), 4)                  AS avg_disc,
+           count(*)                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape: filter -> grouped 8-agg. Map-side partial agg on "
         "2 low-cardinality keys; shuffle carries ~6 groups per partition "
-        "regardless of input scale — holds at 100 TB.",
+        "regardless of input scale — holds at 100 TB. Money sums ship as "
+        "EXACT integer cents (per-row round, order-independent BIGINT "
+        "sum) and the money averages divide those exact sums, so a "
+        "float-summation-order difference can never flip a rounded "
+        "digit across engines (ROADMAP #5 discipline, r5; sum_qty/"
+        "avg_qty stay double — l_quantity is integral, its double sums "
+        "are exact).",
     tags=("agg",),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_price_cents = F.round(disc_price * 100).cast("long")
+    charge_cents = F.round(disc_price * (1 + F.col("l_tax")) * 100).cast("long")
+    disc_cents = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(price_cents).alias("sum_base_price_cents"),
+            F.sum(disc_price_cents).alias("sum_disc_price_cents"),
+            F.sum(charge_cents).alias("sum_charge_cents"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(price_cents) / (100.0 * F.count("*")), 4)
+            .alias("avg_price"),
+            F.round(F.sum(disc_cents) / (100.0 * F.count("*")), 4)
+            .alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -73,7 +105,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -81,7 +114,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
     doc="TPC-H Q3 shape. customer filter -> join orders (shuffle on "
@@ -98,9 +131,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
@@ -112,7 +145,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,7 +179,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
     )
 
 
@@ -156,14 +190,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
       JOIN nation   ON c_nationkey = n_nationkey
     WHERE l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue_cents DESC, c_custkey
     LIMIT 20
     """,
     doc="TPC-H Q10 shape: join + agg + top-20. The returnflag filter is "
@@ -180,8 +215,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
         .limit(20)
     )
 
@@ -257,17 +292,23 @@ def rollup_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     "cube_orders_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total, count(*) AS n
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE grouping sets (2^2 groupings in one Expand+Aggregate pass).",
+    doc="CUBE grouping sets (2^2 groupings in one Expand+Aggregate "
+        "pass). The money total ships as exact integer cents (ROADMAP "
+        "#5 float-sum discipline, r5).",
     tags=("agg",),
 )
 def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("total_cents"),
+        F.count("*").alias("n"),
     )
 
 
@@ -489,7 +530,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_kpis_q6_q14_q19",
     oracle="""
     SELECT 'q6_forecast' AS kpi,
-           round(sum(l_extendedprice * l_discount), 2) AS value,
+           round(sum(CAST(round(l_extendedprice * l_discount * 100)
+                          AS BIGINT)) / 100.0, 2) AS value,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -499,9 +541,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'q14_promo_pct',
            round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4),
+                              THEN CAST(round(l_extendedprice
+                                              * (1 - l_discount) * 100)
+                                        AS BIGINT) ELSE 0 END)
+                 / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)), 4),
            count(*)
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -509,7 +553,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate < TIMESTAMP '1996-10-01'
     UNION ALL
     SELECT 'q19_disjunctive',
-           round(sum(l_extendedprice * (1 - l_discount)), 2),
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2),
            count(*)
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
@@ -534,7 +579,13 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_kpis_q6_q14_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # per-row integer cents (ROADMAP #5 discipline, r5): the BIGINT
+    # sums are order-independent, and the single exact-int division
+    # back to dollars / the promo ratio are deterministic — float
+    # summation order can never flip a rounded digit across engines
+    vol_cents = _revenue_cents()
+    forecast_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
 
     q6 = (
         li.filter(
@@ -544,7 +595,7 @@ def revenue_kpis_q6_q14_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("value"),
+            F.round(F.sum(forecast_cents) / 100.0, 2).alias("value"),
             F.count("*").alias("n"),
         )
         .select(F.lit("q6_forecast").alias("kpi"), "value", "n")
@@ -558,8 +609,9 @@ def revenue_kpis_q6_q14_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol_cents)
+                        .otherwise(F.lit(0)))
+                / F.sum(vol_cents),
                 4,
             ).alias("value"),
             F.count("*").alias("n"),
@@ -575,7 +627,8 @@ def revenue_kpis_q6_q14_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(block("Brand#1", 15, 1, 11) | block("Brand#2", 25, 10, 20)
                 | block("Brand#3", 35, 20, 30))
-        .agg(F.round(F.sum(vol), 2).alias("value"), F.count("*").alias("n"))
+        .agg(F.round(F.sum(vol_cents) / 100.0, 2).alias("value"),
+             F.count("*").alias("n"))
         .select(F.lit("q19_disjunctive").alias("kpi"), "value", "n")
     )
     return q6.unionByName(q14).unionByName(q19)
@@ -632,11 +685,13 @@ def _views(spark, sf_dir, *names) -> None:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_cents) AS BIGINT) AS revenue_cents
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS volume_cents
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -671,8 +726,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
     )
 
 
@@ -680,11 +734,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(sum(CASE WHEN p_type = 'PROMO' THEN volume_cents
+                          ELSE 0 END)
+                 / sum(volume_cents), 4) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume, p_type
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS volume_cents, p_type
       FROM part, lineitem, orders, customer, nation, region
       WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
         AND o_custkey = c_custkey AND c_nationkey = n_nationkey
@@ -701,7 +757,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     p, c, n, r = (_t(spark, sf_dir, t) for t in ("part", "customer", "nation", "region"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_cents = _revenue_cents()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -712,8 +768,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.sum(F.when(F.col("p_type") == "PROMO", vol_cents)
+                      .otherwise(F.lit(0)))
+                / F.sum(vol_cents),
                 4,
             ).alias("mkt_share")
         )
@@ -883,7 +940,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT)
                AS total_revenue_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -907,7 +965,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT)
                    AS total_revenue_cents
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -925,7 +984,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / CAST(700.0 AS DOUBLE), 4) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -935,14 +995,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantity) gating the outer fact rows; Catalyst decorrelates to "
         "an aggregate + join. l_quantity is integral, so the 0.2*avg "
         "threshold is bit-identical across engines (integer double sums "
-        "are exact).",
+        "are exact); the price sum goes through exact integer cents for "
+        "the same order-independence (ROADMAP #5, r5).",
     tags=("join", "subquery"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem", "part")
     return spark.sql(
         """
-        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / CAST(700.0 AS DOUBLE), 4) AS avg_yearly
         FROM lineitem, part
         WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -1003,7 +1065,8 @@ def q21_exclusive_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     "q22_dormant_rich_customers",
     oracle="""
     SELECT cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
     FROM (
       SELECT substr(c_name, 16, 2) AS cntrycode, c_acctbal, c_custkey
       FROM customer
@@ -1018,7 +1081,8 @@ def q21_exclusive_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="TPC-H Q22 shape (name digits standing in for the phone country "
         "code; dormancy = no order since 2000): uncorrelated scalar AVG "
         "subquery + filtered anti-join against orders, grouped over a "
-        "derived code.",
+        "derived code. The balance total ships as exact integer cents "
+        "(ROADMAP #5, r5).",
     tags=("subquery", "agg"),
 )
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,7 +1090,8 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT cntrycode, count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS totacctbal_cents
         FROM (
           SELECT substr(c_name, 16, 2) AS cntrycode, c_acctbal, c_custkey
           FROM customer
