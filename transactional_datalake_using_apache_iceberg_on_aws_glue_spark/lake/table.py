@@ -759,17 +759,30 @@ class ParquetLakeTable:
         cols = []
         phys_types = {f.name: f.dataType for f in df.schema.fields}
         dtypes = dict(df.dtypes)
+
+        def source_dtype(path: str) -> str | None:
+            """simpleString of a (possibly dotted, r5) transform source
+            present in the files, else None."""
+            if path in dtypes:
+                return dtypes[path]
+            if "." in path:
+                obj = self._dotted_dtype(df.schema, path, allow_array=False)
+                return None if obj is None else obj.simpleString()
+            return None
+
         for f in schema.fields:
             phys = resolve_physical_name(f.name, df.columns, renames or [])
+            src_dt = (source_dtype(derive.source_col)
+                      if derive is not None and f.name == derive.partition_col
+                      else None)
             if phys is not None:
                 cols.append(
                     conform_expr(F.col(phys), phys_types[phys], f.dataType,
                                  renames or [], f.name)
                     .alias(f.name))
-            elif (derive is not None and f.name == derive.partition_col
-                    and derive.source_col in dtypes):
+            elif src_dt is not None:
                 cols.append(
-                    derive.expr_for_type(dtypes[derive.source_col])
+                    derive.expr_for_type(src_dt)
                     .cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
@@ -923,10 +936,17 @@ class ParquetLakeTable:
             raise ValueError(f"table at {self.path} has no committed versions")
         preds = normalize_filters(filters)
         has_deltas = bool(m["deltas"])
+        scan_schema = T.StructType.fromJson(m["schema"])
         schema_types = {
-            f.name: f.dataType.simpleString()
-            for f in T.StructType.fromJson(m["schema"]).fields
+            f.name: f.dataType.simpleString() for f in scan_schema.fields
         }
+        # dotted nested paths resolve too, so a predicate on a NESTED
+        # transform source (days(props.ts), r5) projects through the
+        # partition transform like any top-level source
+        for dotted in self._dotted_names(scan_schema):
+            obj = self._dotted_dtype(scan_schema, dotted)
+            if obj is not None:
+                schema_types[dotted] = obj.simpleString()
 
         # predicate structures are PER SPEC (after a partition-spec
         # evolution one manifest references slices in different
@@ -1206,11 +1226,18 @@ class ParquetLakeTable:
     def _with_partition(self, df: DataFrame) -> DataFrame:
         """Derive the physical partition column from the transform's
         source column (no-op for identity partitioning or when the
-        column is already present, e.g. a re-read target slice)."""
+        column is already present, e.g. a re-read target slice). The
+        source may be a NESTED field addressed by dotted path
+        (``days(props.ts)``, r5) — ``F.col`` extracts it and the dtype
+        resolves through the struct walk."""
         t = self.partition_transform
         if t is None or self.partition_col in df.columns:
             return df
         dtype = dict(df.dtypes).get(t.source_col)
+        if dtype is None and "." in t.source_col:
+            obj = self._dotted_dtype(df.schema, t.source_col,
+                                     allow_array=False)
+            dtype = None if obj is None else obj.simpleString()
         if dtype is None:
             raise ValueError(
                 f"partition transform source column {t.source_col!r} "
@@ -1382,7 +1409,29 @@ class ParquetLakeTable:
         schema = T.StructType.fromJson(m["schema"])
         if src is not None and (new_t is not None or new_c is not None):
             source_name = src if new_t is not None else new_c
-            if source_name not in schema.names:
+            if "." in source_name:
+                # NESTED source (r5): valid for TRANSFORM specs only —
+                # identity would need the nested field as a physical
+                # hive directory column, which this engine (like plain
+                # Spark partitionBy) does not do; a transform derives a
+                # top-level partition column instead. The path must
+                # resolve through structs without crossing an array (an
+                # array source would derive a LIST of partition values).
+                if new_t is None:
+                    raise ValueError(
+                        f"identity partitioning on nested field "
+                        f"{source_name!r} is not supported — use a "
+                        "transform (days/months/hours/bucket/truncate) "
+                        "over the nested source instead"
+                    )
+                if self._dotted_dtype(schema, source_name,
+                                      allow_array=False) is None:
+                    raise ValueError(
+                        f"nested partition source {source_name!r} does "
+                        "not resolve to a non-array field in the table "
+                        "schema"
+                    )
+            elif source_name not in schema.names:
                 raise ValueError(
                     f"partition source column {source_name!r} not in "
                     f"table schema {schema.names}"
@@ -1399,9 +1448,11 @@ class ParquetLakeTable:
                   if not (self.partition_transform is not None
                           and f.name == self.partition_col)]
         if new_t is not None and new_c not in [f.name for f in fields]:
-            src_dtype = schema[src].dataType.simpleString()
+            src_obj = (self._dotted_dtype(schema, src, allow_array=False)
+                       if "." in src else schema[src].dataType)
+            src_dtype = src_obj.simpleString()
             pd = new_t.partition_dtype(src_dtype)
-            dtype_obj = (schema[src].dataType if pd == src_dtype
+            dtype_obj = (src_obj if pd == src_dtype
                          else T.StringType() if pd == "string"
                          else T.IntegerType())
             fields.append(T.StructField(new_c, dtype_obj, True))
@@ -1426,12 +1477,30 @@ class ParquetLakeTable:
     # -- schema evolution (beyond additive) ---------------------------------
 
     def _evolution_guard(self, col: str) -> None:
-        if col in self.key_cols:
-            raise ValueError(f"{col!r} is a merge key; keys cannot evolve")
-        if col == self.partition_col:
-            raise ValueError(f"{col!r} is the partition column")
-        if col in LINEAGE_COLS:
-            raise ValueError(f"{col!r} is an internal lineage column")
+        """``col`` is the FULL (possibly dotted) path a DDL is about to
+        rewrite. Every ancestor prefix is judged too — evolving
+        ``props`` rewrites everything inside it — but a SIBLING nested
+        field under a protected struct stays free to evolve (r5)."""
+        self._sync_spec()  # judge a stale handle against the TABLE's spec
+        segs = col.split(".")
+        prefixes = [".".join(segs[:i + 1]) for i in range(len(segs))]
+        for p in prefixes:
+            if p in self.key_cols:
+                raise ValueError(f"{p!r} is a merge key; keys cannot evolve")
+            if p == self.partition_col:
+                raise ValueError(f"{p!r} is the partition column")
+            if p in LINEAGE_COLS:
+                raise ValueError(f"{p!r} is an internal lineage column")
+        t = self.partition_transform
+        if t is not None and (col == t.source_col
+                              or t.source_col.startswith(col + ".")):
+            # the source itself, or a struct that CONTAINS it — either
+            # rewrite breaks partition derivation (r5)
+            raise ValueError(
+                f"{col!r} is (or contains) the partition transform's "
+                f"source column {t.source_col!r}; evolve the partition "
+                "spec away from it first"
+            )
 
     @staticmethod
     def _retired_names(m: dict) -> set:
@@ -1442,6 +1511,25 @@ class ParquetLakeTable:
         physically, so a re-introduced logical column of the same name
         would resolve to stale bytes (r3 advisor finding)."""
         return {r["from"] for r in m.get("renames", [])}
+
+    @staticmethod
+    def _dotted_dtype(dtype, path: str, allow_array: bool = True):
+        """The DataType at dotted ``path`` (None when the path doesn't
+        resolve through structs). ``allow_array=False`` additionally
+        returns None when the path crosses an ArrayType — a partition
+        SOURCE inside an array would derive an array of partition
+        values, which is not a partitioning (r5, nested partition
+        sources)."""
+        cur = dtype
+        for seg in path.split("."):
+            while isinstance(cur, T.ArrayType):
+                if not allow_array:
+                    return None
+                cur = cur.elementType
+            if not isinstance(cur, T.StructType) or seg not in cur.names:
+                return None
+            cur = cur[seg].dataType
+        return cur
 
     @staticmethod
     def _dotted_names(dtype, prefix: str = "") -> set:
@@ -1578,7 +1666,7 @@ class ParquetLakeTable:
                 f"cannot move {old!r} to a different struct ({new!r}); "
                 "nested rename stays within its parent"
             )
-        self._evolution_guard(parent.split(".")[0])
+        self._evolution_guard(old)
         new_path = f"{parent}.{new_leaf}"
         if new_path in self._retired_names(m):
             raise ValueError(
@@ -1631,7 +1719,7 @@ class ParquetLakeTable:
         additive nested evolution uses (``conform_expr`` /
         ``_conform_sql``)."""
         path = col.split(".")
-        self._evolution_guard(path[0])
+        self._evolution_guard(col)
         m = self._manifest()
         if m is None:
             raise ValueError("table has no committed versions")
@@ -1693,7 +1781,7 @@ class ParquetLakeTable:
         shows the column. ``col`` may be a dotted path into struct
         columns (r4): the field leaves the struct's declared shape and
         the dotted name retires like a top-level one."""
-        self._evolution_guard(col.split(".")[0])
+        self._evolution_guard(col)
         m = self._manifest()
         if m is None:
             raise ValueError("table has no committed versions")

@@ -169,7 +169,10 @@ class _TimeTransform(Transform):
 
     @property
     def partition_col(self) -> str:
-        return f"{self.source_col}_{self.suffix}"
+        # a NESTED source (dotted path, r5) derives a TOP-LEVEL
+        # partition column — dots are flattened out of its name so the
+        # hive directory token and F.col stay unambiguous
+        return f"{self.source_col.replace('.', '_')}_{self.suffix}"
 
     def expr_for_type(self, dtype: str) -> Column:
         return F.date_format(F.col(self.source_col), self.fmt)
@@ -243,7 +246,7 @@ class truncate(Transform):  # noqa: N801
 
     @property
     def partition_col(self) -> str:
-        return f"{self.source_col}_trunc"
+        return f"{self.source_col.replace('.', '_')}_trunc"
 
     def expr_for_type(self, dtype: str) -> Column:
         c = F.col(self.source_col)
@@ -293,7 +296,7 @@ class bucket(Transform):  # noqa: N801
 
     @property
     def partition_col(self) -> str:
-        return f"{self.source_col}_bucket"
+        return f"{self.source_col.replace('.', '_')}_bucket"
 
     def expr_for_type(self, dtype: str) -> Column:
         return F.pmod(F.hash(F.col(self.source_col)), F.lit(self.n))
