@@ -280,9 +280,22 @@ class MergeSqlRunner:
         src = self.spark.table(m.group("source"))
         parts = []
         if parsed:
-            parts.append(self._fast_path_batch(src, parsed)
-                         if self._fast_path_ok(parsed)
-                         else self._probed_batch(src, table, parsed))
+            routed = (self._fast_path_batch(src, parsed)
+                      if self._fast_path_ok(parsed)
+                      else self._probed_batch(src, table, parsed))
+            if OP_TS_COL not in routed.columns and table.store_lineage:
+                # statement-executed-now semantics for a source WITHOUT
+                # CDC lineage: a null-timestamp batch would lose the
+                # late-data guard to any stored row that carries one
+                # (e.g. written by INSERT/UPDATE, which stamp) and the
+                # MERGE would silently no-op — found by the r5 random
+                # soak, the same hazard class as the r4 DML finding. A
+                # source that DOES carry _op_timestamp (a CDC staging
+                # frame, the reference's flow) keeps it: that is
+                # exactly the late-data-guarded path.
+                routed = routed.withColumn(
+                    OP_TS_COL, F.current_timestamp().cast("timestamp"))
+            parts.append(routed)
         if by_source_delete:
             # full-sync: target rows whose key has no source row become
             # deletes — one anti-join on the keys, the operation's
