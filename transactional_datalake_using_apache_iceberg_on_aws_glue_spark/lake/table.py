@@ -2719,52 +2719,14 @@ class ParquetLakeTable:
         pop_tokens = (affected_enc & set(new_tokens)) | set(absorbed)
         return target, pop_tokens
 
-    def _merge_cow(self, batch: DataFrame, batch_obs=None) -> None:
-        base_v = self.current_version()
-        m0 = self._manifest()
-
-        def batch_rows():
-            """Observed batch row count (None when no observation was
-            attached or no action has completed — callers fall back to
-            the bounded count)."""
-            if batch_obs is None:
-                return None
-            try:
-                return int(batch_obs.get["rows"])
-            except Exception:  # noqa: BLE001 — gate falls back, never fails
-                return None
-
-        cur_spec = _spec_dict(self.partition_col, self.partition_transform)
-        legacy_dirs = {
-            snap for snap in set(m0["base"].values())
-            if _spec_dict(*self._slice_spec(m0, snap)) != cur_spec
-        }
-        pop_tokens: set | None
-        if legacy_dirs and self.partition_col:
-            mixed = self._mixed_spec_target(batch, m0, legacy_dirs,
-                                            batch_rows)
-            if mixed is None:
-                return
-            target, pop_tokens = mixed
-        else:
-            parts = self._affected_partitions(batch, batch_rows)
-            target = self.read()
-            if parts is not None:
-                # IN-list on the partition column -> parquet partition
-                # pruning: only affected partitions' files are scanned or
-                # rewritten. NULL partition values need the explicit
-                # isNull branch (isin never matches NULL).
-                non_null = [v for v in parts if v is not None]
-                cond = F.col(self.partition_col).isin(non_null)
-                if any(v is None for v in parts):
-                    cond = cond | F.col(self.partition_col).isNull()
-                target = target.filter(cond)
-                if not parts:
-                    return
-                pop_tokens = {_encode_part(v) for v in parts}
-            else:
-                pop_tokens = None
-
+    def _merge_resolve_window(self, batch: DataFrame,
+                              target: DataFrame) -> DataFrame:
+        """Merge resolution by union + one key-hash window: the fold
+        that defines the engine's semantics (same (ts, txn,
+        batch-beats-target) order the MOR read fold uses). Shuffles
+        ALL affected rows on the key — the right plan when the batch
+        is a large fraction of the target (initial loads, backfills),
+        and the reference (semantics) for the broadcast resolver."""
         tgt = (
             self._with_lineage(target)
             .withColumn(
@@ -2800,6 +2762,219 @@ class ParquetLakeTable:
             merged = ranked.filter(F.col(OP_COL) != "delete").drop("_rn", OP_COL, _SRC)
         if not self.store_lineage:
             merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
+        return merged
+
+    def _broadcast_resolvable(self, batch: DataFrame,
+                              target: DataFrame) -> bool:
+        """The broadcast resolver picks each matched pair's winner with
+        a CASE WHEN over both images, which needs one common type per
+        shared column. Atomic mismatches coerce implicitly (the same
+        widening unionByName applies); a COMPLEX-type mismatch — a
+        batch carrying nested additive evolution, struct widened with
+        new fields — has no implicit cast, so those batches fall back
+        to the window path whose unionByName(allowMissingColumns)
+        widens structs natively. Evolution batches are rare one-off
+        events; the fallback costs one shuffled merge per evolution.
+        Schema-only check, no job."""
+        complex_t = (T.StructType, T.ArrayType, T.MapType)
+        tgt_t = {f.name: f.dataType
+                 for f in self._with_lineage(target).schema.fields}
+        src_t = {f.name: f.dataType
+                 for f in self._with_lineage(batch).schema.fields}
+        for c in set(tgt_t) & set(src_t):
+            a, b = tgt_t[c], src_t[c]
+            if a != b and (isinstance(a, complex_t)
+                           or isinstance(b, complex_t)):
+                return False
+        return True
+
+    def _merge_resolve_broadcast(self, batch: DataFrame,
+                                 target: DataFrame) -> DataFrame:
+        """Merge resolution WITHOUT shuffling the target (r5): the
+        deduped batch BROADCASTS into a left join against the target —
+        every target row resolves in place — plus a key-only
+        column-pruned scan that finds the batch's unmatched keys for
+        the insert side. Zero exchanges on the big side, vs the window
+        resolver's full key-hash shuffle of every affected row; at
+        100 TB with a churn batch this is the plan (Iceberg's broadcast
+        MERGE shape).
+
+        Semantics are the window fold's, re-expressed per matched
+        pair: the batch image wins iff (ts, txn, src) ranks above the
+        target's under desc-nulls-last — i.e. newer ts, or tied ts and
+        newer-or-tied txn (batch beats target on full ties). Unmatched
+        batch deletes persist as tombstones exactly like the window
+        path. Equivalence is pinned by test_merge_broadcast_equals_
+        window's randomized scenarios."""
+        tgt = self._with_lineage(target)
+        src = self._with_lineage(batch)
+        if self.allow_schema_evolution:
+            out_cols = list(tgt.columns) + [
+                c for c in src.columns
+                if c not in tgt.columns and c != OP_COL
+            ]
+        else:
+            # strict mode drops extra batch columns and errors loudly
+            # on missing ones — the same select the window path runs
+            src = src.select(OP_COL, *[c for c in tgt.columns])
+            out_cols = list(tgt.columns)
+
+        # batch-internal dedup: merge()'s contract is one row per key,
+        # but SQL INSERT VALUES may not honor it — a tiny window over
+        # the BATCH alone picks the same winner the global fold would
+        if self.store_lineage:
+            order = [F.desc_nulls_last(OP_TS_COL), F.desc_nulls_last(TXN_COL)]
+        else:
+            order = [F.lit(1).asc()]  # ties arbitrary, like the window path
+        wb = Window.partitionBy(*self.key_cols).orderBy(*order)
+        src1 = (src.withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+        tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+        src_types = {f.name: f.dataType for f in src1.schema.fields}
+        img_cols = [c for c in src1.columns if c not in self.key_cols]
+        packed = src1.select(
+            *self.key_cols,
+            F.struct(*img_cols).alias("_b_img"),
+            F.lit(True).alias("_b_hit"),
+        )
+        joined = tgt.join(F.broadcast(packed), on=list(self.key_cols),
+                          how="left")
+        hit = F.coalesce(F.col("_b_hit"), F.lit(False))
+
+        def bimg(c):
+            return F.col("_b_img").getField(c)
+
+        if self.store_lineage:
+            bts, tts = bimg(OP_TS_COL), F.col(OP_TS_COL)
+            btx, ttx = bimg(TXN_COL), F.col(TXN_COL)
+            ts_gt = (bts > tts) | (tts.isNull() & bts.isNotNull())
+            tx_gt = (btx > ttx) | (ttx.isNull() & btx.isNotNull())
+            b_wins = hit & (
+                ts_gt | (bts.eqNullSafe(tts)
+                         & (tx_gt | btx.eqNullSafe(ttx)))
+            )
+        else:
+            b_wins = hit
+
+        kept_cols = []
+        for c in out_cols:
+            if c in self.key_cols:
+                kept_cols.append(F.col(c).alias(c))
+                continue
+            if c == DELETED_COL and self.store_lineage:
+                tval = (F.coalesce(F.col(DELETED_COL), F.lit(False))
+                        if DELETED_COL in tgt.columns else F.lit(False))
+                bval = bimg(OP_COL) == "delete"
+            else:
+                tval = (F.col(c) if c in tgt.columns
+                        else F.lit(None).cast(src_types[c]))
+                bval = (bimg(c) if c in img_cols
+                        else F.lit(None).cast(tgt_types[c]))
+            kept_cols.append(F.when(b_wins, bval).otherwise(tval).alias(c))
+        kept = joined
+        if not self.store_lineage:
+            # no tombstones: a matched batch delete removes the row
+            kept = kept.filter(~(b_wins & (bimg(OP_COL) == "delete")))
+        kept = kept.select(*kept_cols)
+
+        # unmatched batch keys -> inserts (tombstones for deletes under
+        # lineage). matched_keys is bounded by the batch size, so it
+        # broadcasts into the anti join; computing it costs one
+        # key-only column-pruned scan of the target, not a shuffle.
+        matched_keys = (
+            tgt.select(*self.key_cols)
+            .join(F.broadcast(src1.select(*self.key_cols).distinct()),
+                  list(self.key_cols), "left_semi")
+        )
+        unmatched = src1.join(F.broadcast(matched_keys),
+                              list(self.key_cols), "left_anti")
+        if not self.store_lineage:
+            unmatched = unmatched.filter(F.col(OP_COL) != "delete")
+        ins_cols = []
+        for c in out_cols:
+            if c == DELETED_COL and self.store_lineage:
+                ins_cols.append((F.col(OP_COL) == "delete").alias(c))
+            elif c in src1.columns:
+                ins_cols.append(F.col(c).alias(c))
+            else:
+                ins_cols.append(F.lit(None).cast(tgt_types[c]).alias(c))
+        return kept.unionByName(unmatched.select(*ins_cols))
+
+    def _merge_cow(self, batch: DataFrame, batch_obs=None) -> None:
+        base_v = self.current_version()
+        m0 = self._manifest()
+
+        # the Observation metric resolves only after an action has run
+        # on the observed batch; the PARTITIONED paths always collect
+        # the batch's partition values first, so the flag flips before
+        # any consumer reads. Reading obs.get with no completed action
+        # would BLOCK forever — the unpartitioned path never flips the
+        # flag and falls back to the bounded count instead.
+        acted = {"yes": False}
+
+        def batch_rows():
+            """Observed batch row count (None when no observation was
+            attached or no action has completed — callers fall back to
+            the bounded count)."""
+            if batch_obs is None or not acted["yes"]:
+                return None
+            try:
+                return int(batch_obs.get["rows"])
+            except Exception:  # noqa: BLE001 — gate falls back, never fails
+                return None
+
+        cur_spec = _spec_dict(self.partition_col, self.partition_transform)
+        legacy_dirs = {
+            snap for snap in set(m0["base"].values())
+            if _spec_dict(*self._slice_spec(m0, snap)) != cur_spec
+        }
+        pop_tokens: set | None
+        if self.partition_col:
+            acted["yes"] = True
+        if legacy_dirs and self.partition_col:
+            mixed = self._mixed_spec_target(batch, m0, legacy_dirs,
+                                            batch_rows)
+            if mixed is None:
+                return
+            target, pop_tokens = mixed
+        else:
+            parts = self._affected_partitions(batch, batch_rows)
+            target = self.read()
+            if parts is not None:
+                # IN-list on the partition column -> parquet partition
+                # pruning: only affected partitions' files are scanned or
+                # rewritten. NULL partition values need the explicit
+                # isNull branch (isin never matches NULL).
+                non_null = [v for v in parts if v is not None]
+                cond = F.col(self.partition_col).isin(non_null)
+                if any(v is None for v in parts):
+                    cond = cond | F.col(self.partition_col).isNull()
+                target = target.filter(cond)
+                if not parts:
+                    return
+                pop_tokens = {_encode_part(v) for v in parts}
+            else:
+                pop_tokens = None
+
+        n = batch_rows()
+        if n is None:
+            # unpartitioned path (no prior action resolved the
+            # observation): one bounded count decides — scans at most
+            # limit+1 rows of the persisted batch
+            n = (batch.select(self.key_cols[0])
+                 .limit(self.broadcast_key_limit + 1).count())
+        if (n <= self.broadcast_key_limit
+                and self._broadcast_resolvable(batch, target)):
+            # small batch: resolve WITHOUT shuffling the target —
+            # Iceberg's broadcast MERGE shape (the normal CDC case: a
+            # churn batch merging into partitions holding vastly more
+            # rows than it). The window path remains for huge batches
+            # (backfills) where broadcasting the batch would OOM, and
+            # for nested-evolution batches (complex-type widening).
+            merged = self._merge_resolve_broadcast(batch, target)
+        else:
+            merged = self._merge_resolve_window(batch, target)
 
         m = self._manifest()
         snap = self._next_dirname("snap")
