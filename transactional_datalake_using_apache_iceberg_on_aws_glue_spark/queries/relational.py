@@ -89,12 +89,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disc_price_cents).alias("sum_disc_price_cents"),
             F.sum(charge_cents).alias("sum_charge_cents"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(price_cents) / (100.0 * F.count("*")), 4)
-            .alias("avg_price"),
-            F.round(F.sum(disc_cents) / (100.0 * F.count("*")), 4)
-            .alias("avg_disc"),
+            F.sum(disc_cents).alias("_disc_cents"),
             F.count("*").alias("count_order"),
         )
+        # the money averages derive from the ALREADY-AGGREGATED exact
+        # sums in a post-projection — re-summing the same cents column
+        # inside agg() doubled the aggregate work (r5 bench regression)
+        .withColumn("avg_price", F.round(
+            F.col("sum_base_price_cents") / (100.0 * F.col("count_order")), 4))
+        .withColumn("avg_disc", F.round(
+            F.col("_disc_cents") / (100.0 * F.col("count_order")), 4))
+        .drop("_disc_cents")
+        .select("l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_cents", "sum_disc_price_cents",
+                "sum_charge_cents", "avg_qty", "avg_price", "avg_disc",
+                "count_order")
     )
 
 
