@@ -280,9 +280,14 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
             for i in range(n_blocks)
         ]
     )
+    # the exploded signature frame sits on BOTH sides of the self-join;
+    # a lazy localCheckpoint computes the (expensive) 64-bit HOF
+    # signature once instead of twice — same fix the embedding family
+    # got in r4 (r5: simhash was the slowest sketch family in the
+    # per-family bench, 2x the signature cost for no reason)
     keyed = sig.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
         id_col, "simhash", "b.blk", "b.bv"
-    )
+    ).localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv"))
