@@ -145,9 +145,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    # the banded frame sits on BOTH sides of the self-join; a lazy
+    # localCheckpoint computes the minhash fold + band hashes once
+    # instead of twice (r5 — same fix as the simhash/embedding
+    # families; the frame is compact: bands rows of (id, band, bh)
+    # per doc)
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.band", "bk.bh")
+    ).select(id_col, "bk.band", "bk.bh").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
