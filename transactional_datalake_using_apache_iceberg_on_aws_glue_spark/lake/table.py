@@ -2764,6 +2764,32 @@ class ParquetLakeTable:
             merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
         return merged
 
+    #: full-image broadcast cap for the broadcast merge resolver —
+    #: broadcast_key_limit gates ROW COUNT (it was sized for key-only
+    #: broadcasts); the resolver ships WHOLE row images, so a second,
+    #: bytes-denominated gate keeps a wide-row batch (document blobs,
+    #: big structs) from materializing a multi-GB broadcast
+    BROADCAST_MERGE_MAX_BYTES = 256 * 1024 * 1024
+
+    @classmethod
+    def _approx_row_bytes(cls, dtype) -> int:
+        """Pessimistic serialized-width estimate for the broadcast
+        gate. Variable-width types assume generous defaults; truly
+        unbounded ones (arrays/maps/strings) are charged heavily so
+        blob-carrying batches fall back to the shuffle resolver —
+        wrongly falling back costs a shuffle, wrongly broadcasting
+        costs executor OOM, so the estimate errs large."""
+        if isinstance(dtype, T.StructType):
+            return 8 + sum(cls._approx_row_bytes(f.dataType)
+                           for f in dtype.fields)
+        if isinstance(dtype, (T.ArrayType, T.MapType)):
+            return 4096
+        if isinstance(dtype, (T.StringType, T.BinaryType)):
+            return 128
+        if isinstance(dtype, T.DecimalType):
+            return 16
+        return 8
+
     def _broadcast_resolvable(self, batch: DataFrame,
                               target: DataFrame) -> bool:
         """The broadcast resolver picks each matched pair's winner with
@@ -2964,7 +2990,10 @@ class ParquetLakeTable:
             # limit+1 rows of the persisted batch
             n = (batch.select(self.key_cols[0])
                  .limit(self.broadcast_key_limit + 1).count())
+        row_bytes = self._approx_row_bytes(
+            T.StructType(batch.schema.fields))
         if (n <= self.broadcast_key_limit
+                and n * row_bytes <= self.BROADCAST_MERGE_MAX_BYTES
                 and self._broadcast_resolvable(batch, target)):
             # small batch: resolve WITHOUT shuffling the target —
             # Iceberg's broadcast MERGE shape (the normal CDC case: a
