@@ -2853,8 +2853,13 @@ class ParquetLakeTable:
         else:
             order = [F.lit(1).asc()]  # ties arbitrary, like the window path
         wb = Window.partitionBy(*self.key_cols).orderBy(*order)
+        # three consumers (packed image, matched-keys probe, insert
+        # anti-join) would each recompute the dedup window and rebuild
+        # their broadcast from scratch; a lazy localCheckpoint runs the
+        # batch-sized window once
         src1 = (src.withColumn("_rn", F.row_number().over(wb))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+                .filter(F.col("_rn") == 1).drop("_rn")
+                .localCheckpoint(eager=False))
 
         tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
         src_types = {f.name: f.dataType for f in src1.schema.fields}
