@@ -158,3 +158,38 @@ def test_q11_scalar_threshold_is_broadcast_not_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_broadcast_merge_plan_has_no_target_shuffle(spark, tmp_path):
+    """The r5 broadcast merge resolver's physical plan must carry ZERO
+    hash exchanges (the target resolves in place; only the batch-sized
+    dedup window shuffles, and it materializes into a checkpoint) and
+    no sort-merge join — the 100 TB contract: merge cost is scan +
+    write, never a full-partition exchange."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+        ParquetLakeTable,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "bp"), key_cols=["trans_id"],
+                         partition_col="event")
+    t.create(spark.createDataFrame(
+        [(k, "a" if k % 2 else "b", k) for k in range(500)],
+        "trans_id long, event string, amount int"))
+    batch = (spark.createDataFrame([(5, "a", 999)],
+                                   "trans_id long, event string, amount int")
+             .withColumn("_op", F.lit("update"))
+             .withColumn("_op_timestamp",
+                         F.to_timestamp(F.lit("2026-01-01 00:00:00"))))
+    merged = t._merge_resolve_broadcast(batch.persist(), t.read())
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"SortMergeJoin", plan)) == 0, plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+    # the only permissible hash exchange is the batch's own dedup
+    # window BEFORE its checkpoint materializes; after materialization
+    # (triggered here by the executedPlan access pattern) none remain
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 1, f"{n_ex} hash exchanges in broadcast merge:\n{plan}"

@@ -2764,21 +2764,21 @@ class ParquetLakeTable:
             merged = merged.drop(*[c for c in LINEAGE_COLS if c in merged.columns])
         return merged
 
-    #: full-image broadcast cap for the broadcast merge resolver —
-    #: broadcast_key_limit gates ROW COUNT (it was sized for key-only
-    #: broadcasts); the resolver ships WHOLE row images, so a second,
-    #: bytes-denominated gate keeps a wide-row batch (document blobs,
-    #: big structs) from materializing a multi-GB broadcast
+    #: broadcast cap for the merge resolver's metadata broadcasts —
+    #: each is keys + lineage only (the full row images NEVER
+    #: broadcast: they flow from their own partitions straight into
+    #: the output union), so this triggers only for genuinely wide
+    #: key columns
     BROADCAST_MERGE_MAX_BYTES = 256 * 1024 * 1024
 
     @classmethod
     def _approx_row_bytes(cls, dtype) -> int:
         """Pessimistic serialized-width estimate for the broadcast
         gate. Variable-width types assume generous defaults; truly
-        unbounded ones (arrays/maps/strings) are charged heavily so
-        blob-carrying batches fall back to the shuffle resolver —
-        wrongly falling back costs a shuffle, wrongly broadcasting
-        costs executor OOM, so the estimate errs large."""
+        unbounded ones (arrays/maps) are charged heavily so exotic key
+        schemas fall back to the shuffle resolver — wrongly falling
+        back costs a shuffle, wrongly broadcasting costs executor OOM,
+        so the estimate errs large."""
         if isinstance(dtype, T.StructType):
             return 8 + sum(cls._approx_row_bytes(f.dataType)
                            for f in dtype.fields)
@@ -2790,147 +2790,120 @@ class ParquetLakeTable:
             return 16
         return 8
 
-    def _broadcast_resolvable(self, batch: DataFrame,
-                              target: DataFrame) -> bool:
-        """The broadcast resolver picks each matched pair's winner with
-        a CASE WHEN over both images, which needs one common type per
-        shared column. Atomic mismatches coerce implicitly (the same
-        widening unionByName applies); a COMPLEX-type mismatch — a
-        batch carrying nested additive evolution, struct widened with
-        new fields — has no implicit cast, so those batches fall back
-        to the window path whose unionByName(allowMissingColumns)
-        widens structs natively. Evolution batches are rare one-off
-        events; the fallback costs one shuffled merge per evolution.
-        Schema-only check, no job."""
-        complex_t = (T.StructType, T.ArrayType, T.MapType)
-        tgt_t = {f.name: f.dataType
-                 for f in self._with_lineage(target).schema.fields}
-        src_t = {f.name: f.dataType
-                 for f in self._with_lineage(batch).schema.fields}
-        for c in set(tgt_t) & set(src_t):
-            a, b = tgt_t[c], src_t[c]
-            if a != b and (isinstance(a, complex_t)
-                           or isinstance(b, complex_t)):
-                return False
-        return True
+    @staticmethod
+    def _beats(bts, tts, btx, ttx):
+        """True when the batch-side (ts, txn) ranks above the
+        target-side under the fold's order: ts desc nulls last, txn
+        desc nulls last, batch-beats-target on full ties. ONE shared
+        expression builder for both directions of the broadcast
+        resolver, so 'batch wins' and 'target keeps' are exact
+        complements by construction — a key can never emit zero or two
+        winners. TOTAL under nulls: a bare ``a > b`` with a NULL side
+        yields SQL NULL, which a filter silently DROPS — the coalesce
+        keeps the expression boolean everywhere (caught by the
+        equivalence property test: a null-ts batch row erased its
+        target row from both halves)."""
+        ts_gt = (F.coalesce(bts > tts, F.lit(False))
+                 | (tts.isNull() & bts.isNotNull()))
+        tx_gt = (F.coalesce(btx > ttx, F.lit(False))
+                 | (ttx.isNull() & btx.isNotNull()))
+        return ts_gt | (bts.eqNullSafe(tts)
+                        & (tx_gt | btx.eqNullSafe(ttx)))
 
     def _merge_resolve_broadcast(self, batch: DataFrame,
                                  target: DataFrame) -> DataFrame:
-        """Merge resolution WITHOUT shuffling the target (r5): the
-        deduped batch BROADCASTS into a left join against the target —
-        every target row resolves in place — plus a key-only
-        column-pruned scan that finds the batch's unmatched keys for
-        the insert side. Zero exchanges on the big side, vs the window
-        resolver's full key-hash shuffle of every affected row; at
-        100 TB with a churn batch this is the plan (Iceberg's broadcast
-        MERGE shape).
+        """Merge resolution WITHOUT shuffling the target (r5), and
+        without broadcasting any row images: two TINY metadata
+        broadcasts (keys + lineage, ~tens of bytes per batch row)
+        resolve both sides in place —
 
-        Semantics are the window fold's, re-expressed per matched
-        pair: the batch image wins iff (ts, txn, src) ranks above the
-        target's under desc-nulls-last — i.e. newer ts, or tied ts and
-        newer-or-tied txn (batch beats target on full ties). Unmatched
-        batch deletes persist as tombstones exactly like the window
-        path. Equivalence is pinned by test_merge_broadcast_equals_
-        window's randomized scenarios."""
+        - target side: left-join the batch's (key, ts, txn) and KEEP
+          the rows the batch does not beat; full target images flow
+          straight through, never serialized into a broadcast;
+        - batch side: semi-join the target's (key, ts, txn) down to
+          the matched keys (a key-only column-pruned scan, bounded by
+          the batch size), left-join it back onto the batch, and keep
+          the rows that are unmatched or beat their target row.
+
+        The output is kept-targets ∪ winning-batch-images, resolved by
+        the SAME ``_beats`` expression on both sides, so the two
+        halves partition the key space exactly. Zero exchanges and
+        zero broadcast bytes proportional to the big side — at 100 TB
+        with a churn batch this is the plan (Iceberg's broadcast MERGE
+        shape). Because each side keeps its own native schema and the
+        halves meet in a unionByName, additive evolution — including
+        nested struct widening — works exactly as in the window path.
+        Unmatched batch deletes persist as tombstones exactly like the
+        window path. Equivalence is pinned by
+        test_merge_broadcast_equals_window's randomized scenarios."""
         tgt = self._with_lineage(target)
         src = self._with_lineage(batch)
-        if self.allow_schema_evolution:
-            out_cols = list(tgt.columns) + [
-                c for c in src.columns
-                if c not in tgt.columns and c != OP_COL
-            ]
-        else:
+        if not self.allow_schema_evolution:
             # strict mode drops extra batch columns and errors loudly
             # on missing ones — the same select the window path runs
             src = src.select(OP_COL, *[c for c in tgt.columns])
-            out_cols = list(tgt.columns)
 
         # batch-internal dedup: merge()'s contract is one row per key,
         # but SQL INSERT VALUES may not honor it — a tiny window over
-        # the BATCH alone picks the same winner the global fold would
+        # the BATCH alone picks the same winner the global fold would.
+        # localCheckpoint: the deduped batch feeds both metadata
+        # broadcasts AND the winner side; compute it once.
         if self.store_lineage:
             order = [F.desc_nulls_last(OP_TS_COL), F.desc_nulls_last(TXN_COL)]
         else:
             order = [F.lit(1).asc()]  # ties arbitrary, like the window path
         wb = Window.partitionBy(*self.key_cols).orderBy(*order)
-        # three consumers (packed image, matched-keys probe, insert
-        # anti-join) would each recompute the dedup window and rebuild
-        # their broadcast from scratch; a lazy localCheckpoint runs the
-        # batch-sized window once
         src1 = (src.withColumn("_rn", F.row_number().over(wb))
                 .filter(F.col("_rn") == 1).drop("_rn")
                 .localCheckpoint(eager=False))
-
-        tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
-        src_types = {f.name: f.dataType for f in src1.schema.fields}
-        img_cols = [c for c in src1.columns if c not in self.key_cols]
-        packed = src1.select(
-            *self.key_cols,
-            F.struct(*img_cols).alias("_b_img"),
-            F.lit(True).alias("_b_hit"),
-        )
-        joined = tgt.join(F.broadcast(packed), on=list(self.key_cols),
-                          how="left")
-        hit = F.coalesce(F.col("_b_hit"), F.lit(False))
-
-        def bimg(c):
-            return F.col("_b_img").getField(c)
+        keys = list(self.key_cols)
 
         if self.store_lineage:
-            bts, tts = bimg(OP_TS_COL), F.col(OP_TS_COL)
-            btx, ttx = bimg(TXN_COL), F.col(TXN_COL)
-            ts_gt = (bts > tts) | (tts.isNull() & bts.isNotNull())
-            tx_gt = (btx > ttx) | (ttx.isNull() & btx.isNotNull())
-            b_wins = hit & (
-                ts_gt | (bts.eqNullSafe(tts)
-                         & (tx_gt | btx.eqNullSafe(ttx)))
+            # target side: keep rows the batch does NOT beat
+            b_meta = src1.select(
+                *keys,
+                F.col(OP_TS_COL).alias("_b_ts"),
+                F.col(TXN_COL).alias("_b_tx"),
+                F.lit(True).alias("_b_hit"),
             )
+            jt = tgt.join(F.broadcast(b_meta), keys, "left")
+            b_wins = (F.coalesce(F.col("_b_hit"), F.lit(False))
+                      & self._beats(F.col("_b_ts"), F.col(OP_TS_COL),
+                                    F.col("_b_tx"), F.col(TXN_COL)))
+            kept = (jt.filter(~b_wins).drop("_b_ts", "_b_tx", "_b_hit")
+                    .withColumn(DELETED_COL,
+                                F.coalesce(F.col(DELETED_COL), F.lit(False))))
+
+            # batch side: matched target lineage (bounded by batch
+            # size) joins back; unmatched or beating rows win
+            t_meta = (
+                tgt.select(*keys,
+                           F.col(OP_TS_COL).alias("_t_ts"),
+                           F.col(TXN_COL).alias("_t_tx"))
+                .join(F.broadcast(src1.select(*keys)), keys, "left_semi")
+                .withColumn("_t_hit", F.lit(True))
+            )
+            jb = src1.join(F.broadcast(t_meta), keys, "left")
+            wins = (~F.coalesce(F.col("_t_hit"), F.lit(False))
+                    | self._beats(F.col(OP_TS_COL), F.col("_t_ts"),
+                                  F.col(TXN_COL), F.col("_t_tx")))
+            winners = (jb.filter(wins).drop("_t_ts", "_t_tx", "_t_hit")
+                       .withColumn(DELETED_COL, F.col(OP_COL) == "delete")
+                       .drop(OP_COL))
         else:
-            b_wins = hit
+            # no lineage: the batch always wins its matched keys
+            b_keys = src1.select(*keys, F.lit(True).alias("_b_hit"))
+            jt = tgt.join(F.broadcast(b_keys), keys, "left")
+            kept = (jt.filter(~F.coalesce(F.col("_b_hit"), F.lit(False)))
+                    .drop("_b_hit"))
+            winners = src1.filter(F.col(OP_COL) != "delete").drop(OP_COL)
 
-        kept_cols = []
-        for c in out_cols:
-            if c in self.key_cols:
-                kept_cols.append(F.col(c).alias(c))
-                continue
-            if c == DELETED_COL and self.store_lineage:
-                tval = (F.coalesce(F.col(DELETED_COL), F.lit(False))
-                        if DELETED_COL in tgt.columns else F.lit(False))
-                bval = bimg(OP_COL) == "delete"
-            else:
-                tval = (F.col(c) if c in tgt.columns
-                        else F.lit(None).cast(src_types[c]))
-                bval = (bimg(c) if c in img_cols
-                        else F.lit(None).cast(tgt_types[c]))
-            kept_cols.append(F.when(b_wins, bval).otherwise(tval).alias(c))
-        kept = joined
-        if not self.store_lineage:
-            # no tombstones: a matched batch delete removes the row
-            kept = kept.filter(~(b_wins & (bimg(OP_COL) == "delete")))
-        kept = kept.select(*kept_cols)
-
-        # unmatched batch keys -> inserts (tombstones for deletes under
-        # lineage). matched_keys is bounded by the batch size, so it
-        # broadcasts into the anti join; computing it costs one
-        # key-only column-pruned scan of the target, not a shuffle.
-        matched_keys = (
-            tgt.select(*self.key_cols)
-            .join(F.broadcast(src1.select(*self.key_cols).distinct()),
-                  list(self.key_cols), "left_semi")
-        )
-        unmatched = src1.join(F.broadcast(matched_keys),
-                              list(self.key_cols), "left_anti")
-        if not self.store_lineage:
-            unmatched = unmatched.filter(F.col(OP_COL) != "delete")
-        ins_cols = []
-        for c in out_cols:
-            if c == DELETED_COL and self.store_lineage:
-                ins_cols.append((F.col(OP_COL) == "delete").alias(c))
-            elif c in src1.columns:
-                ins_cols.append(F.col(c).alias(c))
-            else:
-                ins_cols.append(F.lit(None).cast(tgt_types[c]).alias(c))
-        return kept.unionByName(unmatched.select(*ins_cols))
+        if self.allow_schema_evolution:
+            # additive evolution: new batch columns appear (targets
+            # NULL), missing batch columns fill NULL — and struct
+            # widening merges natively, same as the window path
+            return kept.unionByName(winners, allowMissingColumns=True)
+        return kept.unionByName(winners.select(*kept.columns))
 
     def _merge_cow(self, batch: DataFrame, batch_obs=None) -> None:
         base_v = self.current_version()
@@ -2995,17 +2968,20 @@ class ParquetLakeTable:
             # limit+1 rows of the persisted batch
             n = (batch.select(self.key_cols[0])
                  .limit(self.broadcast_key_limit + 1).count())
-        row_bytes = self._approx_row_bytes(
-            T.StructType(batch.schema.fields))
+        # the resolver broadcasts keys + lineage ONLY (never row
+        # images), so the bytes gate prices just those columns
+        meta_bytes = self._approx_row_bytes(T.StructType(
+            [f for f in batch.schema.fields
+             if f.name in self.key_cols
+             or f.name in (OP_TS_COL, TXN_COL)]))
         if (n <= self.broadcast_key_limit
-                and n * row_bytes <= self.BROADCAST_MERGE_MAX_BYTES
-                and self._broadcast_resolvable(batch, target)):
+                and n * meta_bytes <= self.BROADCAST_MERGE_MAX_BYTES):
             # small batch: resolve WITHOUT shuffling the target —
             # Iceberg's broadcast MERGE shape (the normal CDC case: a
             # churn batch merging into partitions holding vastly more
             # rows than it). The window path remains for huge batches
-            # (backfills) where broadcasting the batch would OOM, and
-            # for nested-evolution batches (complex-type widening).
+            # (backfills) where even the key broadcast would strain
+            # memory.
             merged = self._merge_resolve_broadcast(batch, target)
         else:
             merged = self._merge_resolve_window(batch, target)
