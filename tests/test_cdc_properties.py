@@ -172,6 +172,10 @@ def test_merge_broadcast_equals_window(spark, tmp_path):
                                 broadcast_key_limit=limit)
 
     a = mk(tmp_path / "bcast", 500_000)
+    # the adaptive fraction rule would route these tiny waves to the
+    # window resolver (batch >> 5% of the table); force broadcast so
+    # the equivalence is actually exercised
+    a.BROADCAST_MERGE_MAX_FRACTION = 10.0
     b = mk(tmp_path / "window", 0)
 
     def batch(i):

@@ -89,8 +89,10 @@ def harvest_stats(spark, files: list[str], root: str,
                     part = comp[len(partition_prefix):]
         bounds: dict = {}
         unknown: set = set()
+        nrows = 0
         try:
             md = pq.ParquetFile(fp).metadata
+            nrows = md.num_rows
             for rg in range(md.num_row_groups):
                 for ci in range(md.num_columns):
                     col = md.row_group(rg).column(ci)
@@ -111,7 +113,7 @@ def harvest_stats(spark, files: list[str], root: str,
                         bounds[name] = [lo, hi]
         except Exception:  # noqa: BLE001 — stats are optional metadata
             bounds = {}
-        return (part, fp[prefix_len:], bounds)
+        return (part, fp[prefix_len:], bounds, nrows)
 
     sc = spark.sparkContext
     slices = max(1, min(len(files), sc.defaultParallelism))
@@ -121,9 +123,13 @@ def harvest_stats(spark, files: list[str], root: str,
         .collect()
     )
     out: dict = {}
-    for part, rel, bounds in rows:
-        entry = out.setdefault(part, {"cols": {}, "files": {}})
+    for part, rel, bounds, nrows in rows:
+        entry = out.setdefault(part, {"cols": {}, "files": {}, "rows": 0})
         entry["files"][rel] = bounds
+        # footer row counts ride along for free: the merge planner
+        # uses the per-partition total to pick its resolver (broadcast
+        # vs shuffle) from metadata alone (r5)
+        entry["rows"] += nrows
     # partition-level bounds: intersection of columns known in EVERY
     # file of the partition (a single stats-less file makes the
     # partition bound unknown for that column)

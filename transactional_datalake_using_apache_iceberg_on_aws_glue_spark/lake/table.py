@@ -2771,6 +2771,32 @@ class ParquetLakeTable:
     #: key columns
     BROADCAST_MERGE_MAX_BYTES = 256 * 1024 * 1024
 
+    #: broadcast pays when the batch is a SLIVER of the affected rows
+    #: (no-shuffle resolve of a churn batch against a huge target);
+    #: above this fraction the single-pass shuffle resolve wins — it
+    #: reads the target once where the broadcast path reads it twice.
+    #: At cluster scale the absolute row gate forces the window path
+    #: for any genuinely large batch anyway; this fraction mainly
+    #: keeps small/medium tables on the cheaper single-pass plan.
+    BROADCAST_MERGE_MAX_FRACTION = 0.05
+
+    def _stats_row_count(self, m: dict, tokens) -> int | None:
+        """Total stored rows across partition ``tokens`` (None = every
+        partition) from the manifest's footer row counts — pure
+        metadata, no job. Returns None (unknown) when any relevant
+        entry predates row counting; tokens with no stored slice
+        contribute zero."""
+        stats = m.get("stats") or {}
+        toks = set(m["base"]) if tokens is None else (set(tokens)
+                                                     & set(m["base"]))
+        total = 0
+        for t in toks:
+            r = (stats.get(t) or {}).get("rows")
+            if r is None:
+                return None
+            total += r
+        return total
+
     @classmethod
     def _approx_row_bytes(cls, dtype) -> int:
         """Pessimistic serialized-width estimate for the broadcast
@@ -2974,14 +3000,26 @@ class ParquetLakeTable:
             [f for f in batch.schema.fields
              if f.name in self.key_cols
              or f.name in (OP_TS_COL, TXN_COL)]))
-        if (n <= self.broadcast_key_limit
-                and n * meta_bytes <= self.BROADCAST_MERGE_MAX_BYTES):
-            # small batch: resolve WITHOUT shuffling the target —
+        use_broadcast = (n <= self.broadcast_key_limit
+                         and n * meta_bytes <= self.BROADCAST_MERGE_MAX_BYTES)
+        if use_broadcast:
+            # adaptive: broadcast only when the batch is a sliver of
+            # the affected rows (manifest footer row counts, no job);
+            # unknown counts (pre-r5 manifests) default to broadcast —
+            # the scale-safe choice
+            affected_rows = self._stats_row_count(m0, pop_tokens)
+            if (affected_rows is not None and affected_rows > 0
+                    and n > affected_rows * self.BROADCAST_MERGE_MAX_FRACTION):
+                use_broadcast = False
+        if use_broadcast:
+            # churn batch: resolve WITHOUT shuffling the target —
             # Iceberg's broadcast MERGE shape (the normal CDC case: a
-            # churn batch merging into partitions holding vastly more
-            # rows than it). The window path remains for huge batches
-            # (backfills) where even the key broadcast would strain
-            # memory.
+            # small batch merging into partitions holding vastly more
+            # rows than it). The window path remains for large batches
+            # — absolutely large (backfills, where even the key
+            # broadcast strains memory) or large RELATIVE to the
+            # affected rows (its single target pass beats the
+            # broadcast path's two).
             merged = self._merge_resolve_broadcast(batch, target)
         else:
             merged = self._merge_resolve_window(batch, target)
