@@ -239,3 +239,50 @@ def test_nested_rename_change_stream(spark, tmp_path):
     # key 1 was untouched after the initial insert: no spurious update
     kinds_1 = {r["_change_type"] for r in by_key.get(1, [])}
     assert "update_postimage" not in kinds_1
+
+
+def test_broadcast_resolver_with_additive_evolution(spark, tmp_path):
+    """The broadcast merge resolver must honor additive evolution —
+    including NESTED struct widening — exactly like the window fold
+    (the halves meet in unionByName). Forced onto the broadcast path:
+    the adaptive fraction rule would route these tiny waves to the
+    window resolver."""
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+        ParquetLakeTable,
+    )
+
+    t = ParquetLakeTable(spark, str(tmp_path / "be"), key_cols=["id"],
+                         partition_col=None, allow_schema_evolution=True)
+    t.BROADCAST_MERGE_MAX_FRACTION = 10.0
+    t.create(spark.createDataFrame(
+        [(1, (10, "x")), (2, (20, "y"))],
+        "id long, payload struct<a:int,b:string>"))
+    # batch widens the struct (new nested field c) AND adds a top-level
+    # column; one matched update + one insert
+    t.merge(spark.createDataFrame(
+        [(2, (21, "y2", 2.5), "n2"), (3, (30, "z", 3.5), "n3")],
+        "id long, payload struct<a:int,b:string,c:double>, note string")
+        .withColumn("_op", F.lit("update"))
+        .withColumn("_op_timestamp",
+                    F.to_timestamp(F.lit("2026-05-01 00:00:00"))))
+    got = {r["id"]: (r["payload"]["a"], r["payload"]["b"],
+                     r["payload"]["c"], r["note"])
+           for r in t.read_data().collect()}
+    assert got == {
+        1: (10, "x", None, None),   # old row: widened fields null-fill
+        2: (21, "y2", 2.5, "n2"),
+        3: (30, "z", 3.5, "n3"),
+    }, got
+    assert dict(t.read_data().dtypes)["payload"] == (
+        "struct<a:int,b:string,c:double>")
+    # and a batch MISSING a stored column null-fills it
+    t.merge(spark.createDataFrame(
+        [(4, (40, "w", None))],
+        "id long, payload struct<a:int,b:string,c:double>")
+        .withColumn("_op", F.lit("insert"))
+        .withColumn("_op_timestamp",
+                    F.to_timestamp(F.lit("2026-05-02 00:00:00"))))
+    got4 = {r["id"]: r["note"] for r in t.read_data().collect()}
+    assert got4[4] is None and set(got4) == {1, 2, 3, 4}
