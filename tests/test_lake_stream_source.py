@@ -252,3 +252,40 @@ def test_stream_types_non_string_partition_column(spark, tmp_path):
     got = {r["id"]: r["bucket"] for r in rows}
     assert got == {1: 10, 2: 20, 3: 10}
     assert all(isinstance(r["bucket"], int) for r in rows)
+
+
+def test_stream_mor_incremental_delta_to_delta(spark, tmp_path):
+    """Consecutive drains across GROWING delta stacks: offset v2 (one
+    outstanding delta) -> v3 (two) must diff only the keys the new
+    delta changed — the layered-stack comparison, not a re-bootstrap."""
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL, OP_TS_COL,
+    )
+
+    R = "trans_id long, event string, amount int"
+    table = ParquetLakeTable(spark, str(tmp_path / "dd"), key_cols=["trans_id"],
+                             partition_col="event", merge_mode="mor")
+    table.create(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], R))
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ck_dd")
+    _drain(spark, table.path, ckpt, got)  # bootstrap
+    ts = F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+    table.merge(spark.createDataFrame([(1, "a", 11)], R)
+                .withColumn(OP_COL, F.lit("update")).withColumn(OP_TS_COL, ts))
+    got.clear()
+    _drain(spark, table.path, ckpt, got)
+    assert got == [(1, "update_postimage", 11)], got
+
+    ts2 = F.to_timestamp(F.lit("2026-06-02 00:00:00"))
+    table.merge(spark.createDataFrame([(3, "b", 30)], R)
+                .withColumn(OP_COL, F.lit("insert")).withColumn(OP_TS_COL, ts2))
+    assert len(table._manifest()["deltas"]) == 2
+    got.clear()
+    _drain(spark, table.path, ckpt, got)
+    # ONLY the new delta's key surfaces; partition a (untouched by the
+    # second delta) produced no task output
+    assert got == [(3, "insert", 30)], got

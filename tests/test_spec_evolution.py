@@ -579,3 +579,21 @@ def test_nested_source_via_sql_ddl(spark, tmp_path):
     m = t._manifest()
     assert m["spec"]["partition_col"] == "props_ts_day"
     assert set(_ for _ in t.read_data().columns) == {"trans_id", "event", "props"}
+
+
+def test_broadcast_resolver_across_spec_boundary(spark, tmp_path):
+    """The broadcast merge resolver composes with mixed-spec targets:
+    a forced-broadcast merge that absorbs a legacy slice and updates a
+    new-spec row resolves identically to the window path."""
+    t = _table(spark, tmp_path)
+    t.evolve_partition_spec(partition_col="device")
+    t.BROADCAST_MERGE_MAX_FRACTION = 10.0
+    # touches legacy key 1 (event=visit slice) and inserts a new-spec row
+    t.merge(_batch(spark, [(1, "visit", "pc", 77)], "update"))
+    t.merge(_batch(spark, [(9, "view", "tablet", 90)], "insert"))
+    got = _state(t)
+    assert got[1] == ("visit", "pc", 77)
+    assert got[9] == ("view", "tablet", 90)
+    assert set(got) == {1, 2, 3, 4, 9}
+    assert (t.read_data().groupBy("trans_id").count()
+            .filter("count > 1").count()) == 0
