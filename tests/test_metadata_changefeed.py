@@ -208,3 +208,17 @@ def test_metadata_views_auto_refresh_on_commit(spark, tmp_path):
     refs = {r["ref"] for r in spark.sql(
         "SELECT ref FROM pinned_t_snapshots").collect()}
     assert refs == {"main"}  # pinned views untouched by the branch commit
+
+
+def test_partitions_table_row_counts(spark, tmp_path):
+    """The partitions metadata table exposes per-partition stored row
+    counts from the manifest's footer stats (r5) — pure metadata, and
+    they reconcile with the live data plus tombstones."""
+    table = _two_wave_table(spark, tmp_path)
+    parts = {r["partition"]: r for r in table.metadata("partitions").collect()}
+    assert all(r["n_rows"] is not None and r["n_rows"] > 0
+               for r in parts.values()), parts
+    stored = sum(r["n_rows"] for r in parts.values())
+    live = table.read_data().count()
+    tombstones = table.read().count() - live
+    assert stored == live + tombstones

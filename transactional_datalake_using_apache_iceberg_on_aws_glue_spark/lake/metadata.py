@@ -42,7 +42,8 @@ FILES_SCHEMA = (
     "size_bytes long, column_bounds string"
 )
 PARTITIONS_SCHEMA = (
-    "partition string, n_files int, size_bytes long, n_delta_dirs int"
+    "partition string, n_files int, size_bytes long, n_rows long, "
+    "n_delta_dirs int"
 )
 REFS_SCHEMA = "name string, kind string, head_version long"
 
@@ -103,11 +104,21 @@ def files_df(table: "ParquetLakeTable", version: int | None = None) -> DataFrame
 def partitions_df(table: "ParquetLakeTable",
                   version: int | None = None) -> DataFrame:
     """Per-partition rollup of ``files_df`` (Iceberg's ``partitions``
-    table): file count, bytes, and outstanding MOR delta dirs."""
+    table): file count, bytes, stored base rows (from the manifest's
+    footer row counts, r5 — NULL for pre-r5 slices), and outstanding
+    MOR delta dirs."""
     from pyspark.sql import functions as F
 
     m = table._manifest(version)
     n_deltas = len(m["deltas"]) if m else 0
+    stats = (m or {}).get("stats") or {}
+    row_counts = {p: (stats.get(p) or {}).get("rows")
+                  for p in (m["base"] if m else {})}
+    rows_col = F.lit(None).cast("long")
+    for p, r in row_counts.items():
+        if r is not None:
+            rows_col = F.when(F.col("partition") == p,
+                              F.lit(r).cast("long")).otherwise(rows_col)
     return (
         files_df(table, version)
         .groupBy("partition")
@@ -115,8 +126,11 @@ def partitions_df(table: "ParquetLakeTable",
             F.sum(F.when(F.col("layer") == "base", 1).otherwise(0))
             .cast("int").alias("n_files"),
             F.sum("size_bytes").alias("size_bytes"),
-            F.lit(n_deltas).alias("n_delta_dirs"),
         )
+        .withColumn("n_rows", rows_col)
+        .withColumn("n_delta_dirs", F.lit(n_deltas))
+        .select("partition", "n_files", "size_bytes", "n_rows",
+                "n_delta_dirs")
     )
 
 
