@@ -348,20 +348,32 @@ def test_mor_deltas_across_spec_boundary(spark, tmp_path):
     assert _state(t) == got
 
 
-def test_spec_evolution_random_soak(spark, tmp_path):
+@pytest.mark.parametrize("resolver", ["adaptive", "broadcast"])
+def test_spec_evolution_random_soak(spark, tmp_path, resolver):
     """Seeded random soak: interleave keyed upsert/delete waves with
-    spec evolutions (event -> device -> unpartitioned -> event) and one
-    compaction; after every step the table must equal a driver-side
-    fold of the applied operations, with no duplicate keys."""
+    spec evolutions (event -> device -> TRANSFORM specs ->
+    unpartitioned -> event) and one compaction; after every step the
+    table must equal a driver-side fold of the applied operations,
+    with no duplicate keys. Parametrized over the merge resolver: the
+    adaptive default routes these tiny waves to the window fold, the
+    forced variant pins the broadcast resolver through every spec
+    transition (r5)."""
     import random
 
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.transforms import (
+        bucket, truncate,
+    )
+
     rng = random.Random(7)
-    t = ParquetLakeTable(spark, str(tmp_path / "soak"),
+    t = ParquetLakeTable(spark, str(tmp_path / f"soak_{resolver}"),
                          key_cols=["trans_id"], partition_col="event")
+    if resolver == "broadcast":
+        t.BROADCAST_MERGE_MAX_FRACTION = 10.0
     t.create(spark.createDataFrame(_rows([0], "visit", "pc"), ROWS))
     expected = {0: ("visit", "pc", 10)}
     evolutions = {2: dict(partition_col="device"), 4: {},
-                  6: dict(partition_col="event")}
+                  6: dict(partition_by=truncate("event", 2)),
+                  7: dict(partition_by=bucket("trans_id", 4))}
     for step in range(8):
         if step in evolutions:
             t.evolve_partition_spec(**evolutions[step])
