@@ -289,3 +289,72 @@ def test_stream_mor_incremental_delta_to_delta(spark, tmp_path):
     # ONLY the new delta's key surfaces; partition a (untouched by the
     # second delta) produced no task output
     assert got == [(3, "insert", 30)], got
+
+
+def test_stream_matches_read_changes_soak(spark, tmp_path):
+    """Randomized equivalence soak for the MOR live stream (r5): over
+    seeded CDC waves — inserts/updates/deletes, null and tied
+    timestamps, growing delta stacks, a mid-soak compaction — every
+    drained micro-batch must equal the engine's own
+    read_changes(prev, cur) on the same version bounds. Keys map to a
+    FIXED partition (the documented partition-stable contract)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL, OP_TS_COL, TXN_COL,
+    )
+
+    rng = random.Random(91)
+    R = "trans_id long, event string, amount int"
+    TS = ["2026-01-01 00:00:00", "2026-01-02 00:00:00", None]
+    part_of = lambda k: "a" if k % 2 else "b"  # noqa: E731
+
+    table = ParquetLakeTable(spark, str(tmp_path / "soak"),
+                             key_cols=["trans_id"], partition_col="event",
+                             merge_mode="mor")
+    table.create(spark.createDataFrame(
+        [(k, part_of(k), k * 10) for k in range(1, 6)], R))
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ck_soak")
+    _drain(spark, table.path, ckpt, got)  # bootstrap consumed
+    prev_v = table.current_version()
+
+    for i in range(6):
+        rows = []
+        for k in rng.sample(range(1, 12), rng.randrange(1, 5)):
+            ts = rng.choice(TS)
+            rows.append((k, part_of(k), rng.randrange(100),
+                         rng.choice(["insert", "update", "delete"]),
+                         ts, rng.choice([None, 1, 2])))
+        df = spark.createDataFrame(
+            [(k, e, a) for k, e, a, *_ in rows], R)
+        ts_map = {k: t for k, _, _, _, t, _ in rows}
+        op_map = {k: o for k, _, _, o, _, _ in rows}
+        tx_map = {k: x for k, _, _, _, _, x in rows}
+
+        def lit_map(m, cast):
+            return F.coalesce(*[
+                F.when(F.col("trans_id") == k,
+                       F.lit(v).cast(cast)) for k, v in m.items()
+            ], F.lit(None).cast(cast))
+
+        wave = (df.withColumn(OP_COL, lit_map(op_map, "string"))
+                .withColumn(OP_TS_COL, F.to_timestamp(
+                    lit_map(ts_map, "string")))
+                .withColumn(TXN_COL, lit_map(tx_map, "long")))
+        table.merge(wave)
+        if i == 3:
+            table.compact()
+        cur_v = table.current_version()
+
+        got.clear()
+        _drain(spark, table.path, ckpt, got)
+        streamed = {(k, c): a for k, c, a in got}
+        oracle = {(r["trans_id"], r["_change_type"]): r["amount"]
+                  for r in table.read_changes(prev_v, cur_v).collect()}
+        assert streamed == oracle, (
+            f"wave {i} (v{prev_v}->v{cur_v}): {streamed} != {oracle}")
+        prev_v = cur_v
