@@ -222,3 +222,32 @@ def test_partitions_table_row_counts(spark, tmp_path):
     live = table.read_data().count()
     tombstones = table.read().count() - live
     assert stored == live + tombstones
+
+
+def test_history_table(spark, tmp_path):
+    """Iceberg ``history`` parity: made-current timestamps with
+    is_current_ancestor. In this engine a rollback COMMITS on top
+    (history preserved), so rolled-past versions stay ancestors;
+    versions made current only on OTHER refs are the non-ancestors."""
+    from pyspark.sql import functions as F
+
+    table = _two_wave_table(spark, tmp_path)
+    hist = {r["version"]: r for r in table.metadata("history").collect()}
+    assert set(hist) == {1, 2}
+    assert all(r["is_current_ancestor"] for r in hist.values())
+    assert hist[2]["parent"] == 1 and hist[2]["operation"] == "merge"
+    # a commit on an audit branch is history, but not main's lineage
+    table.create_branch("audit")
+    b = table.branch("audit")
+    b.merge(table.read_data().limit(1)
+            .withColumn("trans_id", F.lit(900).cast("long"))
+            .withColumn("_op", F.lit("insert")))
+    hist = {r["version"]: r for r in table.metadata("history").collect()}
+    branch_v = b.current_version()
+    assert not hist[branch_v]["is_current_ancestor"]
+    assert hist[2]["is_current_ancestor"]
+    # SQL surface: the registered view exposes it too
+    register_metadata_views(table, "h")
+    assert spark.sql(
+        "SELECT count(*) AS n FROM h_history WHERE is_current_ancestor"
+    ).collect()[0]["n"] == 2

@@ -46,6 +46,8 @@ PARTITIONS_SCHEMA = (
     "n_delta_dirs int"
 )
 REFS_SCHEMA = "name string, kind string, head_version long"
+HISTORY_SCHEMA = ("made_current_at timestamp, version long, parent long, "
+                  "operation string, is_current_ancestor boolean")
 
 
 def snapshots_df(table: "ParquetLakeTable") -> DataFrame:
@@ -147,11 +149,28 @@ def refs_df(table: "ParquetLakeTable") -> DataFrame:
     return table.spark.createDataFrame(rows, REFS_SCHEMA)
 
 
+def history_df(table: "ParquetLakeTable") -> DataFrame:
+    """Iceberg's ``history`` table: every version that was ever made
+    current on ANY ref, with ``is_current_ancestor`` marking the rows
+    on main's present lineage (a rollback makes the rolled-past
+    versions non-ancestors — exactly Iceberg's semantics)."""
+    lineage = table._ancestors(table.current_version())
+    rows = []
+    for m in table._iter_manifests():
+        rows.append((
+            _ms_to_dt(m["committed_at_ms"]), m["version"],
+            m.get("parent", m["version"] - 1), m["operation"],
+            m["version"] in lineage,
+        ))
+    return table.spark.createDataFrame(rows, HISTORY_SCHEMA)
+
+
 METADATA_TABLES = {
     "snapshots": snapshots_df,
     "files": files_df,
     "partitions": partitions_df,
     "refs": refs_df,
+    "history": history_df,
 }
 
 

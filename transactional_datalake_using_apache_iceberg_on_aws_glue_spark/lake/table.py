@@ -513,7 +513,8 @@ class ParquetLakeTable:
 
     def metadata(self, kind: str, version: int | None = None) -> DataFrame:
         """Iceberg-style metadata table as a DataFrame: ``kind`` in
-        ``snapshots | files | partitions | refs`` (lake/metadata.py;
+        ``snapshots | files | partitions | refs | history``
+        (lake/metadata.py;
         ``register_metadata_views`` exposes them to SQL)."""
         from .metadata import METADATA_TABLES
 
