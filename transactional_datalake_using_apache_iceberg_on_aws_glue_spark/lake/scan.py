@@ -124,11 +124,15 @@ def harvest_stats(spark, files: list[str], root: str,
     )
     out: dict = {}
     for part, rel, bounds, nrows in rows:
-        entry = out.setdefault(part, {"cols": {}, "files": {}, "rows": 0})
+        entry = out.setdefault(
+            part, {"cols": {}, "files": {}, "file_rows": {}, "rows": 0})
         entry["files"][rel] = bounds
         # footer row counts ride along for free: the merge planner
         # uses the per-partition total to pick its resolver (broadcast
-        # vs shuffle) from metadata alone (r5)
+        # vs shuffle) from metadata alone (r5); per-FILE counts feed
+        # the `files` metadata table's record_count column (r6) —
+        # Iceberg's files table carries them too
+        entry["file_rows"][rel] = nrows
         entry["rows"] += nrows
     # partition-level bounds: intersection of columns known in EVERY
     # file of the partition (a single stats-less file makes the

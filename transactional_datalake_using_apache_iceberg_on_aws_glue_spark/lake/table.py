@@ -2593,8 +2593,12 @@ class ParquetLakeTable:
             if lo is not None and hi is not None:
                 cols[c] = [lo, hi]
         new_delta_stats = dict(m.get("delta_stats") or {})
-        new_delta_stats[dname] = ({_ALL: {"cols": cols}}
-                                  if cols and row["__n"] else {})
+        # the observed row count rides along (r6): the metadata tables
+        # and the MOR read-side resolver gate read it manifest-only —
+        # no job, no footer re-read (the r4 regression stays dead)
+        new_delta_stats[dname] = (
+            {_ALL: {"cols": cols, "rows": int(row["__n"])}}
+            if row["__n"] else {})
         # per-token file list of the committed delta (one recursive
         # metadata listing, no data reads): the native change stream
         # plans per-partition fold tasks from the MANIFEST alone, the
