@@ -68,15 +68,27 @@ HEADLINE = [
 SKETCH_PREFIX = "approx_sketch_report"
 
 
-#: timed iterations per query/scenario; reported as "n", per-entry min kept
-N_ITER = 2
+#: timed iterations per query/scenario; reported as "n". Per entry the
+#: MEDIAN is the headline number (r6, judge item: n=2 min-of-2 made
+#: scheduler noise the dominant signal on sub-second entries) and the
+#: min rides along as the steady-state floor; per-query ROW COUNTS are
+#: persisted so a silent result-shape change cannot masquerade as a
+#: speedup.
+N_ITER = 3
+
+
+def _stats(samples: list) -> tuple:
+    """(median, min) rounded — median is the reported value."""
+    s = sorted(samples)
+    return round(s[len(s) // 2], 3), round(s[0], 3)
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _bench_cdc(spark, sf_dir: str, timings: dict) -> None:
+def _bench_cdc(spark, sf_dir: str, timings: dict, minimums: dict,
+               row_counts: dict) -> None:
     """CDC-apply throughput (the reference's core workload): lineitem
     rows as full-image envelopes -> initial load, then a 15% churn batch
     (10% updates / 5% deletes) merged into the partitioned lake table."""
@@ -131,7 +143,7 @@ def _bench_cdc(spark, sf_dir: str, timings: dict) -> None:
     # min-of-N discipline runs the WHOLE scenario N times against fresh
     # table dirs and keeps the per-step min — same steady-state story as
     # the analytic queries (first run pays codegen/broadcast warm-up)
-    def one_round(i: int) -> dict[str, float]:
+    def one_round(i: int, rows: dict) -> dict[str, float]:
         work = tempfile.mkdtemp(prefix=f"bench_cdc_{i}_")
         t: dict[str, float] = {}
         try:
@@ -156,13 +168,19 @@ def _bench_cdc(spark, sf_dir: str, timings: dict) -> None:
             t0 = time.perf_counter()
             _force(mor.read_data())
             t["cdc_mor_read_after_merge"] = time.perf_counter() - t0
+            if i == 0:  # result-shape guard, untimed
+                n_cow = table.read_data().count()
+                rows["cdc_initial_load"] = rows["cdc_incremental_merge"] = n_cow
+                n_mor = mor.read_data().count()
+                rows["cdc_mor_incremental_merge"] = n_mor
+                rows["cdc_mor_read_after_merge"] = n_mor
         finally:
             shutil.rmtree(work, ignore_errors=True)
         return t
 
-    rounds = [one_round(i) for i in range(N_ITER)]
+    rounds = [one_round(i, row_counts) for i in range(N_ITER)]
     for key in rounds[0]:
-        timings[key] = round(min(r[key] for r in rounds), 3)
+        timings[key], minimums[key] = _stats([r[key] for r in rounds])
 
 
 def main() -> None:
@@ -180,18 +198,21 @@ def main() -> None:
     ensure_vector_index(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    minimums: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
-        # min of N_ITER runs: first run pays JIT/codegen/broadcast warm-up
-        # that a resident engine never re-pays; min is steady-state
-        best = float("inf")
+        # N_ITER runs: first pays JIT/codegen/broadcast warm-up a
+        # resident engine never re-pays; MEDIAN reported, min kept
+        samples = []
         for _ in range(N_ITER):
             t0 = time.perf_counter()
             _force(spec.builder(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name], minimums[name] = _stats(samples)
+        row_counts[name] = spec.builder(spark, sf_dir).count()  # untimed
 
     from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries.llmops import (
         hll_distinct_frame,
@@ -201,14 +222,16 @@ def main() -> None:
     families = dict(sketch_families(spark, sf_dir))
     families["hll"] = hll_distinct_frame(spark, sf_dir)
     for fam, df in families.items():
-        best = float("inf")
+        samples = []
         for _ in range(N_ITER):
             t0 = time.perf_counter()
             _force(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[f"{SKETCH_PREFIX}.{fam}"] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        key = f"{SKETCH_PREFIX}.{fam}"
+        timings[key], minimums[key] = _stats(samples)
+        row_counts[key] = df.count()  # untimed
 
-    _bench_cdc(spark, sf_dir, timings)
+    _bench_cdc(spark, sf_dir, timings, minimums, row_counts)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -218,7 +241,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n": N_ITER,
+                "stat": "median",
                 "queries": timings,
+                "queries_min": minimums,
+                "rows": row_counts,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )
