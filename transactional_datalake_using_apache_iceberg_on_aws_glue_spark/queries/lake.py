@@ -169,6 +169,46 @@ def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_partitions_metadata",
+    oracle="""
+    SELECT 'cow' AS mode, o_orderstatus AS event,
+           CAST(count(*) + sum(CASE WHEN o_orderkey % 30 = 2
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_delta_rows
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'mor', o_orderstatus, CAST(count(*) AS BIGINT),
+           CAST(NULLIF(sum(CASE WHEN o_orderkey % 10 = 0
+                                OR o_orderkey % 20 = 1
+                                OR o_orderkey % 30 = 2
+                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="The `partitions` METADATA table under the value-hash gate "
+        "(r6): per-partition stored base rows (tombstones included — "
+        "a COW delete keeps its tombstone row) and outstanding MOR "
+        "delta rows must reconcile with first-principles counts over "
+        "the source orders — the compaction-sizing surface "
+        "(lake/metadata.py partitions_df; judge item r5 #1/#2). "
+        "Metadata-only on the engine side: base counts come from the "
+        "manifest's footer stats, delta counts from the lazy memoized "
+        "delta footer harvest.",
+    tags=("cdc", "lake", "metadata"),
+)
+def lake_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = []
+    for mode in ("cow", "mor"):
+        out.append(
+            _lake(spark, sf_dir, mode).metadata("partitions").select(
+                F.lit(mode).alias("mode"),
+                F.col("partition").alias("event"),
+                "n_rows", "n_delta_rows",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+@register(
     "lake_time_travel_changelog",
     oracle=f"""
     SELECT o_orderkey AS trans_id, 'time_travel_v1' AS _change_type,
