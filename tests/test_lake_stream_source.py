@@ -393,3 +393,26 @@ def test_stream_matches_read_changes_soak(spark, tmp_path, seed):
         assert streamed == oracle, (
             f"wave {i} (v{prev_v}->v{cur_v}): {streamed} != {oracle}")
         prev_v = cur_v
+
+
+def test_needed_ranges_and_bounds_gate_units():
+    """r6: the per-task neighbor re-gate — needed-key ranges encode
+    like the manifest stats (ints pass, strings filter-only, NULL key
+    parts disable the column) and disjoint ranges prune the read."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        _bounds_overlap, _needed_ranges,
+    )
+
+    enc, raw = _needed_ranges({(5,), (9,)}, ["trans_id"])
+    assert enc == {"trans_id": [5, 9]} and raw == {"trans_id": (5, 9)}
+    # disjoint stored bounds -> neighbor skipped without a read
+    assert not _bounds_overlap(enc, {"trans_id": [20, 30]})
+    assert _bounds_overlap(enc, {"trans_id": [9, 30]})
+    assert _bounds_overlap(enc, None)  # unknown stored bounds
+    # string keys: raw filter survives, encoded gate stays unknown
+    enc_s, raw_s = _needed_ranges({("a",), ("c",)}, ["k"])
+    assert enc_s is None and raw_s == {"k": ("a", "c")}
+    # a NULL key part disables that column entirely
+    enc_n, raw_n = _needed_ranges({(5,), (None,)}, ["trans_id"])
+    assert enc_n is None and raw_n is None
+    assert _needed_ranges(set(), ["trans_id"]) == (None, None)

@@ -428,9 +428,12 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             for ns in changed:
                 rng = hull(ns)
                 # new-side check: suppress moved-away deletes, resolve
-                # tombstone winners against the key's global new state
+                # tombstone winners against the key's global new state.
+                # Each descriptor carries the neighbor's own stored
+                # bounds so the TASK can re-gate against the actual
+                # keys needing resolution before reading anything.
                 moves_n[ns] = [
-                    (q[1], q[0], new_map[q]) for q in new_map
+                    (q[1], q[0], new_map[q], new_b[q]) for q in new_map
                     if q != ns and _bounds_overlap(rng, new_b[q])
                 ]
                 # old-side check: relabel moved-in inserts, and verify
@@ -438,7 +441,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 # relic row outranked by a tombstone elsewhere must
                 # not produce a delete for an already-dead key)
                 moves_o[ns] = [
-                    (q[1], q[0], old_map[q]) for q in old_map
+                    (q[1], q[0], old_map[q], old_b[q]) for q in old_map
                     if q != ns and _bounds_overlap(rng, old_b[q])
                 ]
                 n_desc += len(moves_n.get(ns, ())) + len(moves_o.get(ns, ()))
@@ -532,12 +535,26 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 kind = "update_postimage"
             pending.append((kind, d))
 
-        nbr_new = (self._neighbor_winners(partition.move_new,
-                                          partition.renames, keys_only=True)
-                   if partition.move_new and (pending or tombs) else {})
-        nbr_old = (self._neighbor_winners(partition.move_old,
-                                          partition.renames, keys_only=False)
-                   if partition.move_old and (pending or tombs) else {})
+        # the keys actually needing cross-partition resolution this
+        # batch: re-gate each neighbor against THEIR range (a neighbor
+        # whose stored bounds cannot contain any of them is skipped
+        # without a read — zero steady-state cost when partition key
+        # ranges are disjoint), and push the range into the parquet
+        # read as an exact pyarrow filter (sound for a keyed fold:
+        # a key-range predicate keeps or drops whole keys)
+        needed = ({ktup(d) for _kind, d in pending} | {k for k, _ in tombs}
+                  if (partition.move_new or partition.move_old) else set())
+        enc_rng, raw_rng = _needed_ranges(needed, self.keys)
+        nbr_new = (self._neighbor_winners(
+            [d for d in partition.move_new
+             if _bounds_overlap(enc_rng, d[3] if len(d) > 3 else None)],
+            partition.renames, keys_only=True, key_filter=raw_rng)
+            if partition.move_new and needed else {})
+        nbr_old = (self._neighbor_winners(
+            [d for d in partition.move_old
+             if _bounds_overlap(enc_rng, d[3] if len(d) > 3 else None)],
+            partition.renames, keys_only=False, key_filter=raw_rng)
+            if partition.move_old and needed else {})
 
         def best(*cands):
             cands = [c for c in cands if c is not None]
@@ -612,24 +629,26 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 continue  # was already dead (or never existed)
             yield from_winner(k, g_old) + ("delete",)
 
-    def _neighbor_winners(self, descs, renames, keys_only):
+    def _neighbor_winners(self, descs, renames, keys_only,
+                          key_filter=None):
         """{key_tuple: winner record} — each overlapping neighbor's
         per-namespace fold winner (tombstone winners INCLUDED, flagged
         ``_deleted``), reduced to the global winner per key under the
         engine's ``_fold`` order; global layer seqs make the
         cross-namespace tie-break exact. ``keys_only`` prunes the
         parquet read to key+lineage columns (delete suppression needs
-        membership+liveness, not images)."""
+        membership+liveness, not images); ``key_filter`` pushes the
+        requesting task's needed key range into the read."""
         import pandas as pd
 
         dtypes = {f.name: f.dataType for f in self.change_schema.fields}
         columns = list(self.keys) if keys_only else self.columns
         frames = []
-        for tok, ncol, layers in descs:
+        for tok, ncol, layers, *_b in descs:
             frames.append(_load_state(
                 self.path, layers, columns, self.keys, ncol, tok,
                 renames, dtypes.get(ncol), keep_killed=True,
-                read_columns=columns))
+                read_columns=columns, key_filter=key_filter))
         if not frames:
             return {}
         allrows = pd.concat(frames, ignore_index=True)
@@ -668,6 +687,51 @@ def _win_key(r: dict):
     seq = -1 if seq is None or pd.isna(seq) else int(seq)
     return (1 if ts_ok else 0, ts if ts_ok else pd.Timestamp.min,
             1 if tx_ok else 0, int(tx) if tx_ok else 0, seq)
+
+
+def _encode_key(v):
+    """Stats-compatible encoding of a key value for the bounds gate —
+    mirrors lake/scan.py's ``encode_stat_value`` (duplicated: this
+    module stays import-free for by-value pickling). None = not
+    soundly range-comparable."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return int((v - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days
+    return None
+
+
+def _needed_ranges(needed: set, keys: list):
+    """Per-key-column [lo, hi] over the keys a task must resolve:
+    (encoded form for the stored-bounds gate, raw form for the pyarrow
+    read filter). A column whose values do not encode / compare is
+    simply absent (unknown -> that column neither gates nor filters);
+    empty ``needed`` yields (None, None)."""
+    if not needed:
+        return None, None
+    enc: dict = {}
+    raw: dict = {}
+    for i, col in enumerate(keys):
+        vals = [k[i] for k in needed if k[i] is not None]
+        if len(vals) != len(needed):
+            continue  # NULL key parts: no sound range
+        try:
+            lo, hi = min(vals), max(vals)
+        except TypeError:
+            continue
+        raw[col] = (lo, hi)
+        e_lo, e_hi = _encode_key(lo), _encode_key(hi)
+        if e_lo is not None and e_hi is not None:
+            enc[col] = [e_lo, e_hi]
+    return (enc or None), (raw or None)
 
 
 def _bounds_overlap(a: dict | None, b: dict | None) -> bool:
@@ -798,7 +862,8 @@ def _load_state(path: str, layers: list, columns: list, keys: list,
                 partition_col: str | None, part: str,
                 renames: list | None = None, part_dtype=None,
                 read_columns: list | None = None,
-                keep_killed: bool = False):
+                keep_killed: bool = False,
+                key_filter: dict | None = None):
     """Live rows of one partition slice as pandas. ``layers`` is the
     ordered MOR stack ``[(global_seq, files), ...]``; with more than
     one non-empty layer the latest image per key wins under the SAME
@@ -832,11 +897,20 @@ def _load_state(path: str, layers: list, columns: list, keys: list,
     for seq, files in layers:
         for f in files:
             cols = None
+            filters = None
             if read_columns is not None and not renames:
                 names = set(pq.read_schema(f, filesystem=fs).names)
                 cols = [c for c in dict.fromkeys(
                     list(read_columns) + list(LINEAGE)) if c in names]
-            t = pq.read_table(f, filesystem=fs, columns=cols)
+                if key_filter:
+                    # exact row filter (pyarrow dataset): sound for a
+                    # keyed fold — a key-range predicate keeps or
+                    # drops every physical row of a key together
+                    filters = [c for col, (lo, hi) in key_filter.items()
+                               if col in names
+                               for c in ((col, ">=", lo), (col, "<=", hi))]
+            t = pq.read_table(f, filesystem=fs, columns=cols,
+                              filters=filters or None)
             df = t.to_pandas(types_mapper=None)
             df["__layer_seq"] = seq
             frames.append(df)
