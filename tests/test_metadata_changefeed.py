@@ -224,6 +224,26 @@ def test_partitions_table_row_counts(spark, tmp_path):
     assert stored == live + tombstones
 
 
+def test_files_table_serves_manifest_only(spark, tmp_path, monkeypatch):
+    """r6: for current-format manifests (per-file stats + delta_files
+    present) the files/partitions metadata tables are compiled from
+    the MANIFEST alone — no directory walk, no per-file stat on the
+    read path. At millions of referenced files the walk IS the
+    metadata query."""
+    table = _two_wave_table(spark, tmp_path, merge_mode="mor")
+    table.metadata("files").collect()  # warm the delta footer memo
+
+    def boom(*_a, **_k):
+        raise AssertionError("metadata read touched the filesystem")
+
+    monkeypatch.setattr(table.fs, "walk_files", boom)
+    monkeypatch.setattr(table.fs, "size", boom)
+    files = table.metadata("files").collect()
+    assert files and all(r["size_bytes"] > 0 for r in files)
+    parts = table.metadata("partitions").collect()
+    assert parts and all(p["size_bytes"] > 0 for p in parts)
+
+
 def test_views_refresh_from_another_handle(spark, tmp_path):
     """r6 (judge r5 "Missing #6"): handle B (a different
     ParquetLakeTable object on the same path) commits; handle A's

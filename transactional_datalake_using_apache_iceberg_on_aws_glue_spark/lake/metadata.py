@@ -115,46 +115,75 @@ def _delta_footer_stats(table: "ParquetLakeTable", m: dict) -> dict:
                         tok = c[len(pfx):]
                         break
             nrows = (entry.get("file_rows") or {}).get(rel)
-            by_dir.setdefault(dirname, {})[inner] = (tok, bounds, nrows)
+            nbytes = (entry.get("file_sizes") or {}).get(rel)
+            by_dir.setdefault(dirname, {})[inner] = (tok, bounds, nrows,
+                                                     nbytes)
         cache.update(by_dir)
     return {d: cache[d] for d in m["deltas"]}
 
 
 def _file_rows(table: "ParquetLakeTable", m: dict) -> list[tuple]:
     """Driver-built rows of the ``files`` table (shared by ``files_df``
-    and ``partitions_df``): one tuple per referenced data file."""
+    and ``partitions_df``): one tuple per referenced data file.
+
+    Serves MANIFEST-ONLY when the manifest carries per-file stats
+    (every commit since stats harvesting): the commit's own file list
+    is authoritative, sizes/rows rode along from the write job, so no
+    directory is walked and no file is stat'ed on the read path (r6 —
+    the r5 version walked + stat'ed every referenced file driver-side;
+    at millions of files that IS the metadata query). Pre-stats
+    manifests fall back to one walk per slice."""
     rows: list[tuple] = []
     stats = m.get("stats", {})
     for part_value, snap in sorted(m["base"].items()):
+        entry = stats.get(part_value) or {}
+        fstats = entry.get("files") or {}
+        frows = entry.get("file_rows") or {}
+        fsizes = entry.get("file_sizes") or {}
+        if fstats:
+            for rel in sorted(fstats):
+                size = fsizes.get(rel)
+                if size is None:  # pre-r6 manifest: one stat per file
+                    size = table.fs.size(os.path.join(table.path, snap, rel))
+                rows.append((
+                    part_value, "base", snap, rel, size, frows.get(rel),
+                    json.dumps(fstats.get(rel), sort_keys=True)
+                    if fstats.get(rel) is not None else None,
+                ))
+            continue
         d = os.path.join(table.path, snap)
         # per-slice spec: old snapshots keep their original layout
         # after a partition-spec evolution
         slice_col = table._slice_spec(m, snap)[0]
         if part_value != _ALL and slice_col:
             d = os.path.join(d, f"{slice_col}={part_value}")
-        entry = stats.get(part_value) or {}
-        fstats = entry.get("files") or {}
-        frows = entry.get("file_rows") or {}
         for f in table.fs.walk_files(d, ".parquet"):
             rel = os.path.relpath(f, os.path.join(table.path, snap))
             rows.append((
                 part_value, "base", snap, rel, table.fs.size(f),
-                frows.get(rel),
-                json.dumps(fstats.get(rel), sort_keys=True)
-                if fstats.get(rel) is not None else None,
+                frows.get(rel), None,
             ))
     if m["deltas"]:
         harvested = _delta_footer_stats(table, m)
+        delta_files = m.get("delta_files") or {}
         for delta in m["deltas"]:
-            base = os.path.join(table.path, delta)
             per_file = harvested.get(delta) or {}
-            for f in table.fs.walk_files(base, ".parquet"):
-                rel = os.path.relpath(f, base).replace("\\", "/")
-                tok, bounds, nrows = per_file.get(rel) or (
-                    _part_of(f, base, table._slice_spec(m, delta)[0]),
-                    None, None)
+            listed = delta_files.get(delta)
+            if listed is not None:
+                rels = sorted(r for rl in listed.values() for r in rl)
+            else:  # pre-r5 manifest: one walk
+                base = os.path.join(table.path, delta)
+                rels = [os.path.relpath(f, base).replace("\\", "/")
+                        for f in table.fs.walk_files(base, ".parquet")]
+            for rel in rels:
+                tok, bounds, nrows, nbytes = per_file.get(rel) or (
+                    _part_of(rel, "", table._slice_spec(m, delta)[0]),
+                    None, None, None)
+                if nbytes is None:
+                    nbytes = table.fs.size(
+                        os.path.join(table.path, delta, rel))
                 rows.append((
-                    tok, "delta", delta, rel, table.fs.size(f), nrows,
+                    tok, "delta", delta, rel, nbytes, nrows,
                     json.dumps(bounds, sort_keys=True)
                     if bounds else None,
                 ))

@@ -80,6 +80,8 @@ def harvest_stats(spark, files: list[str], root: str,
     prefix_len = len(root.rstrip("/")) + 1
 
     def one_file(fp: str):
+        import os as _os
+
         import pyarrow.parquet as pq
 
         part = all_token
@@ -90,6 +92,10 @@ def harvest_stats(spark, files: list[str], root: str,
         bounds: dict = {}
         unknown: set = set()
         nrows = 0
+        try:
+            nbytes = _os.path.getsize(fp)
+        except OSError:
+            nbytes = None
         try:
             md = pq.ParquetFile(fp).metadata
             nrows = md.num_rows
@@ -113,7 +119,7 @@ def harvest_stats(spark, files: list[str], root: str,
                         bounds[name] = [lo, hi]
         except Exception:  # noqa: BLE001 — stats are optional metadata
             bounds = {}
-        return (part, fp[prefix_len:], bounds, nrows)
+        return (part, fp[prefix_len:], bounds, nrows, nbytes)
 
     sc = spark.sparkContext
     slices = max(1, min(len(files), sc.defaultParallelism))
@@ -123,16 +129,20 @@ def harvest_stats(spark, files: list[str], root: str,
         .collect()
     )
     out: dict = {}
-    for part, rel, bounds, nrows in rows:
+    for part, rel, bounds, nrows, nbytes in rows:
         entry = out.setdefault(
-            part, {"cols": {}, "files": {}, "file_rows": {}, "rows": 0})
+            part, {"cols": {}, "files": {}, "file_rows": {},
+                   "file_sizes": {}, "rows": 0})
         entry["files"][rel] = bounds
-        # footer row counts ride along for free: the merge planner
-        # uses the per-partition total to pick its resolver (broadcast
-        # vs shuffle) from metadata alone (r5); per-FILE counts feed
-        # the `files` metadata table's record_count column (r6) —
-        # Iceberg's files table carries them too
+        # footer row counts + byte sizes ride along for free: the
+        # merge planner uses the per-partition total to pick its
+        # resolver (broadcast vs shuffle) from metadata alone (r5);
+        # per-FILE counts/sizes feed the `files` metadata table (r6 —
+        # Iceberg's files table carries record_count and
+        # file_size_in_bytes too), letting it serve manifest-only
         entry["file_rows"][rel] = nrows
+        if nbytes is not None:
+            entry["file_sizes"][rel] = nbytes
         entry["rows"] += nrows
     # partition-level bounds: intersection of columns known in EVERY
     # file of the partition (a single stats-less file makes the
