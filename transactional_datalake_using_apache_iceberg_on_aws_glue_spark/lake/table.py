@@ -894,7 +894,11 @@ class ParquetLakeTable:
         Equivalence: test_mor_equals_cow + the MOR soaks; plan pinned
         by tests/test_plans.py."""
         delta_win = self._fold(deltas) if len(deltas) > 1 else deltas[0]
-        d1 = delta_win.localCheckpoint(eager=False)
+        # the sliver side feeds three branches; recomputing a small
+        # delta scan is cheaper than materializing a checkpoint (the
+        # COW resolver checkpoints because its batch may be an
+        # arbitrary upstream plan — these are committed parquet files)
+        d1 = delta_win
         keys = list(self.key_cols)
 
         b_meta = d1.select(
