@@ -4,11 +4,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": "..."}
+     "n": 3, "stat": "median",
+     "queries": {"q1_pricing_summary": median_sec, ...},
+     "queries_min": {...}, "rows": {...}, "sf": "..."}
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect overhead). One warm-up action first so JVM/codegen
-startup is not billed to the first query.
+startup is not billed to the first query. "value" is the sum of the
+per-query MEDIANS (r6 — n=2 min-of-2 let scheduler noise dominate
+sub-second entries); mins ride along as the steady-state floor, and
+per-query row counts guard against silent result-shape changes.
 """
 
 from __future__ import annotations
