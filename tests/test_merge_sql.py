@@ -421,6 +421,44 @@ def test_call_rewrite_data_files(spark, runner):
     assert t._manifest()["operation"] == "compact"
 
 
+def test_call_create_changelog_view(spark, runner):
+    """Iceberg's system.create_changelog_view (r6): publishes the keyed
+    snapshot diff as a queryable temp view — bootstrap (start omitted
+    = whole history as inserts), pinned range with the PAIRED
+    update_preimage/update_postimage shape, and compute_updates =>
+    'false' collapsing to the postimage-only diff."""
+    r, t = runner
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 99 "
+          "WHERE trans_id = 2")
+    r.sql("DELETE FROM demo.cdc_db.retail_trans WHERE trans_id = 3")
+
+    view = r.sql("CALL system.create_changelog_view("
+                 "table => 'demo.cdc_db.retail_trans')")
+    assert view == "retail_trans_changes"
+    boot = {(x["trans_id"], x["_change_type"]): x["amount"]
+            for x in spark.sql(f"SELECT * FROM {view}").collect()}
+    assert boot == {(1, "insert"): 10, (2, "insert"): 99}
+
+    v = t.current_version()
+    r.sql("CALL system.create_changelog_view("
+          "table => 'demo.cdc_db.retail_trans', "
+          "changelog_view => 'rt_delta', start_snapshot_id => 1, "
+          f"end_snapshot_id => {v})")
+    got = {(x["trans_id"], x["_change_type"]): x["amount"]
+           for x in spark.sql("SELECT * FROM rt_delta").collect()}
+    assert got == {(2, "update_preimage"): 20,
+                   (2, "update_postimage"): 99,
+                   (3, "delete"): 30}, got
+
+    r.sql("CALL system.create_changelog_view("
+          "table => 'demo.cdc_db.retail_trans', "
+          "changelog_view => 'rt_post', start_snapshot_id => 1, "
+          "compute_updates => 'false')")
+    got = {(x["trans_id"], x["_change_type"]): x["amount"]
+           for x in spark.sql("SELECT * FROM rt_post").collect()}
+    assert got == {(2, "update_postimage"): 99, (3, "delete"): 30}
+
+
 def test_call_guards(spark, runner):
     r, _ = runner
     with pytest.raises(MergeSqlError, match="unknown procedure"):

@@ -798,7 +798,8 @@ class MergeSqlRunner:
                 raise MergeSqlError(f"{proc} needs argument {name!r}")
             return default
 
-        table = self._resolve(str(arg("table", 0, required=True)))
+        table_ident = str(arg("table", 0, required=True))
+        table = self._resolve(table_ident)
         # extract EVERYTHING before executing: leftover named arguments
         # must reject the statement before any side effect runs
         if proc == "expire_snapshots":
@@ -830,11 +831,36 @@ class MergeSqlRunner:
             col_list = (None if cols is None else
                         [c.strip() for c in str(cols).split(",") if c.strip()])
             run = lambda: table.compute_stats(col_list)  # noqa: E731
+        elif proc == "create_changelog_view":
+            # Iceberg's system.create_changelog_view (r6): publishes the
+            # keyed snapshot diff as a temp view. start/end snapshot
+            # ids are flat named args (the runtime nests them in an
+            # options map); compute_updates => 'true' (default) emits
+            # the paired update_preimage/update_postimage shape.
+            # Omitted here vs the runtime: _change_ordinal /
+            # _commit_snapshot_id attribution — this changelog is a
+            # snapshot diff between the two endpoints, not a
+            # per-commit replay.
+            raw_ident = table_ident.replace("`", "").split(".")[-1]
+            view = str(arg("changelog_view", 1,
+                           default=f"{raw_ident}_changes"))
+            start = int(arg("start_snapshot_id", 2, default=0))
+            end = arg("end_snapshot_id", 3)
+            upd = str(arg("compute_updates", 4, default="true")).lower()
+            pre = upd in ("true", "1", "yes")
+
+            def run():  # noqa: E731
+                df = table.read_changes(
+                    start, None if end is None else int(end),
+                    include_preimages=pre)
+                df.createOrReplaceTempView(view)
+                return view
         else:
             raise MergeSqlError(
                 f"unknown procedure {proc!r}; supported: expire_snapshots, "
                 "rollback_to_snapshot, rewrite_data_files, fast_forward, "
-                "remove_orphan_files, compute_table_stats"
+                "remove_orphan_files, compute_table_stats, "
+                "create_changelog_view"
             )
         if named:
             raise MergeSqlError(

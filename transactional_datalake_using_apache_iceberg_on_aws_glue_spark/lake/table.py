@@ -1238,20 +1238,32 @@ class ParquetLakeTable:
         return df.select(*cols)
 
     def read_changes(self, from_version: int,
-                     to_version: int | None = None) -> DataFrame:
+                     to_version: int | None = None,
+                     include_preimages: bool = False) -> DataFrame:
         """Incremental changelog between two snapshots — Iceberg's
         ``create_changelog_view`` / incremental read, the read-side twin
         of CDC ingest: one row per key whose LIVE state changed, tagged
         ``_change_type`` in {insert, update_postimage, delete}, carrying
         the post-image (pre-image for deletes).
 
+        ``include_preimages=True`` (r6) emits Iceberg's paired update
+        shape: each changed key yields an ``update_preimage`` row (old
+        image) AND an ``update_postimage`` row — what the runtime's
+        changelog view produces under ``compute_updates``.
+        ``from_version=0`` diffs against the empty table (bootstrap:
+        the whole snapshot as inserts), matching the change stream's
+        initial offset semantics.
+
         Cost: one full-outer join on the key between the two snapshot
         reads — partition-pruned reads, single shuffle per side; no
         per-version log replay needed because snapshots are complete
         states (same reason Iceberg's changelog is a snapshot diff).
         """
-        old = self.read_data(as_of_version=from_version)
         new = self.read_data(as_of_version=to_version)
+        if from_version == 0:
+            old = self.spark.createDataFrame([], new.schema)
+        else:
+            old = self.read_data(as_of_version=from_version)
         # data columns = UNION of both versions' columns, null-filled on
         # the side that predates (or dropped) a column — mirrors
         # _read_snapshot_slice's additive-evolution handling; deriving
@@ -1272,6 +1284,26 @@ class ParquetLakeTable:
         n = new.select(*self.key_cols,
                        F.struct(*data_cols).alias("_new"))
         j = o.join(n, self.key_cols, "full_outer")
+        if include_preimages:
+            pair = F.array(
+                F.struct(F.lit("update_preimage").alias("_ct"),
+                         F.col("_old").alias("_i")),
+                F.struct(F.lit("update_postimage").alias("_ct"),
+                         F.col("_new").alias("_i")),
+            )
+            one = lambda ct, img: F.array(F.struct(  # noqa: E731
+                F.lit(ct).alias("_ct"), img.alias("_i")))
+            rows = (
+                F.when(F.col("_old").isNull(), one("insert", F.col("_new")))
+                .when(F.col("_new").isNull(), one("delete", F.col("_old")))
+                .when(~(F.col("_old").eqNullSafe(F.col("_new"))), pair)
+            )
+            return (
+                j.select(*self.key_cols, F.explode(rows).alias("_e"))
+                .select(*self.key_cols,
+                        F.col("_e._ct").alias("_change_type"),
+                        "_e._i.*")
+            )
         change = (
             F.when(F.col("_old").isNull(), "insert")
             .when(F.col("_new").isNull(), "delete")
