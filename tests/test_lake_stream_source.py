@@ -416,3 +416,42 @@ def test_needed_ranges_and_bounds_gate_units():
     enc_n, raw_n = _needed_ranges({(5,), (None,)}, ["trans_id"])
     assert enc_n is None and raw_n is None
     assert _needed_ranges(set(), ["trans_id"]) == (None, None)
+
+
+def test_stream_move_check_limit_zero_falls_back(spark, tmp_path):
+    """moveCheckLimit=0 disables cross-partition move resolution: a
+    moved key degrades to the documented labeled delete+insert pair
+    (keyed consumers still converge) instead of update_postimage."""
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    R = "trans_id long, event string, amount int"
+    table = ParquetLakeTable(spark, str(tmp_path / "fb"),
+                             key_cols=["trans_id"], partition_col="event")
+    table.create(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], R))
+
+    got: list[tuple] = []
+
+    def drain():
+        register_lake_stream(spark)
+        q = (spark.readStream.format("lake-changes")
+             .option("path", table.path).option("keys", "trans_id")
+             .option("partitionCol", "event")
+             .option("moveCheckLimit", "0").load()
+             .writeStream.foreachBatch(
+                 lambda df, b: got.extend(
+                     (r["trans_id"], r["_change_type"], r["amount"])
+                     for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck_fb"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()  # bootstrap
+    table.merge(spark.createDataFrame([(1, "b", 11)], R)
+                .withColumn("_op", F.lit("update")))  # key 1 moves a->b
+    got.clear()
+    drain()
+    assert sorted(got) == [(1, "delete", 10), (1, "insert", 11)], got
