@@ -957,8 +957,17 @@ def _load_state(path: str, layers: list, columns: list, keys: list,
 
 def _resolve_schema(path: str, hidden_partition_col: str | None = None):
     """(data column names, full stream StructType) from the current
-    manifest — lineage columns (and, under a hidden transform, the
-    derived partition column) excluded, ``_change_type`` appended."""
+    manifest — lineage columns and hidden transform-derived partition
+    columns excluded, ``_change_type`` appended.
+
+    A TRANSFORM spec's derived column (``bucket(trans_id, 3)`` ->
+    physical ``trans_id_bucket``) is dropped AUTOMATICALLY, mirroring
+    ``read_data`` (r6 — the stream soak's mid-soak spec evolution
+    surfaced pure re-binning rewrites as update_postimage because the
+    derived column leaked into the image comparison). Any spec a
+    referenced slice was written under is dropped too, so a
+    mid-migration manifest's retired derived columns also stay
+    hidden. ``hidden_partition_col`` remains the explicit override."""
     head = _current_version(path)
     if head == 0:
         raise ValueError(f"lake table at {path} has no committed versions")
@@ -967,6 +976,11 @@ def _resolve_schema(path: str, hidden_partition_col: str | None = None):
     drop = set(LINEAGE)
     if hidden_partition_col:
         drop.add(hidden_partition_col)
+    specs = [m.get("spec") or {}] + list(
+        (m.get("slice_specs") or {}).values())
+    for spec in specs:
+        if spec.get("transform") is not None and spec.get("partition_col"):
+            drop.add(spec["partition_col"])
     fields = [f for f in struct.fields if f.name not in drop]
     columns = [f.name for f in fields]
     return columns, T.StructType(
