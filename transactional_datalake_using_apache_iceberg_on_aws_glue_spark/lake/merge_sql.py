@@ -848,6 +848,11 @@ class MergeSqlRunner:
             end = arg("end_snapshot_id", 3)
             upd = str(arg("compute_updates", 4, default="true")).lower()
             pre = upd in ("true", "1", "yes")
+            # net_changes is accepted and always honored: this
+            # changelog is a snapshot diff, i.e. NET per key by
+            # construction (the runtime offers per-commit replay too;
+            # this engine's commits coalesce)
+            arg("net_changes", 5, default="true")
 
             def run():  # noqa: E731
                 df = table.read_changes(
