@@ -380,3 +380,34 @@ def test_history_table(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM h_history WHERE is_current_ancestor"
     ).collect()[0]["n"] == 2
+
+
+def test_snapshot_summary_total_records(spark, tmp_path):
+    """r6: commit summaries carry Iceberg-style total-records
+    (physical stored rows, tombstones included) derived purely from
+    the footer/Observation counts the write already harvested — the
+    snapshots table exposes it for dashboards."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    R = "trans_id long, event string, amount int"
+    t = ParquetLakeTable(spark, str(tmp_path / "tr"), key_cols=["trans_id"],
+                         partition_col="event", merge_mode="mor")
+    t.create(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)], R))
+    assert t._manifest()["summary"]["total-records"] == 4
+    t.merge(spark.createDataFrame([(1, "a", 99), (5, "a", 50)], R)
+            .withColumn("_op", F.lit("update")))
+    assert t._manifest()["summary"]["total-records"] == 6  # base + delta
+    snaps = {r["version"]: json.loads(r["summary"])
+             for r in t.metadata("snapshots").collect()}
+    assert snaps[2]["total-records"] == 6
+    # COW tombstones stay counted: delete keeps the stored tombstone row
+    c = ParquetLakeTable(spark, str(tmp_path / "cw"), key_cols=["trans_id"],
+                         partition_col="event")
+    c.create(spark.createDataFrame([(1, "a", 10), (2, "a", 20)], R))
+    c.merge(spark.createDataFrame([(1, "a", 0)], R)
+            .withColumn("_op", F.lit("delete")))
+    assert c._manifest()["summary"]["total-records"] == 2
+    assert c.read_data().count() == 1

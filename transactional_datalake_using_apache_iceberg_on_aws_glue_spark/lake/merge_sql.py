@@ -804,7 +804,10 @@ class MergeSqlRunner:
         # must reject the statement before any side effect runs
         if proc == "expire_snapshots":
             keep = int(arg("retain_last", 1, default=1))
-            run = lambda: table.expire_snapshots(keep_last=keep)  # noqa: E731
+            older = arg("older_than", 2)  # epoch millis (int)
+            run = lambda: table.expire_snapshots(  # noqa: E731
+                keep_last=keep,
+                older_than_ms=None if older is None else int(older))
         elif proc == "rollback_to_snapshot":
             version = int(arg("snapshot_id", 1, required=True))
             run = lambda: table.rollback(version)  # noqa: E731

@@ -600,6 +600,33 @@ class ParquetLakeTable:
             # table-level NDV stats (compute_stats) ride along until
             # recomputed — consumers see computed_at_version staleness
             table_stats = (prev or {}).get("table_stats")
+        # Iceberg-style record accounting in the commit summary (r6):
+        # total-records across base footer counts + outstanding delta
+        # observations, set only when every referenced entry carries a
+        # count (dashboards read it from the snapshots table; never
+        # guessed, never a job)
+        summary = dict(summary or {})
+        if "total-records" not in summary:
+            total = 0
+            for tok in base:
+                r = ((stats or {}).get(tok) or {}).get("rows")
+                if r is None:
+                    total = None
+                    break
+                total += r
+            if total is not None:
+                for d in deltas:
+                    entry = delta_stats.get(d)
+                    rs = ([sub.get("rows") for sub in entry.values()]
+                          if entry else [None])
+                    if entry == {}:
+                        continue  # r6 empty delta: zero rows
+                    if not entry or any(r is None for r in rs):
+                        total = None
+                        break
+                    total += sum(rs)
+            if total is not None:
+                summary["total-records"] = total
         manifest = {
             "parent": base_version,
             "ref": self.ref,
@@ -608,7 +635,7 @@ class ParquetLakeTable:
             "base": base,
             "deltas": deltas,
             "schema": schema.jsonValue(),
-            "summary": summary or {},
+            "summary": summary,
             "stats": stats or {},
             "renames": renames,
             "spec": spec,
