@@ -107,7 +107,8 @@ the grammar)::
     ALTER TABLE t ADD|DROP|REPLACE PARTITION FIELD <spec>
     ALTER TABLE t CREATE|DROP BRANCH|TAG <name>
     CALL [cat.]system.expire_snapshots | rollback_to_snapshot |
-         rewrite_data_files | fast_forward | remove_orphan_files (...)
+         rewrite_data_files | fast_forward | remove_orphan_files |
+         compute_table_stats | create_changelog_view (...)
 
 each mapping onto the engine's metadata-only evolution commits, the
 write-audit-publish refs, and the compaction/GC machinery — the whole

@@ -55,7 +55,8 @@ consumers still converge) when the candidate fan-out exceeds
 batch) — a full-table rewrite should not pay O(partitions²) reads
 for label fidelity. Randomized soak: every drained batch equals
 ``read_changes`` on the same bounds under moving keys, late/null
-timestamps, cross-partition tombstones, and a mid-soak compaction
+timestamps, cross-partition tombstones, a mid-soak compaction, and
+partition-spec evolutions under churn
 (tests/test_lake_stream_source.py).
 
 MOR tables stream LIVE (r5): a version with outstanding deltas is a
