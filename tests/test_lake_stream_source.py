@@ -466,3 +466,88 @@ def test_stream_move_check_limit_zero_falls_back(spark, tmp_path):
     got.clear()
     drain()
     assert sorted(got) == [(1, "delete", 10), (1, "insert", 11)], got
+
+
+def test_stream_schema_evolution_soak(spark, tmp_path):
+    """r6: the stream under COLUMN DDL churn — rename, additive add,
+    and integral widen interleaved with MOR CDC waves. Every drained
+    batch must equal read_changes on the same bounds with the SAME
+    post-DDL column set (old files stream their data under the new
+    names through the manifest rename history)."""
+    import pyspark.sql.functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL, OP_TS_COL, TXN_COL,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    table = ParquetLakeTable(spark, str(tmp_path / "se"),
+                             key_cols=["trans_id"], partition_col="event",
+                             merge_mode="mor", allow_schema_evolution=True)
+    table.create(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "trans_id long, event string, amount int"))
+
+    got: list[dict] = []
+
+    def drain():
+        register_lake_stream(spark)
+        q = (spark.readStream.format("lake-changes")
+             .option("path", table.path).option("keys", "trans_id")
+             .option("partitionCol", "event").load()
+             .writeStream.foreachBatch(
+                 lambda df, b: got.extend(r.asDict() for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck_se"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()  # bootstrap consumed
+    prev_v = table.current_version()
+
+    def check():
+        nonlocal prev_v
+        got.clear()
+        drain()
+        streamed = {(r["trans_id"], r["_change_type"]):
+                    {k: v for k, v in r.items()
+                     if k not in ("trans_id", "_change_type")}
+                    for r in got}
+        oracle = {}
+        for r in table.read_changes(prev_v, table.current_version()).collect():
+            d = r.asDict()
+            oracle[(d.pop("trans_id"), d.pop("_change_type"))] = d
+        assert streamed == oracle, f"{streamed} != {oracle}"
+        prev_v = table.current_version()
+
+    ts = F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+
+    def wave(rows, schema, op="update"):
+        table.merge(spark.createDataFrame(rows, schema)
+                    .withColumn(OP_COL, F.lit(op))
+                    .withColumn(OP_TS_COL, ts)
+                    .withColumn(TXN_COL, F.col("trans_id")))
+
+    R = "trans_id long, event string, amount int"
+    wave([(1, "b", 11)], R)           # cross-partition move via delta
+    check()
+
+    table.rename_column("amount", "cents")
+    wave([(4, "a", 40)], "trans_id long, event string, cents int",
+         op="insert")
+    check()                            # pre-rename files stream as cents
+
+    table.add_column("note", "string")
+    wave([(2, "b", 22, "hi")],
+         "trans_id long, event string, cents int, note string")
+    check()                            # old rows surface note=NULL
+
+    table.widen_column("cents", "bigint")
+    wave([(3, "a", 5_000_000_000, None)],
+         "trans_id long, event string, cents bigint, note string")
+    check()                            # widened column round-trips
+
+    table.compact()                    # migrate + fold everything
+    check()                            # pure rewrite: empty diff
+    assert got == []

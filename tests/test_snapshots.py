@@ -285,6 +285,26 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
     assert 1 not in changes  # unchanged row, extra=NULL both sides
 
 
+def test_read_changes_across_rename_is_transparent(spark, tmp_path):
+    """A column renamed between from_version and to_version is the
+    SAME field (r6, Iceberg field-id semantics — caught by the stream
+    schema-evolution soak): unchanged rows emit NOTHING, changes diff
+    under the NEW name, and no ghost old-name column appears."""
+    t = ParquetLakeTable(spark, str(tmp_path / "rn"), key_cols=["trans_id"],
+                         partition_col="event",
+                         allow_schema_evolution=True)
+    t.merge(_lineage_batch(spark, [(1, "e", 10, "insert"),
+                                   (2, "e", 20, "insert")], day=1))
+    t.rename_column("amount", "cents")
+    t.merge(_lineage_batch(spark, [(2, "e", 99, "update")], day=2)
+            .withColumnRenamed("amount", "cents"))
+    rows = t.read_changes(1, t.current_version()).collect()
+    assert {r["trans_id"] for r in rows} == {2}  # key 1 unchanged
+    assert rows[0]["_change_type"] == "update_postimage"
+    assert rows[0]["cents"] == 99
+    assert "amount" not in t.read_changes(1, t.current_version()).columns
+
+
 def _has_broadcast_hint(df):
     return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
 

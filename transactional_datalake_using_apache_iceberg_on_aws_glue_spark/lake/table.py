@@ -1291,6 +1291,21 @@ class ParquetLakeTable:
             old = self.spark.createDataFrame([], new.schema)
         else:
             old = self.read_data(as_of_version=from_version)
+        # rename transparency (r6, caught by the stream's
+        # schema-evolution soak): a column renamed between the two
+        # versions is the SAME field (Iceberg's field-id semantics) —
+        # map the old snapshot's physical name onto the new one, or
+        # the union below would diff it as drop+add, flagging every
+        # unchanged row update_postimage with ghost columns
+        m_to = self._resolve_as_of(to_version, None)
+        renames = (m_to or {}).get("renames") or []
+        if renames:
+            old_cols = set(old.columns)
+            for c in new.columns:
+                if c not in old_cols:
+                    phys = resolve_physical_name(c, old_cols, renames)
+                    if phys is not None and phys != c:
+                        old = old.withColumnRenamed(phys, c)
         # data columns = UNION of both versions' columns, null-filled on
         # the side that predates (or dropped) a column — mirrors
         # _read_snapshot_slice's additive-evolution handling; deriving

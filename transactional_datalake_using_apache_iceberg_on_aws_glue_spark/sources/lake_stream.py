@@ -913,6 +913,25 @@ def _load_state(path: str, layers: list, columns: list, keys: list,
             t = pq.read_table(f, filesystem=fs, columns=cols,
                               filters=filters or None)
             df = t.to_pandas(types_mapper=None)
+            # conform THIS file's physical names through the rename
+            # history before layering: a base file predating a rename
+            # and a delta file written after it must not concat into
+            # disjoint columns (the fold would then null the older
+            # layer's values — caught by the schema-evolution soak)
+            if renames:
+                ren = {}
+                for c in columns:
+                    if c in df.columns:
+                        continue
+                    name = c
+                    for r in reversed(renames):
+                        if r.get("to") == name:
+                            name = r["from"]
+                            if name in df.columns:
+                                ren[name] = c
+                                break
+                if ren:
+                    df = df.rename(columns=ren)
             df["__layer_seq"] = seq
             frames.append(df)
     if frames:
