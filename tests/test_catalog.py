@@ -134,3 +134,26 @@ def test_sql_view_schema_evolution(spark, tmp_path):
     got = {r["trans_id"]: r["extra"]
            for r in spark.sql(f"SELECT trans_id, extra FROM {name}").collect()}
     assert got == {1: None, 2: "tag"}
+
+
+def test_sql_view_rename_across_layer_vintages(spark, tmp_path):
+    """A MOR base written BEFORE a rename and a delta written after it
+    must fold into one column through the compiled view, same as the
+    DataFrame path (the stream had exactly this bug, fixed r6 — pin
+    the SQL surface too)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "rv"), key_cols=["trans_id"],
+                         partition_col="event", merge_mode="mor",
+                         allow_schema_evolution=True)
+    t.merge(_batch(spark, [(1, "a", 10, "insert"), (2, "a", 20, "insert")],
+                   day=1))
+    t.rename_column("amount", "cents")
+    wide = spark.createDataFrame(
+        [(2, "a", 99, "update", datetime.datetime(2024, 1, 2), 2)],
+        f"trans_id long, event string, cents long, "
+        f"{OP_COL} string, {OP_TS_COL} timestamp, {TXN_COL} long",
+    )
+    t.merge(wide)
+    name = t.register_sql("t_rnv", database="testdb")
+    got = sorted((r["trans_id"], r["cents"]) for r in spark.sql(
+        f"SELECT trans_id, cents FROM {name}").collect())
+    assert got == [(1, 10), (2, 99)]
