@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
+
+Output protocol (r7 — BENCH_r06.json arrived `parsed: null` because the
+single fat JSON line overflowed the driver's stdout tail buffer):
+auxiliary dicts are printed FIRST, each on its own JSON line tagged
+with an "aux" key, and the FINAL line is the compact headline the
+driver parses:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "n": 3, "stat": "median",
-     "queries": {"q1_pricing_summary": median_sec, ...},
-     "queries_min": {...}, "rows": {...}, "sf": "..."}
+     "n": 3, "stat": "median", "aux_lines": ["queries_min", "rows"],
+     "queries": {"q1_pricing_summary": median_sec, ...}, "sf": "..."}
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect overhead). One warm-up action first so JVM/codegen
@@ -190,7 +195,12 @@ def _bench_cdc(spark, sf_dir: str, timings: dict, minimums: dict,
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = build_session(app_name="bench")
+    # keep stdout clean for the driver's line-oriented parse: no
+    # console progress bars interleaving with the JSON emission
+    spark = build_session(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     registry = load_all()
 
     _force(registry["q1_pricing_summary"].builder(spark, sf_dir))  # warm-up
@@ -239,6 +249,11 @@ def main() -> None:
     _bench_cdc(spark, sf_dir, timings, minimums, row_counts)
 
     total = round(sum(timings.values()), 3)
+    # Aux dicts on their own earlier lines; the driver tails stdout and
+    # parses the LAST line, so the headline must stay compact (r6's
+    # combined line exceeded the tail buffer -> parsed: null).
+    print(json.dumps({"aux": "queries_min", "queries_min": minimums}), flush=True)
+    print(json.dumps({"aux": "rows", "rows": row_counts}), flush=True)
     print(
         json.dumps(
             {
@@ -247,12 +262,12 @@ def main() -> None:
                 "unit": "sec",
                 "n": N_ITER,
                 "stat": "median",
+                "aux_lines": ["queries_min", "rows"],
                 "queries": timings,
-                "queries_min": minimums,
-                "rows": row_counts,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 
