@@ -195,6 +195,10 @@ def _bench_cdc(spark, sf_dir: str, timings: dict, minimums: dict,
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # contention signal (r7 judge item: the in-round bench ran ~23%
+    # hot vs the uncontended rerun) — 1/5/15-min loadavg at start and
+    # end lets a reader discount a contended run
+    load_start = os.getloadavg()
     # keep stdout clean for the driver's line-oriented parse: no
     # console progress bars interleaving with the JSON emission
     spark = build_session(
@@ -248,7 +252,21 @@ def main() -> None:
 
     _bench_cdc(spark, sf_dir, timings, minimums, row_counts)
 
+    # result-sanity gates (r6/r7 brief): a silently-empty headline
+    # query would report a fast-but-meaningless time
+    q11_rows = row_counts.get("q11_important_parts")
+    if q11_rows is not None and q11_rows <= 0:
+        raise RuntimeError(
+            "q11_important_parts returned 0 rows at this SF — the "
+            "self-scaling threshold regressed; refusing to report a "
+            "time for an empty result")
+
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()
+    # stop Spark BEFORE emitting: nothing JVM-side (log4j console
+    # appenders, Py4J tracebacks) can land on stdout after the
+    # headline line the driver parses (r7 advice)
+    spark.stop()
     # Aux dicts on their own earlier lines; the driver tails stdout and
     # parses the LAST line, so the headline must stay compact (r6's
     # combined line exceeded the tail buffer -> parsed: null).
@@ -257,19 +275,29 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "aux": "load",
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "cpus": os.cpu_count(),
+            }
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
                 "metric": "headline-suite-wallclock",
                 "value": total,
                 "unit": "sec",
                 "n": N_ITER,
                 "stat": "median",
-                "aux_lines": ["queries_min", "rows"],
+                "aux_lines": ["queries_min", "rows", "load"],
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         ),
         flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

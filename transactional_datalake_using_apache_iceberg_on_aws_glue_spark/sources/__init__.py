@@ -2,7 +2,11 @@
 supports, batch and streaming, with explicit schemas (never per-batch
 inference — SURVEY §1.3)."""
 
-from .lake_stream import LakeChangeDataSource, register_lake_stream
+from .lake_stream import (
+    LakeChangeDataSource,
+    move_cap_events,
+    register_lake_stream,
+)
 from .readers import (
     read_csv,
     read_json_lines,
@@ -14,6 +18,7 @@ from .readers import (
 
 __all__ = [
     "LakeChangeDataSource",
+    "move_cap_events",
     "register_lake_stream",
     "read_parquet_table",
     "read_json_lines",

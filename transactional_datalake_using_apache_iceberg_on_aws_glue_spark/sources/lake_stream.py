@@ -126,6 +126,44 @@ _METRICS_DIR = "_stream_metrics"
 _log = logging.getLogger(__name__)
 
 
+def move_cap_events(path: str) -> list:
+    """Machine-readable move-resolution cap relaxations for the table
+    at ``path`` — one dict per offset range whose batch exited the
+    exact-label regime (module docstring, "the cap is LOUD"). Events
+    live under ``<table>/_stream_metrics/`` and are written
+    best-effort by the stream planner; a read-only filesystem means
+    the planner downgraded to log-only and this returns what exists
+    (possibly nothing). Sorted by (start_version, end_version).
+
+    Each event carries: ``event`` (``"move_cap_relax"``),
+    ``start_version``/``end_version`` (the batch's offset range),
+    ``reason`` (``"move_limit"`` — neighbor descriptors exceeded
+    ``moveCheckLimit`` — or ``"pair_budget"`` — the candidate
+    partition-pair count was too large to even gate by key bounds),
+    ``move_limit``, ``n_desc`` (descriptors counted; absent for
+    ``pair_budget``), ``pair_budget``, and ``partitions_changed``."""
+    from pyarrow import fs as pafs
+
+    fs, root = _fs_and_root(path)
+    d = posixpath.join(root, _METRICS_DIR)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(d))
+    except (FileNotFoundError, OSError):
+        return []
+    out = []
+    for i in infos:
+        if i.type != pafs.FileType.File or not i.path.endswith(".json"):
+            continue
+        try:
+            with fs.open_input_stream(i.path) as f:
+                out.append(json.loads(f.read().decode()))
+        except (OSError, ValueError):
+            continue  # torn concurrent write: skip, next poll sees it
+    out.sort(key=lambda e: (e.get("start_version", 0),
+                            e.get("end_version", 0)))
+    return out
+
+
 # -- filesystem + manifest access without a SparkSession ---------------------
 # (driver AND executors — the Python Data Source contract gives tasks no
 # SparkSession, so this must be self-contained: stdlib + pyarrow only)
@@ -265,6 +303,11 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         #: the labeled delete+insert pair (module docstring)
         self.move_limit = int(options.get(
             "movechecklimit", options.get("moveCheckLimit", 256)))
+        #: offset ranges already warned about this reader's lifetime —
+        #: the loud cap logs once per range even if Spark re-plans the
+        #: same batch (restart re-creates the reader; the sidecar event
+        #: filename is range-keyed so the rewrite is idempotent)
+        self._warned_ranges: set = set()
 
     # -- offsets (driver-side) -------------------------------------------
 
@@ -419,7 +462,18 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         moves_n: dict = {}
         moves_o: dict = {}
         pair_budget = len(changed) * (len(old_map) + len(new_map))
-        if self.move_limit > 0 and pair_budget <= 200_000:
+        # bootstrap (no old snapshot) needs no move resolution: with
+        # nothing live before, no delete can be emitted and no insert
+        # can be a relabel candidate — skipping is exact, not a
+        # relaxation, so it is not flagged
+        run_moves = self.move_limit > 0 and bool(old_map)
+        if run_moves and pair_budget > 200_000:
+            # too many candidate pairs to even bounds-gate: the batch
+            # degrades to labeled delete+insert pairs — LOUDLY
+            self._flag_move_cap(lo, hi, "pair_budget",
+                                pair_budget=pair_budget,
+                                partitions_changed=len(changed))
+        if run_moves and pair_budget <= 200_000:
             old_b = {ns: self._key_bounds(old_m, ns) for ns in old_map}
             new_b = {ns: self._key_bounds(new_m, ns) for ns in new_map}
 
@@ -463,6 +517,9 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 n_desc += len(moves_n.get(ns, ())) + len(moves_o.get(ns, ()))
             if n_desc > self.move_limit:
                 moves_n, moves_o = {}, {}
+                self._flag_move_cap(lo, hi, "move_limit", n_desc=n_desc,
+                                    pair_budget=pair_budget,
+                                    partitions_changed=len(changed))
         return [
             _PartDiff(ns[1], old_map.get(ns, []), new_map.get(ns, []),
                       renames, fill_col=ns[0],
@@ -470,6 +527,57 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                       move_old=moves_o.get(ns, ()))
             for ns in changed
         ]
+
+    def _flag_move_cap(self, lo: int, hi: int, reason: str, *,
+                       pair_budget: int, partitions_changed: int,
+                       n_desc: int | None = None) -> None:
+        """The batch v``lo``→v``hi`` exited the exact-label regime
+        (module docstring): warn once per offset range and best-effort
+        append a machine-readable event under ``_stream_metrics/`` for
+        :func:`move_cap_events`. ``moveCheckLimit=0`` never reaches
+        here — the explicit opt-out is unflagged. Runs driver-side
+        (the Python Data Source planner), so logging reaches the
+        driver's log4j/py logging like any Spark source warning."""
+        if (lo, hi) not in self._warned_ranges:
+            self._warned_ranges.add((lo, hi))
+            detail = (
+                f"{n_desc} neighbor descriptors > moveCheckLimit "
+                f"{self.move_limit}" if reason == "move_limit"
+                else f"{pair_budget} candidate partition pairs > 200000"
+            )
+            _log.warning(
+                "lake-changes %s: cross-partition move resolution "
+                "relaxed for offsets v%d->v%d (%s); moved keys in "
+                "this batch surface as labeled delete+insert pairs "
+                "instead of update_postimage — keyed consumers still "
+                "converge. Raise moveCheckLimit (or set 0 to opt out "
+                "silently); machine-readable events: "
+                "move_cap_events(path).",
+                self.path, lo, hi, detail,
+            )
+        event = {
+            "event": "move_cap_relax",
+            "start_version": lo,
+            "end_version": hi,
+            "reason": reason,
+            "move_limit": self.move_limit,
+            "pair_budget": pair_budget,
+            "partitions_changed": partitions_changed,
+        }
+        if n_desc is not None:
+            event["n_desc"] = n_desc
+        try:
+            fs, root = _fs_and_root(self.path)
+            d = posixpath.join(root, _METRICS_DIR)
+            fs.create_dir(d, recursive=True)
+            # range-keyed filename: a Spark re-plan of the same batch
+            # rewrites the same event (idempotent), never duplicates
+            with fs.open_output_stream(
+                posixpath.join(d, f"move_cap_v{lo:06d}_v{hi:06d}.json")
+            ) as f:
+                f.write(json.dumps(event).encode())
+        except (OSError, IOError) as exc:  # read-only fs: log-only
+            _log.debug("move-cap event write skipped (%s)", exc)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint owns progress; manifests are immutable
