@@ -56,6 +56,14 @@ def _literal(v, sqltype):
 
 @pytest.mark.parametrize("seed", [20260814])
 def test_dml_ddl_interleaved_soak(spark, tmp_path, seed):
+    _run_soak(spark, tmp_path, seed)
+
+
+def _run_soak(spark, tmp_path, seed, on_check=None):
+    """The 210-statement soak body, reusable: ``on_check(table, i)``
+    fires after each periodic model check so a rider (the live
+    lake-changes stream in test_stream_ddl_soak.py, r8) can verify its
+    own invariants at the same table versions."""
     rng = random.Random(seed)
     init = [(k, f"c{k}", k * 10) for k in range(1, 8)]
     t = ParquetLakeTable(spark, str(tmp_path / "soak"),
@@ -263,4 +271,8 @@ def test_dml_ddl_interleaved_soak(spark, tmp_path, seed):
         (rng.choice(ddl) if rng.random() < 0.25 else rng.choice(dml))(i)
         if i % 30 == 29:
             check(i)
+            if on_check is not None:
+                on_check(t, i)
     check(209)
+    if on_check is not None:
+        on_check(t, 209)
