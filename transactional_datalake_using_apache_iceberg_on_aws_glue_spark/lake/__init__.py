@@ -5,7 +5,7 @@ over partitioned parquet with snapshot-versioned manifest commits
 partitioning transforms, and manifest-stats scan planning."""
 
 from .changefeed import ChangeFeed
-from .merge_sql import MergeSqlError, MergeSqlRunner
+from .merge_sql import DuplicateKeyError, MergeSqlError, MergeSqlRunner
 from .metadata import register_metadata_views
 from .table import BranchDivergedError, CommitConflictError, ParquetLakeTable
 from .transforms import Transform, bucket, days, hours, months, truncate
@@ -13,6 +13,7 @@ from .transforms import Transform, bucket, days, hours, months, truncate
 __all__ = [
     "BranchDivergedError",
     "ChangeFeed",
+    "DuplicateKeyError",
     "MergeSqlError",
     "MergeSqlRunner",
     "CommitConflictError",
