@@ -41,6 +41,7 @@ import json, os, random, sys, time
 sys.path.insert(0, sys.argv[1])
 wid, table_path, waves_file, go_file, stats_file = (
     int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6])
+merge_mode = sys.argv[7] if len(sys.argv) > 7 else "cow"
 
 import pyspark.sql.functions as F
 
@@ -54,7 +55,7 @@ spark = build_session(app_name=f"race-w{wid}", master="local[2]",
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.sql.adaptive.enabled": "false"})
 table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
-                         partition_col="event")
+                         partition_col="event", merge_mode=merge_mode)
 waves = json.load(open(waves_file))
 rng = random.Random(1000 + wid)
 
@@ -83,6 +84,61 @@ for wave in waves:
         sys.exit(3)
 
 json.dump({"worker": wid, "conflicts": conflicts}, open(stats_file, "w"))
+spark.stop()
+"""
+
+_COMPACTOR = """
+import json, os, random, sys, time
+
+sys.path.insert(0, sys.argv[1])
+table_path, go_file, stop_file, stats_file = (
+    sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    CommitConflictError, ParquetLakeTable,
+)
+
+spark = build_session(app_name="race-compactor", master="local[2]",
+                      shuffle_partitions=2,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.sql.adaptive.enabled": "false"})
+table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                         partition_col="event", merge_mode="mor")
+rng = random.Random(99)
+
+open(stats_file + ".ready", "w").write("1")
+while not os.path.exists(go_file):
+    time.sleep(0.05)
+
+done = 0
+conflicts = 0
+# keep compacting until the writers are finished, riding conflicts the
+# way a maintenance job racing live writers must (Iceberg's
+# rewrite_data_files vs commit race) -- compact() itself does not
+# retry; the caller owns the policy
+while not os.path.exists(stop_file):
+    if not table.exists():
+        time.sleep(0.1)
+        continue
+    try:
+        table.compact()
+        done += 1
+    except CommitConflictError:
+        conflicts += 1
+        time.sleep(rng.uniform(0.05, 0.2))
+# one final fold so outstanding deltas from the last wave get compacted
+for _ in range(30):
+    try:
+        table.compact()
+        done += 1
+        break
+    except CommitConflictError:
+        conflicts += 1
+        time.sleep(rng.uniform(0.05, 0.2))
+
+json.dump({"compactions": done, "conflicts": conflicts},
+          open(stats_file, "w"))
 spark.stop()
 """
 
@@ -196,6 +252,103 @@ def test_cross_process_commit_race_soak(spark, tmp_path, seed):
 
     table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
                              partition_col="event")
+    got = {r["trans_id"]: (r["event"], r["amount"])
+           for r in table.read_data().collect()}
+    assert got == expect, {
+        "missing": {k: v for k, v in expect.items() if k not in got},
+        "extra": {k: v for k, v in got.items() if k not in expect},
+        "diff": {k: (got[k], expect[k]) for k in got
+                 if k in expect and got[k] != expect[k]},
+    }
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_cross_process_mor_writers_vs_compactor_soak(spark, tmp_path, seed):
+    """Maintenance vs writers, cross-process (r8, new soak axis): two
+    MOR writer processes append delta commits while a third process
+    loops ``compact()`` — the engine's ``rewrite_data_files`` — riding
+    ``CommitConflictError`` like any maintenance job racing live
+    writers must. Compaction rewrites state read at its base version;
+    the exclusive version claim must make a mid-compact merge surface
+    as a conflict rather than be silently folded away (the lost-update
+    shape Iceberg prevents with its commit lock). Asserts: all
+    processes exit clean, at least one compaction landed, the version
+    chain is dense, and the final folded state equals the serial fold
+    — i.e. no merge was lost to a racing rewrite and no compaction
+    resurrected or dropped rows."""
+    rng = random.Random(seed)
+    n_workers = 2
+    waves, expect = _gen_ops(rng, n_workers, n_waves=3, rows_per_wave=10)
+
+    table_path = str(tmp_path / "mor_race")
+    go_file = str(tmp_path / "GO")
+    stop_file = str(tmp_path / "STOP")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(_WORKER)
+    compactor_py = tmp_path / "compactor.py"
+    compactor_py.write_text(_COMPACTOR)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("SPARK_GRAFT_CPUS", None)
+    procs, stats_files = [], []
+    for w in range(n_workers):
+        wf = tmp_path / f"waves_{w}.json"
+        wf.write_text(json.dumps(waves[w]))
+        sf = str(tmp_path / f"stats_{w}.json")
+        stats_files.append(sf)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), REPO, str(w), table_path,
+             str(wf), go_file, sf, "mor"],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    comp_sf = str(tmp_path / "stats_compactor.json")
+    compactor = subprocess.Popen(
+        [sys.executable, str(compactor_py), REPO, table_path, go_file,
+         stop_file, comp_sf],
+        env=env, cwd=str(tmp_path),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+    deadline = time.time() + 240
+    ready = stats_files + [comp_sf]
+    while time.time() < deadline:
+        if all(os.path.exists(s + ".ready") for s in ready):
+            break
+        time.sleep(0.2)
+    with open(go_file, "w") as f:
+        f.write("go")
+
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            compactor.kill()
+            pytest.fail("race writer hung")
+        assert p.returncode == 0, err.decode()[-3000:]
+    with open(stop_file, "w") as f:
+        f.write("stop")
+    try:
+        out, err = compactor.communicate(timeout=300)
+    except subprocess.TimeoutExpired:
+        compactor.kill()
+        pytest.fail("compactor hung")
+    assert compactor.returncode == 0, err.decode()[-3000:]
+
+    comp = json.load(open(comp_sf))
+    assert comp["compactions"] >= 1, comp
+
+    # dense main-lineage version chain: merges + compactions, no holes
+    vdir = os.path.join(table_path, "_versions")
+    cur = int(open(os.path.join(vdir, "CURRENT")).read().strip())
+    assert cur == n_workers * 3 + comp["compactions"], (cur, comp)
+    for v in range(1, cur + 1):
+        m = json.loads(open(os.path.join(vdir, f"v{v:06d}.json")).read())
+        assert m["version"] == v
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+
+    table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                             partition_col="event", merge_mode="mor")
     got = {r["trans_id"]: (r["event"], r["amount"])
            for r in table.read_data().collect()}
     assert got == expect, {
