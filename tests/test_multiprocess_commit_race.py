@@ -262,6 +262,103 @@ def test_cross_process_commit_race_soak(spark, tmp_path, seed):
     }
 
 
+@pytest.mark.parametrize("seed", [23])
+def test_live_stream_reads_through_cross_process_race(spark, tmp_path, seed):
+    """Reader vs cross-process writers (r8, new soak axis): while OS
+    processes commit merges against the table, the parent drains a
+    checkpointed ``lake-changes`` stream in a loop. Every drain
+    resolves CURRENT mid-race — the reader must only ever see fully
+    committed manifests (the exclusive claim + pointer-swap ordering),
+    and the folded change batches must converge to exactly the final
+    table state: no torn batch, no change lost between offsets, no
+    change delivered twice across checkpointed drains."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    rng = random.Random(seed)
+    n_workers = 2
+    waves, expect = _gen_ops(rng, n_workers, n_waves=3, rows_per_wave=10)
+
+    table_path = str(tmp_path / "rr")
+    go_file = str(tmp_path / "GO")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(_WORKER)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("SPARK_GRAFT_CPUS", None)
+    procs, stats_files = [], []
+    for w in range(n_workers):
+        wf = tmp_path / f"waves_{w}.json"
+        wf.write_text(json.dumps(waves[w]))
+        sf = str(tmp_path / f"stats_{w}.json")
+        stats_files.append(sf)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), REPO, str(w), table_path,
+             str(wf), go_file, sf],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if all(os.path.exists(s + ".ready") for s in stats_files):
+            break
+        time.sleep(0.2)
+    with open(go_file, "w") as f:
+        f.write("go")
+
+    batches: list[list] = []
+    ckpt = str(tmp_path / "ck_reader")
+
+    def drain():
+        register_lake_stream(spark)
+        q = (spark.readStream.format("lake-changes")
+             .option("path", table_path).option("keys", "trans_id")
+             .option("partitionCol", "event").load()
+             .writeStream.foreachBatch(
+                 lambda df, b: batches.append(
+                     [(r["trans_id"], r["_change_type"], r["event"],
+                       r["amount"]) for r in df.collect()]))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # drain LIVE while the writers race (each drain snapshots CURRENT
+    # mid-commit-storm), then settle with final drains
+    mid_drains = 0
+    while any(p.poll() is None for p in procs):
+        if os.path.exists(os.path.join(table_path, "_versions", "CURRENT")):
+            drain()
+            mid_drains += 1
+        time.sleep(0.3)
+    for p in procs:
+        out, err = p.communicate(timeout=60)
+        assert p.returncode == 0, err.decode()[-3000:]
+    drain()  # whatever landed after the last mid-race drain
+
+    assert mid_drains >= 1  # the reader really raced the writers
+
+    state: dict = {}
+    for b in batches:
+        by_key: dict = {}
+        for k, c, e, a in b:
+            if c in ("insert", "update_postimage"):
+                by_key[k] = (e, a)
+            elif c == "delete":
+                by_key.setdefault(k, None)
+        for k, img in by_key.items():
+            if img is None:
+                state.pop(k, None)
+            else:
+                state[k] = img
+    assert state == expect, {
+        "missing": {k: v for k, v in expect.items() if k not in state},
+        "extra": {k: v for k, v in state.items() if k not in expect},
+        "diff": {k: (state[k], expect[k]) for k in state
+                 if k in expect and state[k] != expect[k]},
+    }
+
+
 @pytest.mark.parametrize("seed", [11])
 def test_cross_process_mor_writers_vs_compactor_soak(spark, tmp_path, seed):
     """Maintenance vs writers, cross-process (r8, new soak axis): two
