@@ -59,16 +59,18 @@ def test_dml_ddl_interleaved_soak(spark, tmp_path, seed):
     _run_soak(spark, tmp_path, seed)
 
 
-def _run_soak(spark, tmp_path, seed, on_check=None):
-    """The 210-statement soak body, reusable: ``on_check(table, i)``
-    fires after each periodic model check so a rider (the live
-    lake-changes stream in test_stream_ddl_soak.py, r8) can verify its
-    own invariants at the same table versions."""
+def _run_soak(spark, tmp_path, seed, on_check=None, n_stmts=210,
+              table_kw=None):
+    """The soak body, reusable: ``on_check(table, i)`` fires after
+    each periodic model check so a rider (the live lake-changes stream
+    in test_stream_ddl_soak.py, r8) can verify its own invariants at
+    the same table versions; ``table_kw`` overrides handle options
+    (test_statsext.py churns with externalized stats, r8)."""
     rng = random.Random(seed)
     init = [(k, f"c{k}", k * 10) for k in range(1, 8)]
     t = ParquetLakeTable(spark, str(tmp_path / "soak"),
                          key_cols=["trans_id"], partition_col=None,
-                         allow_schema_evolution=True)
+                         allow_schema_evolution=True, **(table_kw or {}))
     t.create(spark.createDataFrame(init, "trans_id long, customer_id string, "
                                          "amount int"))
     model = _Model(init)
@@ -267,12 +269,12 @@ def _run_soak(spark, tmp_path, seed, on_check=None):
                  .filter("count > 1").count())
         assert dupes == 0, f"duplicate keys after statement {i}"
 
-    for i in range(210):
+    for i in range(n_stmts):
         (rng.choice(ddl) if rng.random() < 0.25 else rng.choice(dml))(i)
         if i % 30 == 29:
             check(i)
             if on_check is not None:
                 on_check(t, i)
-    check(209)
+    check(n_stmts - 1)
     if on_check is not None:
-        on_check(t, 209)
+        on_check(t, n_stmts - 1)

@@ -136,7 +136,9 @@ def _file_rows(table: "ParquetLakeTable", m: dict) -> list[tuple]:
     rows: list[tuple] = []
     stats = m.get("stats", {})
     for part_value, snap in sorted(m["base"].items()):
-        entry = stats.get(part_value) or {}
+        # r8: file-level detail may live in a content-addressed
+        # sidecar (_externalize_stats); inflate per partition
+        entry = table._resolved_entry(stats.get(part_value)) or {}
         fstats = entry.get("files") or {}
         frows = entry.get("file_rows") or {}
         fsizes = entry.get("file_sizes") or {}

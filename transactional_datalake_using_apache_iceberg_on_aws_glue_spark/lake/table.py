@@ -59,6 +59,7 @@ post-dedup (one row per key per batch on the source side).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -156,6 +157,58 @@ def _spec_dict(partition_col: str | None,
 
 def _spec_load(d: dict) -> tuple[str | None, Transform | None]:
     return d.get("partition_col"), transform_from_dict(d.get("transform"))
+
+
+#: per-partition FILE-level stats keys (the O(files-per-partition)
+#: payload); partition-level scalars ("rows", "cols", "n_files") stay
+#: inline in the manifest
+_STATS_FILE_KEYS = ("files", "file_rows", "file_sizes")
+
+
+def _externalize_stats(fs, versions_dir: str, stats: dict,
+                       threshold: int | None) -> dict:
+    """Move each partition entry's file-level triple into an immutable
+    CONTENT-ADDRESSED sidecar under ``_versions/statsext/`` when its
+    serialized size exceeds ``threshold`` bytes (None = never) —
+    Iceberg's manifest-file reuse, applied to this engine's inline
+    stats (r8, 100 TB metadata story).
+
+    Why: the manifest is rewritten whole on EVERY commit; with inline
+    per-file stats a million-file table pays O(table) metadata
+    serialization for an O(batch) change. Externalized, an unchanged
+    partition carries a ~60-byte pointer forward and its sidecar is
+    reused byte-for-byte (same content -> same name, so carry-forward
+    never rewrites it; concurrent writers externalizing identical
+    content race benignly on create_exclusive). The slim entry keeps
+    ``rows``/``cols``/``n_files`` inline — commit summaries, merge
+    pruning, the change stream's key-bounds gate, and scan's
+    partition-level pruning never touch the sidecar; only FILE-level
+    consumers (file pruning on surviving partitions, the files
+    metadata table, clustering coverage) resolve it, each on demand.
+    """
+    out = {}
+    ext_dir = os.path.join(versions_dir, "statsext")
+    made = False
+    for part, entry in (stats or {}).items():
+        if not entry or "files_ext" in entry or not entry.get("files"):
+            out[part] = entry
+            continue
+        triple = {k: entry[k] for k in _STATS_FILE_KEYS if k in entry}
+        blob = json.dumps(triple, sort_keys=True)
+        if threshold is None or len(blob) <= threshold:
+            out[part] = entry
+            continue
+        name = hashlib.sha256(blob.encode()).hexdigest()[:24] + ".json"
+        if not made:
+            fs.makedirs(ext_dir)
+            made = True
+        fs.create_exclusive(os.path.join(ext_dir, name), blob)
+        slim = {k: v for k, v in entry.items()
+                if k not in _STATS_FILE_KEYS}
+        slim["files_ext"] = name
+        slim["n_files"] = len(entry["files"])
+        out[part] = slim
+    return out
 
 
 def _rename_stats_col(stats: dict, old: str, new: str | None) -> dict:
@@ -307,6 +360,11 @@ class ParquetLakeTable:
         wins (reference behavior).
     merge_mode: ``"cow"`` (partition rewrite) or ``"mor"``
         (delta append + fold-on-read; requires ``store_lineage``).
+    stats_ext_threshold: serialized-bytes threshold above which a
+        partition's file-level stats externalize into a
+        content-addressed ``_versions/statsext/`` sidecar at commit
+        (None = always inline). Keeps the manifest rewrite O(batch)
+        at millions of files; readers accept both forms.
     """
 
     def __init__(
@@ -323,6 +381,7 @@ class ParquetLakeTable:
         partition_by: Transform | None = None,
         ref: str = "main",
         orphan_grace_ms: int = 86_400_000,
+        stats_ext_threshold: int | None = 4096,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -365,6 +424,17 @@ class ParquetLakeTable:
         #: may be a concurrent writer's in-flight snapshot (Iceberg's
         #: remove_orphan_files older_than contract)
         self.orphan_grace_ms = orphan_grace_ms
+        #: commits externalize a partition's FILE-level stats into a
+        #: content-addressed ``_versions/statsext/`` sidecar when the
+        #: serialized triple exceeds this many bytes (None = keep
+        #: inline forever). See ``_externalize_stats`` — keeps the
+        #: per-commit manifest rewrite O(batch), not O(table), at
+        #: millions of files (r8). Readers handle both forms
+        #: regardless of this handle's setting.
+        self.stats_ext_threshold = stats_ext_threshold
+        #: sidecar blobs are immutable + content-addressed: memoize
+        #: loads per handle
+        self._statsext_cache: dict = {}
         # live SQL-view registrations (data + metadata views) are
         # recorded PROCESS-wide in lake/catalog.py's _VIEW_REGISTRY,
         # keyed by (path, ref) — any handle's commit refreshes them
@@ -448,6 +518,36 @@ class ParquetLakeTable:
             raise ValueError(
                 f"version {version} does not exist (expired or never committed)"
             )
+
+    def _resolved_entry(self, entry: dict | None) -> dict | None:
+        """One partition's stats entry with its file-level triple
+        inflated from the ``_versions/statsext/`` sidecar when the
+        commit externalized it (``_externalize_stats``). Inline
+        entries pass through untouched; sidecar loads memoize on the
+        handle (content-addressed, immutable). A missing sidecar
+        (hand-pruned metadata) degrades to the slim entry — consumers
+        already treat absent file detail as "no stats"."""
+        if not entry or "files_ext" not in entry:
+            return entry
+        name = entry["files_ext"]
+        triple = self._statsext_cache.get(name)
+        if triple is None:
+            try:
+                triple = json.loads(self.fs.read_text(os.path.join(
+                    self._versions_path(), "statsext", name)))
+            except (FileNotFoundError, OSError, ValueError):
+                return entry
+            self._statsext_cache[name] = triple
+        out = {k: v for k, v in entry.items() if k != "files_ext"}
+        out.update(triple)
+        return out
+
+    def _resolved_stats(self, stats: dict) -> dict:
+        """Every entry of a manifest stats map fully inflated — only
+        for whole-map rewrites (column rename/drop DDL); query paths
+        resolve per partition on demand."""
+        return {part: self._resolved_entry(e)
+                for part, e in (stats or {}).items()}
 
     def _resolve_as_of(self, as_of_version: int | None,
                        as_of_timestamp_ms: int | None) -> dict | None:
@@ -627,6 +727,11 @@ class ParquetLakeTable:
                     total += sum(rs)
             if total is not None:
                 summary["total-records"] = total
+        # externalize large file-level stats AFTER the summary fold
+        # (which only reads the inline "rows" scalar): entries already
+        # in pointer form — the carry-forward of untouched partitions —
+        # re-emit their ~60-byte pointer verbatim, so the manifest
+        # rewrite stays O(partitions + changed files), never O(files)
         manifest = {
             "parent": base_version,
             "ref": self.ref,
@@ -636,7 +741,8 @@ class ParquetLakeTable:
             "deltas": deltas,
             "schema": schema.jsonValue(),
             "summary": summary,
-            "stats": stats or {},
+            "stats": _externalize_stats(self.fs, vdir, stats or {},
+                                        self.stats_ext_threshold),
             "renames": renames,
             "spec": spec,
             "slice_specs": slice_specs,
@@ -1099,13 +1205,22 @@ class ParquetLakeTable:
             slice_cols[snap] = pcol
             part_eq, part_proj, stat_preds = _for_spec(pcol, ptrans)
             entry = stats.get(part)
-            n_files = len((entry or {}).get("files", {}))
+            n_files = (entry or {}).get("n_files")
+            if n_files is None:
+                n_files = len((entry or {}).get("files", {}))
             files_total += n_files
             if any(part not in s for s in part_eq):
                 continue
             if part_proj and not self._token_matches(part, part_proj, ptrans):
                 continue
             keep, subset = prune_entry(entry, stat_preds)
+            if keep and subset is None and stat_preds and (
+                    entry or {}).get("files_ext"):
+                # partition-level bounds passed and file detail is
+                # externalized: load the sidecar ONLY for survivors
+                # that can still benefit from file-granular pruning
+                keep, subset = prune_entry(self._resolved_entry(entry),
+                                           stat_preds)
             if not keep:
                 continue
             base[part] = (snap, subset)
@@ -1804,7 +1919,7 @@ class ParquetLakeTable:
             for f in schema.fields
         ]
         renames = list(m.get("renames", [])) + [{"from": old, "to": new}]
-        stats = _rename_stats_col(m.get("stats", {}), old, new)
+        stats = _rename_stats_col(self._resolved_stats(m.get("stats", {})), old, new)
         return self._commit(
             self.current_version(), "rename-column", m["base"], m["deltas"],
             T.StructType(fields), summary={"renamed": {old: new}},
@@ -1964,7 +2079,7 @@ class ParquetLakeTable:
         if col not in schema.names:
             raise ValueError(f"column {col!r} does not exist")
         fields = [f for f in schema.fields if f.name != col]
-        stats = _rename_stats_col(m.get("stats", {}), col, None)
+        stats = _rename_stats_col(self._resolved_stats(m.get("stats", {})), col, None)
         # record the drop in the rename history as {"from": col,
         # "to": None} — inert to the resolution chain-walk (no logical
         # name equals None) but it retires the physical name so it can
@@ -2078,7 +2193,8 @@ class ParquetLakeTable:
         for part_enc in sorted(m["base"]):
             if _spec_dict(*self._slice_spec(m, m["base"][part_enc])) != cur_spec:
                 continue  # legacy-spec slice: merge/compact migrates it
-            entry = (m.get("stats") or {}).get(part_enc) or {}
+            entry = self._resolved_entry(
+                (m.get("stats") or {}).get(part_enc)) or {}
             files = entry.get("files") or {}
             if len(files) < min_files:
                 continue
@@ -2426,6 +2542,25 @@ class ParquetLakeTable:
         for m in list(self._iter_manifests()):
             if m["version"] not in protected:
                 self.fs.remove(self._manifest_file(m["version"]))
+        # stats sidecars (r8): content-addressed blobs are shared
+        # across manifests via carry-forward, so they outlive any one
+        # version — reclaim only the ones NO surviving manifest
+        # references. A live manifest is protected, so a concurrent
+        # writer carrying its pointers forward can never reference a
+        # blob this pass deletes.
+        ext_dir = os.path.join(self._versions_path(), "statsext")
+        if self.fs.isdir(ext_dir):
+            referenced_ext = set()
+            for m in self._iter_manifests():
+                for entry in (m.get("stats") or {}).values():
+                    if entry and "files_ext" in entry:
+                        referenced_ext.add(entry["files_ext"])
+            for name in self.fs.listdir(ext_dir):
+                if name.endswith(".json") and name not in referenced_ext:
+                    try:
+                        self.fs.remove(os.path.join(ext_dir, name))
+                    except FileNotFoundError:
+                        pass
         return removed
 
     def file_count(self) -> int:

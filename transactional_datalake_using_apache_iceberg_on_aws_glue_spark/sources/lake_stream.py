@@ -206,6 +206,36 @@ def _current_version(path: str) -> int:
         return 0
 
 
+#: process-local memo for externalized stats sidecars (immutable,
+#: content-addressed — lake/table.py ``_externalize_stats``, r8);
+#: shared across readers on the same table path
+_STATSEXT_CACHE: dict = {}
+
+
+def _resolve_stats_entry(path: str, entry: dict | None) -> dict | None:
+    """Inflate one partition's stats entry when its file-level triple
+    was externalized at commit time (``files_ext`` pointer into
+    ``_versions/statsext/``). Pure pyarrow — usable on the driver
+    planner and in executor tasks alike (the Python Data Source
+    contract gives neither a SparkSession). A missing sidecar degrades
+    to the slim entry; callers already fall back to a listing when
+    file detail is absent."""
+    if not entry or "files_ext" not in entry:
+        return entry
+    key = (path, entry["files_ext"])
+    triple = _STATSEXT_CACHE.get(key)
+    if triple is None:
+        try:
+            triple = json.loads(_read_text(
+                path, "_versions", "statsext", entry["files_ext"]))
+        except (FileNotFoundError, OSError, ValueError):
+            return entry
+        _STATSEXT_CACHE[key] = triple
+    out = {k: v for k, v in entry.items() if k != "files_ext"}
+    out.update(triple)
+    return out
+
+
 def _lineage_of(path: str, head: int) -> list[int]:
     out, v = [], head
     while v > 0:
@@ -229,7 +259,7 @@ def _partition_files(path: str, m: dict, part: str,
     if snap is None:
         return []
     _fs, root = _fs_and_root(path)
-    entry = (m.get("stats") or {}).get(part)
+    entry = _resolve_stats_entry(path, (m.get("stats") or {}).get(part))
     if entry and entry.get("files"):
         return sorted(
             posixpath.join(root, snap, rel) for rel in entry["files"]
