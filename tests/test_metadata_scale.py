@@ -45,7 +45,7 @@ def _synthesize_10k_manifest(table):
     base, stats = {}, {}
     for p in range(N_PARTS):
         tok = f"p{p:03d}"
-        snap = f"snap-000002/{tok}"
+        snap = "snap-000002"  # one shared snapshot dir, like real commits
         base[tok] = snap
         files = {}
         file_rows = {}
@@ -56,7 +56,8 @@ def _synthesize_10k_manifest(table):
             file_rows[rel] = 10
             file_sizes[rel] = 4096 + i
         stats[tok] = {"rows": N_FILES * 10, "files": files,
-                      "file_rows": file_rows, "file_sizes": file_sizes}
+                      "file_rows": file_rows, "file_sizes": file_sizes,
+                      "cols": {"trans_id": [p * 1000, p * 1000 + 108]}}
     m.update(version=2, parent=1, base=base, stats=stats, deltas=[],
              operation="synthetic-scale-fixture")
     with open(os.path.join(vdir, "v000002.json"), "w") as f:
@@ -110,6 +111,78 @@ def test_files_partitions_tables_are_manifest_only_at_10k_files(
     assert by_part["p042"]["n_rows"] == N_FILES * 10
     assert by_part["p042"]["size_bytes"] == sum(4096 + i
                                                 for i in range(N_FILES))
+
+
+def test_statsext_keeps_commit_manifest_o_batch_at_10k_files(
+        spark, tmp_path):
+    """The r8 statsext contract at metadata scale: against a 10k-file
+    manifest, a commit touching ONE partition must (a) shrink the
+    manifest from O(files) inline bytes to O(partitions) pointer
+    bytes, (b) carry every untouched partition's sidecar pointer
+    forward VERBATIM (no blob rewrite), and (c) never READ a sidecar —
+    the merge plans entirely from the inline ``rows``/``cols``
+    scalars. The untouched partitions carry one token data file each
+    (the merge's logical plan enumerates referenced leaf dirs), but
+    the manifest claims 100 — the stats tier is authoritative and
+    nothing on the commit path may contradict it by listing files."""
+    R = "trans_id long, event string, v int"
+    table = ParquetLakeTable(spark, str(tmp_path / "big"),
+                             key_cols=["trans_id"], partition_col="event",
+                             stats_ext_threshold=0)
+    table.create(spark.createDataFrame([(1, "p000", 1)], R))
+    _synthesize_10k_manifest(table)
+    # materialize the 100 leaf dirs the synthetic manifest references
+    # (one token file each — far fewer than the stats claim)
+    (spark.createDataFrame([(p * 1000, f"p{p:03d}", 0)
+                            for p in range(N_PARTS)], R)
+     .coalesce(1).write.partitionBy("event")
+     .parquet(os.path.join(table.path, "snap-000002")))
+    vdir = os.path.join(table.path, "_versions")
+    inline_bytes = os.path.getsize(os.path.join(vdir, "v000002.json"))
+
+    # merge 1 (inline -> external migration): batch keys far outside
+    # every stored partition's cols bounds, so the probe prunes ALL
+    # fictitious partitions and only the new partition is written
+    t0 = time.perf_counter()
+    table.merge(spark.createDataFrame([(10_000_000, "zz", 1)], R)
+                .withColumn("_op", F.lit("insert")))
+    merge_s = time.perf_counter() - t0
+    assert merge_s < 30.0, f"merge took {merge_s:.1f}s at 10k files"
+    m3 = json.load(open(os.path.join(vdir, "v000003.json")))
+    ext_bytes = os.path.getsize(os.path.join(vdir, "v000003.json"))
+    assert ext_bytes * 10 < inline_bytes, (
+        f"externalized manifest {ext_bytes}B not <10% of inline "
+        f"{inline_bytes}B")
+    ptrs3 = {p: e.get("files_ext") for p, e in m3["stats"].items()
+             if p.startswith("p")}
+    assert len(ptrs3) == N_PARTS and all(ptrs3.values())
+    assert all("files" not in e for e in m3["stats"].values())
+
+    # merge 2: pointers carry forward verbatim, zero sidecar READS
+    real_read = table.fs.read_text
+    ext_reads = {"n": 0}
+
+    def counting_read(path):
+        if f"{os.sep}statsext{os.sep}" in path or "/statsext/" in path:
+            ext_reads["n"] += 1
+        return real_read(path)
+
+    table.fs.read_text = counting_read
+    table.merge(spark.createDataFrame([(10_000_001, "zz2", 1)], R)
+                .withColumn("_op", F.lit("insert")))
+    table.fs.read_text = real_read
+    assert ext_reads["n"] == 0, (
+        "commit resolved statsext sidecars for untouched partitions")
+    m4 = json.load(open(os.path.join(vdir, "v000004.json")))
+    assert {p: e.get("files_ext") for p, e in m4["stats"].items()
+            if p.startswith("p")} == ptrs3
+    # the blob store grew only by the two new partitions' content
+    # (+1 for the v1 create's own externalized entry)
+    blobs = os.listdir(os.path.join(vdir, "statsext"))
+    assert len(blobs) <= N_PARTS + 3
+
+    # and the files table still serves all file-level detail on demand
+    assert files_df(table).count() == N_PARTS * N_FILES + 2
 
 
 def test_delta_footer_memo_prevents_reharvest(spark, tmp_path, monkeypatch):

@@ -84,3 +84,20 @@ def test_stream_survives_dml_ddl_soak(spark, tmp_path, seed):
     # were not all trivially empty
     assert rider.drains == 8
     assert rider.nonempty >= 6, (rider.drains, rider.nonempty)
+
+
+@pytest.mark.parametrize("seed", [20260815])
+def test_stream_rides_ddl_churn_with_externalized_stats(
+        spark, tmp_path, seed):
+    """The r8 statsext × stream × DDL product: with
+    ``stats_ext_threshold=0`` every commit externalizes all file-level
+    stats, so the live stream's OWN pyarrow sidecar resolution
+    (``_resolve_stats_entry``) serves every manifest file list it
+    plans from — including sidecars rewritten by column rename/drop
+    DDL mid-span — and must still match ``read_changes`` drain for
+    drain."""
+    rider = _StreamRider(spark, str(tmp_path / "ck_rider"))
+    _run_soak(spark, tmp_path, seed, on_check=rider, n_stmts=120,
+              table_kw={"stats_ext_threshold": 0})
+    assert rider.drains == 5
+    assert rider.nonempty >= 3, (rider.drains, rider.nonempty)

@@ -2565,13 +2565,29 @@ class ParquetLakeTable:
 
     def file_count(self) -> int:
         """Data files referenced by the CURRENT snapshot (not what is on
-        disk — expired/unreferenced files don't count)."""
+        disk — expired/unreferenced files don't count).
+
+        MANIFEST-FIRST (r8): every post-stats commit records
+        ``n_files`` (or the full ``files`` map) per partition and the
+        MOR write path records ``delta_files``, so the count is pure
+        metadata — ``exists()`` runs before EVERY merge, and the r7
+        version's per-directory walk made that O(table) filesystem
+        round-trips per batch. Only pre-stats slices (hand-built or
+        legacy manifests) fall back to a directory walk."""
         m = self._manifest()
         if m is None:
             return 0
         n = 0
+        stats = m.get("stats") or {}
         seen: set[str] = set()
         for part_value, snap in m["base"].items():
+            entry = stats.get(part_value)
+            nf = (entry or {}).get("n_files")
+            if nf is None and (entry or {}).get("files") is not None:
+                nf = len(entry["files"])
+            if nf is not None:
+                n += nf
+                continue
             # each slice's leaf path follows the spec it was WRITTEN
             # under (partition-spec evolution leaves old layouts)
             slice_col = self._slice_spec(m, snap)[0]
@@ -2582,8 +2598,14 @@ class ParquetLakeTable:
             if d not in seen and self.fs.isdir(d):
                 seen.add(d)
                 n += len(self.fs.walk_files(d, ".parquet"))
+        delta_files = m.get("delta_files") or {}
         for delta in m["deltas"]:
-            n += len(self.fs.walk_files(os.path.join(self.path, delta), ".parquet"))
+            listed = delta_files.get(delta)
+            if listed is not None:
+                n += sum(len(rels) for rels in listed.values())
+            else:
+                n += len(self.fs.walk_files(
+                    os.path.join(self.path, delta), ".parquet"))
         return n
 
     # -- merge -------------------------------------------------------------
