@@ -42,6 +42,8 @@ sys.path.insert(0, sys.argv[1])
 wid, table_path, waves_file, go_file, stats_file = (
     int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6])
 merge_mode = sys.argv[7] if len(sys.argv) > 7 else "cow"
+stats_ext = (int(sys.argv[8]) if len(sys.argv) > 8 and sys.argv[8] != ""
+             else 4096)
 
 import pyspark.sql.functions as F
 
@@ -55,7 +57,8 @@ spark = build_session(app_name=f"race-w{wid}", master="local[2]",
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.sql.adaptive.enabled": "false"})
 table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
-                         partition_col="event", merge_mode=merge_mode)
+                         partition_col="event", merge_mode=merge_mode,
+                         stats_ext_threshold=stats_ext)
 waves = json.load(open(waves_file))
 rng = random.Random(1000 + wid)
 
@@ -139,6 +142,76 @@ for _ in range(30):
 
 json.dump({"compactions": done, "conflicts": conflicts},
           open(stats_file, "w"))
+spark.stop()
+"""
+
+
+_GC = """
+import json, os, random, sys, time
+
+sys.path.insert(0, sys.argv[1])
+table_path, go_file, stop_file, stats_file, grace_ms = (
+    sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5], int(sys.argv[6]))
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+
+spark = build_session(app_name="race-gc", master="local[2]",
+                      shuffle_partitions=2,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.sql.adaptive.enabled": "false"})
+table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                         partition_col="event", orphan_grace_ms=grace_ms,
+                         stats_ext_threshold=0)
+rng = random.Random(7)
+
+open(stats_file + ".ready", "w").write("1")
+while not os.path.exists(go_file):
+    time.sleep(0.05)
+
+# expire_snapshots never commits, so it cannot conflict; it races the
+# writers purely on the filesystem (orphan scans + manifest removal +
+# blob GC vs fresh snapshot writes, blob creates, version claims).
+# The operational contract (Iceberg's too): retention and the orphan
+# grace must exceed the longest in-flight plan/write, or the
+# collector reclaims files a racing merge is about to reference —
+# mid-race passes therefore run with a generous retention window
+# (the orphan-grace machinery is what the race exercises), and the
+# deterministic full-strength reclaim happens in the settle pass
+# below once the writers are done.
+RETAIN_MS = 180_000
+removed_dirs = 0
+passes = 0
+blob_removals = 0
+while not os.path.exists(stop_file):
+    if not os.path.exists(os.path.join(table_path, "_versions", "CURRENT")):
+        time.sleep(0.1)
+        continue
+    ext_dir = os.path.join(table_path, "_versions", "statsext")
+    before = set(os.listdir(ext_dir)) if os.path.isdir(ext_dir) else set()
+    removed_dirs += len(table.expire_snapshots(
+        keep_last=2, older_than_ms=int(time.time() * 1000) - RETAIN_MS))
+    after = set(os.listdir(ext_dir)) if os.path.isdir(ext_dir) else set()
+    blob_removals += len(before - after)
+    passes += 1
+    time.sleep(rng.uniform(0.05, 0.15))
+
+# settle pass: the writers have exited, nothing is in flight, so
+# retention drops to keep_last alone and the grace window to zero —
+# everything unreachable (expired dirs, crash debris from ridden
+# conflicts, unreferenced sidecar blobs) reclaims deterministically
+settle = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                          partition_col="event", orphan_grace_ms=0,
+                          stats_ext_threshold=0)
+ext_dir = os.path.join(table_path, "_versions", "statsext")
+before = set(os.listdir(ext_dir)) if os.path.isdir(ext_dir) else set()
+removed_dirs += len(settle.expire_snapshots(keep_last=2))
+after = set(os.listdir(ext_dir)) if os.path.isdir(ext_dir) else set()
+blob_removals += len(before - after)
+passes += 1
+
+json.dump({"passes": passes, "removed_dirs": removed_dirs,
+           "blob_removals": blob_removals}, open(stats_file, "w"))
 spark.stop()
 """
 
@@ -454,3 +527,118 @@ def test_cross_process_mor_writers_vs_compactor_soak(spark, tmp_path, seed):
         "diff": {k: (got[k], expect[k]) for k in got
                  if k in expect and got[k] != expect[k]},
     }
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_cross_process_gc_vs_writers_soak(spark, tmp_path, seed):
+    """Snapshot GC vs live writers, cross-process (r8, new soak axis,
+    with externalized stats ON): two COW writer processes
+    (``stats_ext_threshold=0`` — every commit writes content-addressed
+    sidecar blobs) race merges while a third process loops
+    ``expire_snapshots(keep_last=2)`` under a 30-second orphan grace
+    (mid-race; the post-race settle pass drops grace to zero).
+    GC never commits, so it races the writers purely on the
+    filesystem: manifest removal + snapshot-dir reclamation + sidecar
+    blob GC against fresh snapshot writes, blob creates, and version
+    claims. The grace window is the ONLY thing standing between the
+    collector and a racing writer's just-written (not yet referenced)
+    snapshot dir or stats blob. Asserts: all processes exit clean,
+    the collector actually reclaimed dirs AND blobs, every surviving
+    manifest's ``files_ext`` pointer resolves (no dangling sidecar —
+    the exact corruption an ungraced blob GC produces), and the final
+    table equals the order-independent serial fold."""
+    rng = random.Random(seed)
+    n_workers = 2
+    waves, expect = _gen_ops(rng, n_workers, n_waves=4, rows_per_wave=10)
+
+    table_path = str(tmp_path / "gc_race")
+    go_file = str(tmp_path / "GO")
+    stop_file = str(tmp_path / "STOP")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(_WORKER)
+    gc_py = tmp_path / "gc.py"
+    gc_py.write_text(_GC)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("SPARK_GRAFT_CPUS", None)
+    procs, stats_files = [], []
+    for w in range(n_workers):
+        wf = tmp_path / f"waves_{w}.json"
+        wf.write_text(json.dumps(waves[w]))
+        sf = str(tmp_path / f"stats_{w}.json")
+        stats_files.append(sf)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), REPO, str(w), table_path,
+             str(wf), go_file, sf, "cow", "0"],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    gc_sf = str(tmp_path / "stats_gc.json")
+    gc_proc = subprocess.Popen(
+        [sys.executable, str(gc_py), REPO, table_path, go_file,
+         stop_file, gc_sf, "30000"],
+        env=env, cwd=str(tmp_path),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+    deadline = time.time() + 240
+    ready = stats_files + [gc_sf]
+    while time.time() < deadline:
+        if all(os.path.exists(s + ".ready") for s in ready):
+            break
+        time.sleep(0.2)
+    with open(go_file, "w") as f:
+        f.write("go")
+
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            gc_proc.kill()
+            pytest.fail("race writer hung")
+        assert p.returncode == 0, err.decode()[-3000:]
+    with open(stop_file, "w") as f:
+        f.write("stop")
+    try:
+        out, err = gc_proc.communicate(timeout=300)
+    except subprocess.TimeoutExpired:
+        gc_proc.kill()
+        pytest.fail("gc process hung")
+    assert gc_proc.returncode == 0, err.decode()[-3000:]
+
+    gc = json.load(open(gc_sf))
+    assert gc["passes"] >= 2, gc
+    assert gc["removed_dirs"] >= 1, gc  # dirs really reclaimed
+    assert gc["blob_removals"] >= 1, gc  # sidecar blobs really reclaimed
+
+    # NO DANGLING SIDECAR: every surviving manifest's files_ext
+    # pointer must resolve to a blob on disk
+    vdir = os.path.join(table_path, "_versions")
+    ext_dir = os.path.join(vdir, "statsext")
+    blobs = set(os.listdir(ext_dir)) if os.path.isdir(ext_dir) else set()
+    surviving = sorted(f for f in os.listdir(vdir)
+                       if f.startswith("v") and f.endswith(".json"))
+    assert surviving, "no manifests survived GC"
+    checked = 0
+    for name in surviving:
+        m = json.loads(open(os.path.join(vdir, name)).read())
+        for tok, entry in (m.get("stats") or {}).items():
+            if entry and "files_ext" in entry:
+                assert entry["files_ext"] in blobs, (name, tok, entry)
+                checked += 1
+    assert checked >= 1  # the audit saw real pointers
+
+    # logical audit through a fresh handle (reads resolve sidecars)
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.metadata import files_df
+
+    table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                             partition_col="event")
+    got = {r["trans_id"]: (r["event"], r["amount"])
+           for r in table.read_data().collect()}
+    assert got == expect, {
+        "missing": {k: v for k, v in expect.items() if k not in got},
+        "extra": {k: v for k, v in got.items() if k not in expect},
+        "diff": {k: (got[k], expect[k]) for k in got
+                 if k in expect and got[k] != expect[k]},
+    }
+    assert files_df(table).count() == table.file_count()

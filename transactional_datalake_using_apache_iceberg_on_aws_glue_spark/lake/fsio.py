@@ -85,6 +85,13 @@ class LocalFileSystem:
             fh.write(content)
         return True
 
+    def touch(self, path: str) -> None:
+        """Refresh an existing file's mtime to now — used to renew a
+        content-addressed blob's GC grace window when a writer reuses
+        it instead of re-creating it (object store: a copy-to-self /
+        metadata update refreshes LastModified)."""
+        os.utime(path)
+
     def replace(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 

@@ -202,7 +202,15 @@ def _externalize_stats(fs, versions_dir: str, stats: dict,
         if not made:
             fs.makedirs(ext_dir)
             made = True
-        fs.create_exclusive(os.path.join(ext_dir, name), blob)
+        if not fs.create_exclusive(os.path.join(ext_dir, name), blob):
+            # blob already exists (identical content from an earlier —
+            # possibly since-expired — commit): renew its GC grace
+            # window so a concurrent expire_snapshots cannot reclaim
+            # it between this reuse and our manifest claim
+            try:
+                fs.touch(os.path.join(ext_dir, name))
+            except OSError:
+                pass
         slim = {k: v for k, v in entry.items()
                 if k not in _STATS_FILE_KEYS}
         slim["files_ext"] = name
@@ -2545,9 +2553,13 @@ class ParquetLakeTable:
         # stats sidecars (r8): content-addressed blobs are shared
         # across manifests via carry-forward, so they outlive any one
         # version — reclaim only the ones NO surviving manifest
-        # references. A live manifest is protected, so a concurrent
-        # writer carrying its pointers forward can never reference a
-        # blob this pass deletes.
+        # references. Carried pointers always come from a protected
+        # parent manifest (a commit whose parent was expired loses the
+        # version-claim race and replans), so they can never dangle;
+        # a racing writer's FRESH blob, written just before its
+        # manifest claim, is unreferenced for an instant — the same
+        # orphan grace window the snapshot-dir pass uses protects it
+        # (and blob REUSE renews the window via fs.touch).
         ext_dir = os.path.join(self._versions_path(), "statsext")
         if self.fs.isdir(ext_dir):
             referenced_ext = set()
@@ -2556,11 +2568,15 @@ class ParquetLakeTable:
                     if entry and "files_ext" in entry:
                         referenced_ext.add(entry["files_ext"])
             for name in self.fs.listdir(ext_dir):
-                if name.endswith(".json") and name not in referenced_ext:
-                    try:
-                        self.fs.remove(os.path.join(ext_dir, name))
-                    except FileNotFoundError:
-                        pass
+                if not name.endswith(".json") or name in referenced_ext:
+                    continue
+                full = os.path.join(ext_dir, name)
+                try:
+                    if now_ms - self.fs.mtime_ms(full) < self.orphan_grace_ms:
+                        continue
+                    self.fs.remove(full)
+                except (FileNotFoundError, OSError):
+                    pass
         return removed
 
     def file_count(self) -> int:
