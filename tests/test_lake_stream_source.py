@@ -662,3 +662,48 @@ def test_stream_schema_evolution_soak(spark, tmp_path):
     table.compact()                    # migrate + fold everything
     check()                            # pure rewrite: empty diff
     assert got == []
+
+
+def test_stream_restart_from_expired_offset_fails_loud(spark, tmp_path):
+    """GC × checkpoint interaction (r8): a checkpointed stream whose
+    committed offset's manifest was reclaimed by ``expire_snapshots``
+    must fail with :class:`OffsetExpiredError` naming the expired
+    version and the recovery options (Iceberg's expired-starting-
+    snapshot semantics) — not a raw FileNotFoundError swallowed into
+    Spark's planPartitions traceback. A FRESH checkpoint against the
+    same table must still bootstrap to the current state."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources import OffsetExpiredError  # noqa: F401 (public export)
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"),
+                             key_cols=["trans_id"], partition_col="event",
+                             orphan_grace_ms=0)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, table.path, ckpt, got)   # checkpoint now at v1
+    assert {t for (_, t, _) in got} == {"insert"}
+
+    # advance the table twice, then expire everything but the head —
+    # the checkpointed offset (v1) is now gone
+    apply_cdc_batch(_envelope_df(spark, fixtures.dml_envelopes()), table)
+    table.compact()
+    assert table.current_version() >= 3
+    table.expire_snapshots(keep_last=1)
+
+    got2: list[tuple] = []
+    with pytest.raises(StreamingQueryException) as exc:
+        _drain(spark, table.path, ckpt, got2)
+    msg = str(exc.value)
+    assert "OffsetExpiredError" in msg
+    assert "expire_snapshots reclaimed it" in msg
+    assert "fresh checkpoint" in msg
+    assert got2 == []                       # nothing half-emitted
+
+    # fresh checkpoint: bootstrap works and equals the current state
+    got3: list[tuple] = []
+    _drain(spark, table.path, str(tmp_path / "ckpt2"), got3)
+    assert {t for (_, t, _) in got3} == {"insert"}
+    assert {k: a for (k, _, a) in got3} == fixtures.expected_final_state()

@@ -4,6 +4,7 @@ inference — SURVEY §1.3)."""
 
 from .lake_stream import (
     LakeChangeDataSource,
+    OffsetExpiredError,
     move_cap_events,
     register_lake_stream,
 )
@@ -18,6 +19,7 @@ from .readers import (
 
 __all__ = [
     "LakeChangeDataSource",
+    "OffsetExpiredError",
     "move_cap_events",
     "register_lake_stream",
     "read_parquet_table",

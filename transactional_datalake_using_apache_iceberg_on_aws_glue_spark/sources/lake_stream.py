@@ -195,8 +195,61 @@ def _read_text(path: str, *parts: str) -> str:
         return f.read().decode()
 
 
+class OffsetExpiredError(ValueError):
+    """A stream offset references a version manifest that
+    ``expire_snapshots`` has reclaimed. Iceberg's streaming read fails
+    the same way when the starting snapshot is expired — the diff
+    against that snapshot is unrecoverable by design (expiry is what
+    reclaims space). Remediation is operational, so the message spells
+    it out: restart with a fresh checkpoint (bootstrap re-emits the
+    current state as inserts) or ``startingVersion='latest'``, and
+    keep snapshot retention longer than the stream's maximum
+    downtime."""
+
+
 def _read_manifest(path: str, version: int) -> dict:
     return json.loads(_read_text(path, "_versions", f"v{version:06d}.json"))
+
+
+def _read_offset_manifest(path: str, version: int) -> dict:
+    """`_read_manifest` with the checkpointed-restart failure mode made
+    loud: a missing manifest surfaces as :class:`OffsetExpiredError`
+    naming the expired version, the oldest version still available,
+    and the recovery options — instead of a raw ``FileNotFoundError``
+    swallowed into Spark's planPartitions traceback. Sound gate:
+    ``expire_snapshots`` keeps every file referenced by a surviving
+    manifest, so manifest presence implies the diff is fully
+    readable."""
+    try:
+        return _read_manifest(path, version)
+    except (FileNotFoundError, OSError) as e:
+        fs, root = _fs_and_root(path)
+        from pyarrow import fs as pafs
+        oldest = None
+        try:
+            for i in fs.get_file_info(
+                    pafs.FileSelector(posixpath.join(root, "_versions"))):
+                name = posixpath.basename(i.path)
+                if (i.type == pafs.FileType.File and name.startswith("v")
+                        and name.endswith(".json")):
+                    try:
+                        v = int(name[1:-5])
+                    except ValueError:
+                        continue
+                    oldest = v if oldest is None else min(oldest, v)
+        except (FileNotFoundError, OSError):
+            pass
+        raise OffsetExpiredError(
+            f"stream offset version {version} of table {path!r} no longer "
+            f"exists: expire_snapshots reclaimed it (oldest surviving "
+            f"manifest: "
+            f"{'v%06d' % oldest if oldest is not None else 'none'}). The "
+            f"checkpoint cannot be resumed — restart with a fresh "
+            f"checkpoint (bootstrap re-emits current state as inserts) or "
+            f"startingVersion='latest'; to prevent this, keep snapshot "
+            f"retention (expire_snapshots keep_last / older_than_ms) "
+            f"longer than the stream's maximum downtime."
+        ) from e
 
 
 def _current_version(path: str) -> int:
@@ -462,8 +515,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         if hi <= lo:
             return [_PartDiff(_ALL, [], [])]  # empty batch
-        new_m = _read_manifest(self.path, hi)
-        old_m = None if lo == 0 else _read_manifest(self.path, lo)
+        new_m = _read_offset_manifest(self.path, hi)
+        old_m = None if lo == 0 else _read_offset_manifest(self.path, lo)
         renames = new_m.get("renames", [])
         old_map = self._layered(old_m)
         new_map = self._layered(new_m)
