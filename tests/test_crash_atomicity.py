@@ -1,0 +1,262 @@
+"""Crash-atomicity soak (r8, new axis): SIGKILL writers mid-merge.
+
+The commit protocol — write the snapshot/delta dirs first, then claim
+the version manifest with an exclusive create, then advance CURRENT
+via atomic rename (``lake/table.py::_commit``) — promises Iceberg's
+crash contract: a writer killed at ANY instant leaves the table
+readable, every landed merge all-or-nothing, and its debris (a
+half-written snapshot dir no manifest references) reclaimable by the
+orphan GC after the grace window. The reference gets this from
+Iceberg's metadata swap + a DynamoDB lock
+(/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:57-58);
+this soak proves the engine's stand-in under real SIGKILL, not a
+simulated exception:
+
+- two OS worker processes merge insert-only waves against one table;
+  each worker fsyncs a per-wave ack AFTER ``merge()`` returns;
+- the parent SIGKILLs each worker's whole process group at a random
+  delay chosen to land mid-merge;
+- audit A (post-crash): CURRENT parses, the manifest chain from
+  CURRENT is dense and connected to the root, every referenced
+  snapshot/delta dir exists, every ACKED wave is fully present, and
+  every wave is atomic — all of its rows or none (a torn wave is the
+  exact corruption a non-atomic commit produces);
+- audit B (recovery): replaying EVERY wave through a fresh handle is
+  idempotent (merge is a pure function of state + batch; landed rows
+  are overwritten with identical values), and the final state equals
+  the full fold — a crashed pipeline recovers by simple re-run, the
+  same recovery story as the reference's replayable CDC stream;
+- audit C (reclaim): a zero-grace ``expire_snapshots`` settle pass
+  leaves no unreferenced snap-/delta- debris on disk and the
+  manifest-declared file census matches ``files_df``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import json, os, random, sys, time
+
+sys.path.insert(0, sys.argv[1])
+wid, table_path, waves_file, go_file, ack_file = (
+    int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5], sys.argv[6])
+
+import pyspark.sql.functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+
+spark = build_session(app_name=f"crash-w{wid}", master="local[2]",
+                      shuffle_partitions=2,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.sql.adaptive.enabled": "false"})
+table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                         partition_col="event")
+waves = json.load(open(waves_file))
+
+open(ack_file + ".ready", "w").write("1")
+while not os.path.exists(go_file):
+    time.sleep(0.05)
+
+for i, wave in enumerate(waves):
+    df = (spark.createDataFrame(
+            [tuple(r) for r in wave],
+            "trans_id long, event string, amount int, _op string, "
+            "ts string, _txn_id long")
+          .withColumn("_op_timestamp", F.to_timestamp("ts")).drop("ts"))
+    table.merge(df)
+    # ack ONLY after merge() returned: the durability line the parent
+    # audits against (fsync so the ack survives our own SIGKILL)
+    with open(ack_file, "a") as f:
+        f.write(f"{i}\\n")
+        f.flush()
+        os.fsync(f.fileno())
+spark.stop()
+"""
+
+
+def _gen_insert_waves(rng, n_workers, n_waves, rows_per_wave):
+    """Insert-only waves with globally unique keys: worker ``w`` wave
+    ``i`` owns keys ``w*10_000 + i*100 + [0, rows)``, amount encodes
+    (w, i) — so a torn commit is detectable as a partial (w, i) group
+    and the full fold is just the union of all waves."""
+    waves = {w: [] for w in range(n_workers)}
+    fold = {}
+    tick = 0
+    for i in range(n_waves):
+        for w in range(n_workers):
+            wave = []
+            for j in range(rows_per_wave):
+                tick += 1
+                k = w * 10_000 + i * 100 + j
+                amt = w * 1_000 + i
+                ts = f"2026-01-01 00:{tick // 60:02d}:{tick % 60:02d}"
+                wave.append([k, f"p{k % 4}", amt, "insert", ts, tick])
+                fold[k] = (f"p{k % 4}", amt)
+            waves[w].append(wave)
+    return waves, fold
+
+
+def _audit_chain(table_path):
+    """Dense connected manifest chain from CURRENT; every referenced
+    snapshot/delta dir exists. Returns the CURRENT version."""
+    vdir = os.path.join(table_path, "_versions")
+    cur = int(open(os.path.join(vdir, "CURRENT")).read().strip())
+    v = cur
+    seen = 0
+    while v > 0:
+        m = json.loads(open(os.path.join(vdir, f"v{v:06d}.json")).read())
+        assert m["version"] == v
+        for snap in m["base"].values():
+            assert os.path.isdir(os.path.join(table_path, snap)), (v, snap)
+        for d in m["deltas"]:
+            assert os.path.isdir(os.path.join(table_path, d)), (v, d)
+        v = m["parent"]
+        seen += 1
+        assert seen <= cur, "manifest chain has a cycle"
+    return cur
+
+
+@pytest.mark.parametrize("seed", [17, 29])
+def test_sigkill_mid_merge_atomic_and_replayable(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    n_workers = 2
+    n_waves = 8
+    rows_per_wave = 12
+    waves, fold = _gen_insert_waves(rng, n_workers, n_waves, rows_per_wave)
+
+    table_path = str(tmp_path / "crash_table")
+    go_file = str(tmp_path / "GO")
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(_WORKER)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("SPARK_GRAFT_CPUS", None)
+    procs, ack_files = [], []
+    for w in range(n_workers):
+        wf = tmp_path / f"waves_{w}.json"
+        wf.write_text(json.dumps(waves[w]))
+        af = str(tmp_path / f"acks_{w}.log")
+        ack_files.append(af)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), REPO, str(w), table_path,
+             str(wf), go_file, af],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            start_new_session=True))  # own pgid: the kill takes the JVM too
+
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if all(os.path.exists(a + ".ready") for a in ack_files):
+            break
+        if any(p.poll() not in (None, 0) for p in procs):
+            break
+        time.sleep(0.2)
+    with open(go_file, "w") as f:
+        f.write("go")
+
+    # SIGKILL each worker's process group at a random point inside its
+    # merge run — mid-merge with high probability (a wave merge takes
+    # ~1 s; the run spans ~10 s)
+    kill_at = sorted(rng.uniform(1.0, 9.0) for _ in procs)
+    t0 = time.time()
+    for p, dt in zip(procs, kill_at):
+        wait = t0 + dt - time.time()
+        if wait > 0:
+            time.sleep(wait)
+        if p.poll() is None:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+    for p in procs:
+        p.wait(timeout=60)
+    time.sleep(2.0)  # let any orphaned JVM file handles drain
+
+    acked = []
+    for af in ack_files:
+        got = set()
+        if os.path.exists(af):
+            got = {int(x) for x in open(af).read().split()}
+        acked.append(got)
+    total_acked = sum(len(a) for a in acked)
+    assert total_acked < n_workers * n_waves, (
+        "every wave acked before the kill — the crash missed; "
+        "lower kill_at or raise n_waves")
+
+    # ---- audit A: post-crash physical + atomicity -------------------
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.metadata import files_df
+
+    vdir = os.path.join(table_path, "_versions")
+    if os.path.exists(os.path.join(vdir, "CURRENT")):
+        cur = _audit_chain(table_path)
+        assert cur >= total_acked  # every acked merge committed
+        table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                                 partition_col="event")
+        rows = table.read_data().collect()
+        by_wave: dict[tuple, int] = {}
+        for r in rows:
+            k = r["trans_id"]
+            by_wave[(k // 10_000, (k % 10_000) // 100)] = (
+                by_wave.get((k // 10_000, (k % 10_000) // 100), 0) + 1)
+        for (w, i), n in by_wave.items():
+            assert n == rows_per_wave, (
+                f"TORN COMMIT: worker {w} wave {i} landed {n}/"
+                f"{rows_per_wave} rows")
+        for w, a in enumerate(acked):
+            for i in a:
+                assert (w, i) in by_wave, (
+                    f"ACKED MERGE LOST: worker {w} wave {i}")
+    # else: both workers died before the very first commit — legal
+    # (the table simply does not exist yet); replay below builds it
+
+    # ---- audit B: recovery by idempotent replay ---------------------
+    import pyspark.sql.functions as F
+
+    table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                             partition_col="event")
+    for w in range(n_workers):
+        for wave in waves[w]:
+            df = (spark.createDataFrame(
+                    [tuple(r) for r in wave],
+                    "trans_id long, event string, amount int, _op string, "
+                    "ts string, _txn_id long")
+                  .withColumn("_op_timestamp", F.to_timestamp("ts"))
+                  .drop("ts"))
+            table.merge(df)
+    got = {r["trans_id"]: (r["event"], r["amount"])
+           for r in table.read_data().collect()}
+    assert got == fold, {
+        "missing": {k: v for k, v in fold.items() if k not in got},
+        "extra": {k: v for k, v in got.items() if k not in fold},
+    }
+
+    # ---- audit C: crash debris reclaims ----------------------------
+    settle = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                              partition_col="event", orphan_grace_ms=0)
+    settle.expire_snapshots(keep_last=1)
+    # post-expiry only CURRENT's manifest survives — read it directly
+    # (the full-chain walk is audit A's, pre-expiry)
+    cur = int(open(os.path.join(vdir, "CURRENT")).read().strip())
+    m = json.loads(open(os.path.join(vdir, f"v{cur:06d}.json")).read())
+    referenced = set(m["base"].values()) | set(m["deltas"])
+    on_disk = {n for n in os.listdir(table_path)
+               if n.startswith(("snap-", "delta-"))
+               and os.path.isdir(os.path.join(table_path, n))}
+    assert on_disk == referenced, {
+        "unreclaimed_debris": sorted(on_disk - referenced),
+        "missing": sorted(referenced - on_disk),
+    }
+    assert files_df(table).count() == table.file_count()
