@@ -202,7 +202,7 @@ class OffsetExpiredError(ValueError):
     against that snapshot is unrecoverable by design (expiry is what
     reclaims space). Remediation is operational, so the message spells
     it out: restart with a fresh checkpoint (bootstrap re-emits the
-    current state as inserts) or ``startingVersion='latest'``, and
+    current state as inserts) or ``.option('initial', 'latest')``, and
     keep snapshot retention longer than the stream's maximum
     downtime."""
 
@@ -246,7 +246,7 @@ def _read_offset_manifest(path: str, version: int) -> dict:
             f"{'v%06d' % oldest if oldest is not None else 'none'}). The "
             f"checkpoint cannot be resumed — restart with a fresh "
             f"checkpoint (bootstrap re-emits current state as inserts) or "
-            f"startingVersion='latest'; to prevent this, keep snapshot "
+            f".option('initial', 'latest'); to prevent this, keep snapshot "
             f"retention (expire_snapshots keep_last / older_than_ms) "
             f"longer than the stream's maximum downtime."
         ) from e
