@@ -206,7 +206,13 @@ def _externalize_stats(fs, versions_dir: str, stats: dict,
             # blob already exists (identical content from an earlier —
             # possibly since-expired — commit): renew its GC grace
             # window so a concurrent expire_snapshots cannot reclaim
-            # it between this reuse and our manifest claim
+            # it between this reuse and our manifest claim. A
+            # microsecond TOCTOU remains (GC read the old mtime just
+            # before this touch and removes just after) — benign by
+            # design: every reader of a files_ext pointer degrades to
+            # the slim entry on a missing sidecar (_resolved_entry /
+            # lake_stream._resolve_stats_entry), costing file-granular
+            # pruning for that partition, never correctness.
             try:
                 fs.touch(os.path.join(ext_dir, name))
             except OSError:
