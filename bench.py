@@ -63,8 +63,7 @@ HEADLINE = [
     "window_frames_orders",
     "events_asof_signup",
     "dedup_exact_documents",
-    "doc_token_stats",
-    "doc_quality_scores",
+    "doc_text_stats",
     "cosine_topk_bruteforce",
     "knn_per_label_centroid",
     "winnowing_fingerprints",

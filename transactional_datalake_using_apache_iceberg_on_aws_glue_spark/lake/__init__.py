@@ -5,6 +5,7 @@ over partitioned parquet with snapshot-versioned manifest commits
 partitioning transforms, and manifest-stats scan planning."""
 
 from .changefeed import ChangeFeed
+from .materialized import MaterializedRollup
 from .merge_sql import DuplicateKeyError, MergeSqlError, MergeSqlRunner
 from .metadata import register_metadata_views
 from .table import BranchDivergedError, CommitConflictError, ParquetLakeTable
@@ -14,6 +15,7 @@ __all__ = [
     "BranchDivergedError",
     "ChangeFeed",
     "DuplicateKeyError",
+    "MaterializedRollup",
     "MergeSqlError",
     "MergeSqlRunner",
     "CommitConflictError",

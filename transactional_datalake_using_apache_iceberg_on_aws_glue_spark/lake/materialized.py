@@ -1,0 +1,216 @@
+"""Incrementally-maintained rollups over a lake table (IVM).
+
+Iceberg users build this exact pattern by hand on top of the changelog
+(``create_changelog_view`` feeding a MERGE into a summary table — the
+read-side dual of the reference's CDC ingest,
+/root/reference/src/main/python/spark_sql_merge_into_iceberg.py:118-136);
+:class:`MaterializedRollup` packages it: a GROUP BY summary table that
+is maintained from ``read_changes`` deltas — never a base-table rescan
+— with a write-ahead intent making every refresh exactly-once across
+crashes.
+
+Scope = the self-maintainable aggregate class (the classic IVM
+result): ``COUNT(*)`` and ``SUM`` per group, which update from a
+change delta alone. ``AVG`` derives at read time (``sum / n``).
+``MIN``/``MAX`` are deliberately absent — a delete of the current
+extremum cannot be repaired without rescanning the group, so they do
+not belong on this fast path.
+
+100 TB shape: the refresh cost is O(changes in the span) + O(touched
+groups), independent of the base table size. The change scan is the
+engine's partition-pruned snapshot diff; the signed aggregation is one
+shuffle on the group key (map-side combined); the join against current
+rollup state touches only changed groups (the rollup side is one row
+per group — broadcast-sized for any sane cardinality); the merge into
+the rollup target is the adaptive broadcast/window resolver. Nothing
+here scales with the 100 TB fact table except the span's own delta.
+
+Exactly-once: refresh writes an INTENT file (from/to span + the
+rollup's base version) into the checkpoint dir BEFORE merging, and
+commits the cursor after. A crash between merge and cursor leaves the
+intent pointing at a rollup whose version advanced past the recorded
+base — recovery finalizes the cursor WITHOUT re-applying (re-applying
+would double-count: the engine's tie-break is batch-wins, so a
+replayed envelope with identical ``(ts, txn)`` lineage would overwrite
+good totals with re-derived ones). One maintainer per rollup path is
+assumed, like any Spark checkpoint dir.
+
+Null grouping keys: supported in the delta/join plumbing (null-safe
+join), but the rollup table keys on the group columns — callers with
+nullable group columns should coalesce to a sentinel first, the same
+advice Iceberg gives for MERGE keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import OP_COL, OP_TS_COL, TXN_COL
+from .changefeed import ChangeFeed
+from .table import ParquetLakeTable
+
+_CHANGE = "_change_type"
+#: change kinds that ADD a row image to the group; everything else
+#: (delete, update_preimage) subtracts its image
+_ADDS = ("insert", "update_postimage")
+
+
+class MaterializedRollup:
+    """A summary table = ``SELECT group_cols, COUNT(*) AS n_rows,
+    SUM(c) AS sum_<c> ... GROUP BY group_cols`` over ``source``,
+    maintained incrementally. ``refresh()`` applies every source
+    commit past the cursor in one signed-delta merge; ``read()``
+    returns the current summary as a DataFrame."""
+
+    def __init__(
+        self,
+        source: ParquetLakeTable,
+        path: str,
+        checkpoint_dir: str,
+        group_cols: list[str],
+        sum_cols: list[str] | tuple[str, ...] = (),
+        partition_col: str | None = None,
+    ) -> None:
+        if not group_cols:
+            raise ValueError("group_cols must be non-empty")
+        overlap = set(group_cols) & set(sum_cols)
+        if overlap:
+            raise ValueError(f"columns cannot be both group and sum: "
+                             f"{sorted(overlap)}")
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.target = ParquetLakeTable(
+            source.spark, path, key_cols=self.group_cols,
+            partition_col=partition_col,
+        )
+        self.feed = ChangeFeed(source, checkpoint_dir)
+        self._intent_file = os.path.join(checkpoint_dir, "INTENT")
+        self.fs = source.fs
+
+    # -- reads -----------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Current summary: group_cols + ``n_rows`` + ``sum_<c>``."""
+        return self.target.read_data().select(
+            *self.group_cols, "n_rows",
+            *[f"sum_{c}" for c in self.sum_cols])
+
+    def position(self) -> int:
+        """Last source version fully folded into the summary."""
+        return self.feed.position()
+
+    # -- maintenance -----------------------------------------------------
+
+    def refresh(self) -> int:
+        """Fold every source commit past the cursor into the summary;
+        returns the source version the summary now reflects. No-op
+        (and no commit) when already caught up."""
+        self._recover()
+        pos = self.feed.position()
+        head = self.source.current_version()
+        if head <= pos:
+            return pos
+        self._apply(pos, head)
+        return head
+
+    def _signed_delta(self, pos: int, head: int) -> DataFrame:
+        """Per-group net change over the span: +image for
+        insert/update_postimage, -image for delete/update_preimage.
+        One aggregation, map-side combined; groups whose net effect is
+        zero (e.g. a compaction-only span) drop out."""
+        ch = self.source.read_changes(pos, head, include_preimages=True)
+        sign = F.when(F.col(_CHANGE).isin(*_ADDS), F.lit(1)).otherwise(
+            F.lit(-1))
+        aggs = [F.sum(sign).alias("_d_n")] + [
+            F.coalesce(F.sum(sign * F.col(c)), F.lit(0)).alias(f"_d_{c}")
+            for c in self.sum_cols
+        ]
+        delta = ch.groupBy(*self.group_cols).agg(*aggs)
+        nonzero = F.col("_d_n") != 0
+        for c in self.sum_cols:
+            nonzero = nonzero | (F.col(f"_d_{c}") != 0)
+        return delta.filter(nonzero)
+
+    def _apply(self, pos: int, head: int) -> None:
+        base_v = self.target.current_version()
+        self._write_intent({"from": pos, "to": head,
+                            "rollup_base": base_v})
+        delta = self._signed_delta(pos, head)
+
+        if self.target.exists():
+            cur = self.target.read_data()
+            cond = reduce(
+                lambda a, b: a & b,
+                [delta[c].eqNullSafe(cur[c]) for c in self.group_cols])
+            j = delta.alias("d").join(cur.alias("s"), cond, "left")
+        else:
+            cur = None
+            j = delta.alias("d")
+
+        def old(col, typ):
+            if cur is None:
+                return F.lit(0).cast(typ)
+            return F.coalesce(F.col(f"s.{col}"), F.lit(0).cast(typ))
+
+        new_n = (old("n_rows", "long") + F.col("d._d_n")).alias("n_rows")
+        new_sums = [
+            (old(f"sum_{c}", "long") + F.col(f"d._d_{c}")).alias(f"sum_{c}")
+            for c in self.sum_cols
+        ]
+        env = j.select(
+            *[F.col(f"d.{c}") for c in self.group_cols], new_n, *new_sums,
+        ).withColumn(
+            OP_COL,
+            F.when(F.col("n_rows") == 0, F.lit("delete"))
+             .otherwise(F.lit("insert")),
+        ).withColumn(
+            # lineage pinned to the SOURCE head: monotonic across
+            # refreshes, deterministic under replay
+            OP_TS_COL, F.timestamp_seconds(F.lit(head)),
+        ).withColumn(TXN_COL, F.lit(head).cast("long"))
+
+        if env.isEmpty():
+            # span with zero net effect (compaction / self-cancelling
+            # churn): nothing to merge, just advance the cursor
+            self.feed.commit(head)
+            self._clear_intent()
+            return
+        self.target.merge(env)
+        self.feed.commit(head)
+        self._clear_intent()
+
+    # -- crash protocol --------------------------------------------------
+
+    def _recover(self) -> None:
+        """Finish a refresh that crashed between merge and cursor
+        commit: the intent records the rollup version BEFORE the
+        merge; if the rollup advanced past it, the span landed — only
+        the cursor is missing."""
+        if not self.fs.exists(self._intent_file):
+            return
+        try:
+            intent = json.loads(self.fs.read_text(self._intent_file))
+        except (OSError, ValueError):
+            self._clear_intent()  # torn intent write: nothing merged yet
+            return
+        if self.target.current_version() > intent["rollup_base"]:
+            if intent["to"] > self.feed.position():
+                self.feed.commit(intent["to"])
+        self._clear_intent()
+
+    def _write_intent(self, intent: dict) -> None:
+        tmp = self._intent_file + ".tmp"
+        self.fs.write_text(tmp, json.dumps(intent))
+        self.fs.replace(tmp, self._intent_file)
+
+    def _clear_intent(self) -> None:
+        try:
+            self.fs.remove(self._intent_file)
+        except FileNotFoundError:
+            pass

@@ -47,16 +47,10 @@ def _cents(col: str = "o_totalprice"):
     return F.round(F.col(col) * 100).cast("long")
 
 
-def _lake(spark: SparkSession, sf_dir: str, mode: str) -> ParquetLakeTable:
-    key = (sf_dir, mode)
-    t = _CACHE.get(key)
-    if t is not None and os.path.isdir(t.path):
-        return t
-    base = tempfile.mkdtemp(prefix=f"lake_query_{mode}_")
-    t = ParquetLakeTable(
-        spark, os.path.join(base, "t"), key_cols=["trans_id"],
-        partition_col="event", merge_mode=mode,
-    )
+def _wave_dfs(spark: SparkSession, sf_dir: str):
+    """The deterministic two-wave CDC history derived from ``orders``
+    (module docstring) as envelope DataFrames — shared by the lake
+    fixture and the IVM fixture so their oracles stay one SQL."""
     orders = load_table(spark, sf_dir, "orders")
     img = orders.select(
         F.col("o_orderkey").alias("trans_id"),
@@ -68,7 +62,6 @@ def _lake(spark: SparkSession, sf_dir: str, mode: str) -> ParquetLakeTable:
         .withColumn(OP_TS_COL, F.lit("2024-01-01 00:00:00").cast("timestamp"))
         .withColumn(TXN_COL, F.col("trans_id"))
     )
-    t.merge(wave1)
     updates = img.filter(F.col("trans_id") % 10 == 0).withColumn(
         "amount_cents", F.col("amount_cents") + 100_000
     ).withColumn(OP_COL, F.lit("update"))
@@ -85,9 +78,56 @@ def _lake(spark: SparkSession, sf_dir: str, mode: str) -> ParquetLakeTable:
         .withColumn(OP_TS_COL, F.lit("2024-01-02 00:00:00").cast("timestamp"))
         .withColumn(TXN_COL, F.col("trans_id"))
     )
+    return wave1, wave2
+
+
+def _lake(spark: SparkSession, sf_dir: str, mode: str) -> ParquetLakeTable:
+    key = (sf_dir, mode)
+    t = _CACHE.get(key)
+    if t is not None and os.path.isdir(t.path):
+        return t
+    base = tempfile.mkdtemp(prefix=f"lake_query_{mode}_")
+    t = ParquetLakeTable(
+        spark, os.path.join(base, "t"), key_cols=["trans_id"],
+        partition_col="event", merge_mode=mode,
+    )
+    wave1, wave2 = _wave_dfs(spark, sf_dir)
+    t.merge(wave1)
     t.merge(wave2)
     _CACHE[key] = t
     return t
+
+
+_IVM_CACHE: dict = {}
+
+
+def _ivm_rollup(spark: SparkSession, sf_dir: str):
+    """A MaterializedRollup (lake/materialized.py) maintained
+    INCREMENTALLY over the same two-wave history: its own source table
+    is built wave-by-wave with a ``refresh()`` after each merge, so the
+    summary the query returns was produced by two signed-delta folds —
+    never a recompute — yet must equal the plain GROUP BY oracle."""
+    r = _IVM_CACHE.get(sf_dir)
+    if r is not None and os.path.isdir(r.target.path):
+        return r
+    from ..lake import MaterializedRollup
+
+    base = tempfile.mkdtemp(prefix="lake_query_ivm_")
+    src = ParquetLakeTable(
+        spark, os.path.join(base, "src"), key_cols=["trans_id"],
+        partition_col="event",
+    )
+    roll = MaterializedRollup(
+        src, os.path.join(base, "roll"), os.path.join(base, "ck"),
+        group_cols=["event"], sum_cols=["amount_cents"],
+    )
+    wave1, wave2 = _wave_dfs(spark, sf_dir)
+    src.merge(wave1)
+    roll.refresh()
+    src.merge(wave2)
+    roll.refresh()
+    _IVM_CACHE[sf_dir] = roll
+    return roll
 
 
 _CURRENT_STATE_ORACLE = f"""
@@ -147,6 +187,10 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'mor' AS mode, event, COUNT(*) AS n_rows,
            CAST(SUM(amount_cents) AS BIGINT) AS total_cents
     FROM s GROUP BY event
+    UNION ALL
+    SELECT 'ivm' AS mode, event, COUNT(*) AS n_rows,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY event
     """,
     doc="The lake table read through its CATALOG NAME: register_sql "
         "publishes a generated view (lake/catalog.py) and this query is "
@@ -154,8 +198,13 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with the reference's Iceberg catalog tables "
         "(spark_sql_merge_into_iceberg.py:91-136). Covers BOTH "
         "generators: the COW union view and the MOR window-fold view, "
-        "value-hashed against pure SQL over orders.",
-    tags=("cdc", "lake", "catalog"),
+        "value-hashed against pure SQL over orders. The third branch "
+        "(r8, mode='ivm') is the same GROUP BY served by a "
+        "MaterializedRollup (lake/materialized.py) maintained "
+        "INCREMENTALLY — one signed-delta fold per wave, never a "
+        "recompute — so incremental view maintenance goes through the "
+        "value-hash gate too.",
+    tags=("cdc", "lake", "catalog", "ivm"),
 )
 def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
@@ -165,7 +214,11 @@ def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT '{mode}' AS mode, event, COUNT(*) AS n_rows, "
             f"SUM(amount_cents) AS total_cents FROM {name} GROUP BY event"
         ))
-    return out[0].unionByName(out[1])
+    ivm = _ivm_rollup(spark, sf_dir).read().select(
+        F.lit("ivm").alias("mode"), "event", "n_rows",
+        F.col("sum_amount_cents").alias("total_cents"),
+    )
+    return out[0].unionByName(out[1]).unionByName(ivm)
 
 
 @register(

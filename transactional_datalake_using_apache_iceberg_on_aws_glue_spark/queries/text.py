@@ -45,46 +45,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_token_stats",
-    oracle="""
-    SELECT lang,
-           count(*) AS n_docs,
-           round(avg(len(string_split(text, ' '))), 4)  AS avg_tokens,
-           round(avg(n_chars), 4)                       AS avg_chars,
-           max(len(string_split(text, ' ')))            AS max_tokens,
-           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
-             AS BIGINT) AS total_bpe_tokens,
-           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4)
-             AS avg_bpe_tokens
-    FROM documents
-    GROUP BY lang
-    """,
-    doc="Token counting + length stats per lang: whitespace tokenizer "
-        "AND the BPE-ish pre-tokenizer (GPT-2-style regex pre-split) in "
-        "one grouped pass — the basic text-quality signal set plus "
-        "tokenizer cost estimation. Pure codegen'd string/regex ops. "
-        "(Registry consolidation r2: former doc_token_stats + "
-        "bpe_token_counts.)",
-    tags=("documents", "text"),
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import text as X
-
-    docs = load_table(spark, sf_dir, "documents")
-    ntok = F.size(F.split(F.col("text"), " "))
-    nbpe = X.bpe_token_count(F.col("text"))
-    return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg(ntok), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.max(ntok).cast("long").alias("max_tokens"),
-        F.sum(nbpe).alias("total_bpe_tokens"),
-        F.round(F.avg(nbpe), 4).alias("avg_bpe_tokens"),
-    )
-
-
-@register(
-    "doc_quality_scores",
+    "doc_text_stats",
     oracle="""
     WITH f AS (
       SELECT source,
@@ -96,38 +57,71 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / len(string_split_regex(text, '\\s+')), 6) AS stopword_ratio
       FROM documents
     )
-    SELECT source,
+    SELECT 'tokens_by_lang' AS tag, lang AS grp,
            count(*) AS n_docs,
-           round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
-           round(avg(n_tokens), 2) AS avg_len,
-           count(*) FILTER (WHERE n_tokens >= 30) AS n_long_docs,
+           round(avg(len(string_split(text, ' '))), 4)  AS avg_a,
+           round(avg(n_chars), 4)                       AS avg_b,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS big_c,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+             AS BIGINT) AS big_d,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 4)
+             AS avg_e
+    FROM documents
+    GROUP BY lang
+    UNION ALL
+    SELECT 'quality_by_source', source,
+           count(*),
+           round(avg(stopword_ratio), 4),
+           round(avg(n_tokens), 2),
+           CAST(count(*) FILTER (WHERE n_tokens >= 30) AS BIGINT),
            CAST(sum(CASE WHEN n_tokens >= 10
                      AND round((n_chars - n_tokens + 1)::DOUBLE / n_tokens, 4)
                          BETWEEN 2.0 AND 12.0
                      AND round(n_punct::DOUBLE / n_chars, 6) < 0.2
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(NULL AS DOUBLE)
     FROM f GROUP BY source
     """,
-    doc="Quality scoring per source: stopword ratio, length stats, AND "
-        "the composite curation keep-rate from the same "
-        "operators.text.quality_features predicate (LLM-data curation "
-        "heuristics). Array higher-order functions (F.filter) keep it "
-        "JVM-side. (Registry consolidation r2: former doc_quality_scores "
-        "+ doc_quality_keep_rate.)",
+    doc="Token/length stats per lang AND quality/curation stats per "
+        "source in one tagged union: whitespace tokenizer, the BPE-ish "
+        "pre-tokenizer (GPT-2-style regex pre-split), stopword ratio, "
+        "and the composite operators.text.quality_features keep-rate. "
+        "Pure codegen'd string/regex/array ops, no Python UDFs. "
+        "Generic metric slots (avg_a..avg_e, big_c/big_d) carry "
+        "branch-specific meanings documented per tag. (Registry "
+        "consolidation r8: former doc_token_stats + doc_quality_scores "
+        "— the registry had grown to 51 names and the driver records "
+        "the first 50 sorted, silently dropping winnowing_fingerprints "
+        "since r6; this merge restores it to the gate. Those were "
+        "themselves r2 consolidations of four originals.)",
     tags=("documents", "text"),
 )
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
-    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    feats = X.quality_features(docs)
-    return feats.groupBy("source").agg(
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    nbpe = X.bpe_token_count(F.col("text"))
+    tokens = docs.groupBy(F.col("lang").alias("grp")).agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
-        F.round(F.avg("n_tokens"), 2).alias("avg_len"),
-        F.sum(F.when(F.col("n_tokens") >= 30, 1).otherwise(0)).alias("n_long_docs"),
-        F.sum(F.col("keep").cast("int")).alias("n_keep"),
-    )
+        F.round(F.avg(ntok), 4).alias("avg_a"),
+        F.round(F.avg("n_chars"), 4).alias("avg_b"),
+        F.max(ntok).cast("long").alias("big_c"),
+        F.sum(nbpe).alias("big_d"),
+        F.round(F.avg(nbpe), 4).alias("avg_e"),
+    ).select(F.lit("tokens_by_lang").alias("tag"), "*")
+
+    feats = X.quality_features(rebalance(docs, spark))
+    quality = feats.groupBy(F.col("source").alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_a"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_b"),
+        F.sum(F.when(F.col("n_tokens") >= 30, 1).otherwise(0))
+         .cast("long").alias("big_c"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("big_d"),
+        F.lit(None).cast("double").alias("avg_e"),
+    ).select(F.lit("quality_by_source").alias("tag"), "*")
+    return tokens.unionByName(quality)
 
 
 @register(
