@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    CursorExpiredError,
     MaterializedRollup,
     ParquetLakeTable,
 )
@@ -165,3 +166,111 @@ def test_rollup_randomized_equivalence_soak(spark, tmp_path, seed):
             roll.refresh()
             assert _got(roll) == _expected(state), f"wave {wave}"
     assert roll.position() == src.current_version()
+
+# ------------------------------------------------- cursor expiry + rebuild
+
+
+def _seed_three_versions(spark, src, state):
+    for wave, ts in ((1, "00:00"), (2, "00:01"), (3, "00:02")):
+        rows = [[10 * wave + i, f"g{i % 3}", wave * 100 + i, "insert",
+                 f"2026-01-01 00:{ts[-2:]}:{i:02d}", 10 * wave + i]
+                for i in range(4)]
+        for r in rows:
+            state[r[0]] = (r[1], r[2])
+        _merge(spark, src, rows)
+
+
+def test_refresh_after_expiry_raises_typed_and_rebuild_recovers(
+        spark, tmp_path):
+    """A rollup left behind past snapshot retention must fail with
+    CursorExpiredError BEFORE any side effect (no intent debris), and
+    rebuild() must restore the summary — including dropping stale
+    groups — and resume incremental maintenance."""
+    src, roll = _mk(spark, tmp_path)
+    state = {}
+    # v1 folded into the rollup, with a group that will later vanish
+    rows = [[1, "gdead", 7, "insert", "2026-01-01 00:00:01", 1],
+            [2, "g0", 11, "insert", "2026-01-01 00:00:02", 2]]
+    for r in rows:
+        state[r[0]] = (r[1], r[2])
+    _merge(spark, src, rows)
+    roll.refresh()
+    pos = roll.position()
+
+    # more commits, one of which empties gdead; then expire history
+    _merge(spark, src, [[1, "gdead", 7, "delete",
+                         "2026-01-01 00:01:00", 3]])
+    del state[1]
+    _seed_three_versions(spark, src, state)
+    src.expire_snapshots(keep_last=1)
+
+    with pytest.raises(CursorExpiredError) as ei:
+        roll.refresh()
+    assert ei.value.expired_version == pos
+    assert ei.value.oldest_available is not None
+    assert "rebuild()" in str(ei.value)
+    assert not roll.fs.exists(roll._intent_file)  # failed clean
+
+    head = roll.rebuild()
+    assert head == src.current_version()
+    assert roll.position() == head
+    got = _got(roll)
+    assert got == _expected(state)
+    assert "gdead" not in got  # stale summary row was anti-joined away
+
+    # incremental refresh still works after the rebuild
+    _merge(spark, src, [[99, "g0", 500, "insert",
+                         "2026-01-01 00:05:00", 99]])
+    state[99] = ("g0", 500)
+    roll.refresh()
+    assert _got(roll) == _expected(state)
+
+
+def test_changefeed_poll_after_expiry_raises_typed(spark, tmp_path):
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ChangeFeed
+
+    src = ParquetLakeTable(spark, str(tmp_path / "src"),
+                           key_cols=["trans_id"], partition_col="event")
+    _merge(spark, src, [[1, "g0", 1, "insert", "2026-01-01 00:00:00", 1]])
+    feed = ChangeFeed(src, str(tmp_path / "feed_ck"))
+    feed.process_available(lambda df, lo, hi: df.count())
+    _merge(spark, src, [[2, "g1", 2, "insert", "2026-01-01 00:01:00", 2]])
+    _merge(spark, src, [[3, "g2", 3, "insert", "2026-01-01 00:02:00", 3]])
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(CursorExpiredError):
+        feed.poll()
+
+
+def test_rebuild_crash_between_merge_and_cursor_is_exactly_once(
+        spark, tmp_path):
+    """rebuild() rides the same intent protocol: a crash after its
+    merge but before the cursor commit must finalize on the next
+    maintainer without a second merge."""
+    src, roll = _mk(spark, tmp_path)
+    state = {}
+    _seed_three_versions(spark, src, state)
+    roll.refresh()
+    _merge(spark, src, [[99, "g1", 42, "insert",
+                         "2026-01-01 00:03:00", 99]])
+    state[99] = ("g1", 42)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = roll.feed.commit
+    roll.feed.commit = lambda v: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        roll.rebuild()
+    roll.feed.commit = real_commit
+    assert roll.fs.exists(roll._intent_file)
+
+    src2 = ParquetLakeTable(spark, str(tmp_path / "src"),
+                            key_cols=["trans_id"], partition_col="event")
+    roll2 = MaterializedRollup(
+        src2, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    v_before = roll2.target.current_version()
+    assert roll2.refresh() == src2.current_version()
+    assert roll2.target.current_version() == v_before  # no re-merge
+    assert not roll2.fs.exists(roll2._intent_file)
+    assert _got(roll2) == _expected(state)

@@ -4,7 +4,7 @@ over partitioned parquet with snapshot-versioned manifest commits
 (time travel, rollback, expire), COW/MOR merge modes, hidden
 partitioning transforms, and manifest-stats scan planning."""
 
-from .changefeed import ChangeFeed
+from .changefeed import ChangeFeed, CursorExpiredError
 from .materialized import MaterializedRollup
 from .merge_sql import DuplicateKeyError, MergeSqlError, MergeSqlRunner
 from .metadata import register_metadata_views
@@ -14,6 +14,7 @@ from .transforms import Transform, bucket, days, hours, months, truncate
 __all__ = [
     "BranchDivergedError",
     "ChangeFeed",
+    "CursorExpiredError",
     "DuplicateKeyError",
     "MaterializedRollup",
     "MergeSqlError",

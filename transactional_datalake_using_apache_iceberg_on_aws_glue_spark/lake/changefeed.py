@@ -37,6 +37,49 @@ from pyspark.sql import functions as F
 from .table import ParquetLakeTable
 
 
+class CursorExpiredError(ValueError):
+    """A feed/rollup cursor references a version manifest that
+    ``expire_snapshots`` has reclaimed. The batch-side twin of the
+    stream source's ``OffsetExpiredError`` (sources/lake_stream.py):
+    the diff against an expired snapshot is unrecoverable by design —
+    expiry is what reclaims space — so the consumer must re-bootstrap.
+    Carries ``expired_version`` and ``oldest_available`` (version int
+    or None) so callers can branch on them programmatically."""
+
+    def __init__(self, message: str, expired_version: int,
+                 oldest_available: int | None) -> None:
+        super().__init__(message)
+        self.expired_version = expired_version
+        self.oldest_available = oldest_available
+
+
+def _ensure_version_available(table: ParquetLakeTable, version: int,
+                              remediation: str) -> None:
+    """Raise :class:`CursorExpiredError` if ``version`` (a diff base a
+    cursor points at) no longer has a manifest. Called BEFORE any
+    side effect (intent write, plan build) so the failure is clean."""
+    if version <= 0:
+        return  # bootstrap base: diffs against the empty table
+    try:
+        table._manifest(version)
+    except ValueError:
+        oldest = None
+        for m in table._iter_manifests():
+            v = m["version"]
+            oldest = v if oldest is None else min(oldest, v)
+        raise CursorExpiredError(
+            f"cursor version {version} of table {table.path!r} no longer "
+            f"exists: expire_snapshots reclaimed it (oldest surviving "
+            f"manifest: "
+            f"{'v%06d' % oldest if oldest is not None else 'none'}). "
+            + remediation
+            + " To prevent this, keep snapshot retention "
+            f"(expire_snapshots keep_last / older_than_ms) longer than "
+            f"the consumer's maximum downtime.",
+            expired_version=version, oldest_available=oldest,
+        ) from None
+
+
 class ChangeFeed:
     """Cursor-tracked incremental reader of a :class:`ParquetLakeTable`.
 
@@ -94,6 +137,11 @@ class ChangeFeed:
         head = self.table.current_version()
         if head <= pos:
             return None
+        _ensure_version_available(
+            self.table, pos,
+            "Reset the checkpoint dir (bootstrap re-delivers the current "
+            "state as one insert batch) and make the downstream sink "
+            "idempotent to the replay.")
         if pos == 0:
             # bootstrap: the diff base is the empty table, so the whole
             # current state is one insert batch — cheaper as a direct

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import OP_COL, OP_TS_COL, TXN_COL
-from .changefeed import ChangeFeed
+from .changefeed import ChangeFeed, _ensure_version_available
 from .table import ParquetLakeTable
 
 _CHANGE = "_change_type"
@@ -116,7 +116,59 @@ class MaterializedRollup:
         head = self.source.current_version()
         if head <= pos:
             return pos
+        # a rollup left behind past the source's snapshot retention
+        # cannot diff from its cursor any more (expire_snapshots
+        # reclaimed the base) — fail typed and BEFORE the intent write,
+        # naming the recovery this class actually provides
+        _ensure_version_available(
+            self.source, pos,
+            "Call rebuild() on this rollup: one full GROUP BY over the "
+            "current snapshot replaces the summary and fast-forwards "
+            "the cursor to head.")
         self._apply(pos, head)
+        return head
+
+    def rebuild(self) -> int:
+        """Recompute the summary from the CURRENT source snapshot and
+        fast-forward the cursor to it — the recovery path for
+        :class:`~.changefeed.CursorExpiredError` (and the one method
+        here that rescans the base; everything else is
+        delta-incremental). Crash-safe via the same intent protocol as
+        ``refresh``: the rebuild's merge is one commit, so recovery
+        after a crash between merge and cursor just finalizes the
+        cursor."""
+        self._recover()
+        head = self.source.current_version()
+        base_v = self.target.current_version()
+        self._write_intent({"from": -1, "to": head,
+                            "rollup_base": base_v})
+        snap = self.source.read_data(as_of_version=head)
+        fresh = snap.groupBy(*self.group_cols).agg(
+            F.count("*").alias("n_rows"),
+            *[F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}")
+              for c in self.sum_cols],
+        )
+        env = fresh.withColumn(OP_COL, F.lit("insert"))
+        if self.target.exists():
+            # groups that vanished since the summary was last correct:
+            # anti-join of current summary vs fresh — rollup-sized
+            stale = (
+                self.target.read_data()
+                .join(fresh.select(*self.group_cols), self.group_cols,
+                      "left_anti")
+                .select(*self.group_cols, "n_rows",
+                        *[f"sum_{c}" for c in self.sum_cols])
+                .withColumn(OP_COL, F.lit("delete"))
+            )
+            env = env.unionByName(stale)
+        env = env.withColumn(
+            OP_TS_COL, F.timestamp_seconds(F.lit(head)),
+        ).withColumn(TXN_COL, F.lit(head).cast("long"))
+        if not env.isEmpty():
+            self.target.merge(env)
+        if head > self.feed.position():
+            self.feed.commit(head)
+        self._clear_intent()
         return head
 
     def _signed_delta(self, pos: int, head: int) -> DataFrame:
