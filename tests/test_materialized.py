@@ -274,3 +274,133 @@ def test_rebuild_crash_between_merge_and_cursor_is_exactly_once(
     assert roll2.target.current_version() == v_before  # no re-merge
     assert not roll2.fs.exists(roll2._intent_file)
     assert _got(roll2) == _expected(state)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
+    """IVM riding every other table axis at once: random DML
+    (cross-group moves), compaction, column DDL (add/rename/drop an
+    unrelated column; widen the SUM column int->bigint mid-history),
+    partition-spec evolution, rollback (read_changes must deliver the
+    INVERSE diff), and aggressive expire_snapshots — a refresh that
+    trips CursorExpiredError must recover via rebuild(). After every
+    refresh the summary equals the from-scratch GROUP BY of
+    read_data(); the final walk must have exercised a rollback and at
+    least one expired-cursor rebuild."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.transforms import (
+        Transform,
+        bucket,
+        truncate,
+    )
+
+    rng = random.Random(seed)
+    src = ParquetLakeTable(spark, str(tmp_path / "src"),
+                           key_cols=["trans_id"], partition_col="event",
+                           allow_schema_evolution=True)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    # amount starts INT so the widen step is a real type change
+    schema = ("trans_id long, event string, amount int, _op string, "
+              "ts string, _txn_id long")
+    tick = {"v": 0}
+    extras: list[str] = []
+    next_col = {"v": 0}
+    widened = {"v": False}
+    counters = {"rollback": 0, "rebuild": 0, "expired": 0}
+
+    def dml(_):
+        rows = []
+        for k in rng.sample(range(1, 30), rng.randrange(3, 8)):
+            tick["v"] += 1
+            op = rng.choice(["insert", "update", "update", "delete"])
+            rows.append([k, f"g{rng.randrange(4)}", rng.randrange(1, 300),
+                         op, f"2026-01-01 {tick['v'] // 3600:02d}:"
+                             f"{tick['v'] // 60 % 60:02d}:"
+                             f"{tick['v'] % 60:02d}", tick["v"]])
+        df = (spark.createDataFrame([tuple(r) for r in rows], schema)
+              .withColumn("_op_timestamp", F.to_timestamp("ts")).drop("ts"))
+        src.merge(df)
+
+    def compact(_):
+        src.compact()
+
+    def add_col(_):
+        name = f"x{next_col['v']}"
+        next_col["v"] += 1
+        src.add_column(name, "string")
+        extras.append(name)
+
+    def rename_col(_):
+        if not extras:
+            return add_col(_)
+        old = rng.choice(extras)
+        new = f"x{next_col['v']}"
+        next_col["v"] += 1
+        src.rename_column(old, new)
+        extras[extras.index(old)] = new
+
+    def drop_col(_):
+        if not extras:
+            return add_col(_)
+        src.drop_column(extras.pop(rng.randrange(len(extras))))
+
+    def widen_sum_col(_):
+        if widened["v"]:
+            return dml(_)
+        src.widen_column("amount", "bigint")
+        widened["v"] = True
+
+    def evolve_spec(_):
+        src.evolve_partition_spec(partition_by=rng.choice([
+            bucket("trans_id", n=4), truncate("event", width=2),
+            Transform("event")]))
+
+    def rollback(_):
+        hist = [h["version"] for h in src.history()]
+        live = [v for v in hist[-3:-1] if v > 0]
+        if not live:
+            return dml(_)
+        src.rollback(rng.choice(live))
+        counters["rollback"] += 1
+
+    def expire(_):
+        src.expire_snapshots(keep_last=rng.choice([1, 2, 4]))
+
+    ops = [dml, dml, dml, dml, compact, add_col, rename_col, drop_col,
+           widen_sum_col, evolve_spec, rollback, expire, expire]
+    dml(None)
+    roll.refresh()
+    for step in range(22):
+        rng.choice(ops)(None)
+        if rng.random() < 0.5 or step == 21:
+            try:
+                roll.refresh()
+            except CursorExpiredError:
+                counters["expired"] += 1
+                roll.rebuild()
+                counters["rebuild"] += 1
+            expect = {
+                r["event"]: (r["n_rows"], r["s"])
+                for r in src.read_data().groupBy("event").agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("amount").cast("long").alias("s")).collect()
+            }
+            assert _got(roll) == expect, f"step {step}"
+    # the randomized walk must have exercised rollback, else reseed
+    assert counters["rollback"] >= 1, counters
+    # deterministic tail: leave the cursor several commits behind, then
+    # expire history out from under it — refresh must fail typed and
+    # rebuild() must re-converge, INSIDE the post-soak table state
+    dml(None), dml(None), dml(None)
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(CursorExpiredError):
+        roll.refresh()
+    roll.rebuild()
+    expect = {
+        r["event"]: (r["n_rows"], r["s"])
+        for r in src.read_data().groupBy("event").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("amount").cast("long").alias("s")).collect()
+    }
+    assert _got(roll) == expect
