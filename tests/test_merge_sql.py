@@ -879,3 +879,99 @@ def test_sql_frontend_random_soak(spark, tmp_path):
             assert got == model, (
                 f"divergence after statement {i}: engine={got} "
                 f"model={model}")
+
+
+# ------------------------------------------- materialized views (r8 IVM)
+
+
+def _mv_runner(spark, tmp_path):
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20), (3, "a", 30)])
+    r = MergeSqlRunner(spark)
+    r.register("db.t", t)
+    return r, t
+
+
+def _mv_sql(tmp_path, ine=""):
+    return (f"CREATE MATERIALIZED VIEW {ine}db.mv USING lake "
+            f"LOCATION '{tmp_path / 'mv'}' "
+            "AS SELECT customer_id, COUNT(*) AS n_rows, "
+            "SUM(amount) AS sum_amount FROM db.t GROUP BY customer_id")
+
+
+def test_create_mv_builds_and_is_queryable(spark, tmp_path):
+    r, t = _mv_runner(spark, tmp_path)
+    r.sql(_mv_sql(tmp_path))
+    got = {row["customer_id"]: (row["n_rows"], row["sum_amount"])
+           for row in spark.sql(
+               "SELECT customer_id, n_rows, sum_amount "
+               "FROM lakehouse.mv").collect()}
+    assert got == {"a": (2, 40), "b": (1, 20)}
+
+    # REFRESH folds subsequent DML incrementally
+    r.sql("UPDATE db.t SET amount = 99 WHERE trans_id = 2")
+    r.sql("DELETE FROM db.t WHERE trans_id = 3")
+    assert r.sql("REFRESH MATERIALIZED VIEW db.mv") == t.current_version()
+    got = {row["customer_id"]: (row["n_rows"], row["sum_amount"])
+           for row in spark.sql(
+               "SELECT customer_id, n_rows, sum_amount "
+               "FROM lakehouse.mv").collect()}
+    assert got == {"a": (1, 10), "b": (1, 99)}
+
+
+def test_create_mv_if_not_exists_reattaches(spark, tmp_path):
+    r, t = _mv_runner(spark, tmp_path)
+    r.sql(_mv_sql(tmp_path))
+    r.sql("UPDATE db.t SET amount = 11 WHERE trans_id = 1")
+
+    # plain re-create collides; a DIFFERENT definition collides even
+    # with IF NOT EXISTS; the SAME definition re-attaches (no rebuild)
+    with pytest.raises(MergeSqlError, match="already exists"):
+        r.sql(_mv_sql(tmp_path))
+    r2 = MergeSqlRunner(spark)
+    r2.register("db.t", t)
+    bad = _mv_sql(tmp_path, ine="IF NOT EXISTS ").replace(
+        "GROUP BY customer_id", "GROUP BY customer_id"
+    ).replace("SUM(amount) AS sum_amount, ", "")
+    with pytest.raises(MergeSqlError, match="unknown materialized view"):
+        r2.sql("REFRESH MATERIALIZED VIEW db.mv")  # not attached yet
+    r2.sql(_mv_sql(tmp_path, ine="IF NOT EXISTS "))
+    r2.sql("REFRESH MATERIALIZED VIEW db.mv")
+    got = {row["customer_id"]: row["sum_amount"]
+           for row in spark.sql(
+               "SELECT customer_id, sum_amount FROM lakehouse.mv")
+           .collect()}
+    assert got == {"a": 41, "b": 20}
+
+
+def test_create_mv_rejects_non_incremental_shapes(spark, tmp_path):
+    r, _t = _mv_runner(spark, tmp_path)
+    loc = tmp_path / "mv2"
+    with pytest.raises(MergeSqlError, match="MIN/MAX"):
+        r.sql(f"CREATE MATERIALIZED VIEW db.m2 USING lake LOCATION "
+              f"'{loc}' AS SELECT customer_id, COUNT(*), MIN(amount) "
+              f"FROM db.t GROUP BY customer_id")
+    with pytest.raises(MergeSqlError, match="COUNT"):
+        r.sql(f"CREATE MATERIALIZED VIEW db.m2 USING lake LOCATION "
+              f"'{loc}' AS SELECT customer_id, SUM(amount) "
+              f"FROM db.t GROUP BY customer_id")
+    with pytest.raises(MergeSqlError, match="alias must be"):
+        r.sql(f"CREATE MATERIALIZED VIEW db.m2 USING lake LOCATION "
+              f"'{loc}' AS SELECT customer_id, COUNT(*) AS total "
+              f"FROM db.t GROUP BY customer_id")
+    with pytest.raises(MergeSqlError, match="GROUP BY"):
+        r.sql(f"CREATE MATERIALIZED VIEW db.m2 USING lake LOCATION "
+              f"'{loc}' AS SELECT customer_id, COUNT(*) "
+              f"FROM db.t GROUP BY trans_id")
+
+
+def test_drop_mv(spark, tmp_path):
+    r, _t = _mv_runner(spark, tmp_path)
+    r.sql(_mv_sql(tmp_path))
+    r.sql("DROP MATERIALIZED VIEW db.mv")
+    with pytest.raises(MergeSqlError, match="unknown materialized view"):
+        r.sql("REFRESH MATERIALIZED VIEW db.mv")
+    r.sql("DROP MATERIALIZED VIEW IF EXISTS db.mv")  # idempotent spelling
+    # location + state are gone: a fresh CREATE rebuilds from scratch
+    r.sql(_mv_sql(tmp_path))
+    assert spark.sql("SELECT COUNT(*) AS n FROM lakehouse.mv"
+                     ).collect()[0]["n"] == 2

@@ -113,6 +113,9 @@ the grammar)::
     CALL [cat.]system.expire_snapshots | rollback_to_snapshot |
          rewrite_data_files | fast_forward | remove_orphan_files |
          compute_table_stats | create_changelog_view (...)
+    CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv USING lake
+        LOCATION '...' AS SELECT g, COUNT(*), SUM(c) FROM t GROUP BY g
+    REFRESH MATERIALIZED VIEW mv  /  DROP MATERIALIZED VIEW [IF EXISTS] mv
 
 each mapping onto the engine's metadata-only evolution commits, the
 write-audit-publish refs, and the compaction/GC machinery — the whole
@@ -122,6 +125,8 @@ executable with no jar.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -224,6 +229,7 @@ class MergeSqlRunner:
         self.spark = spark
         self.on_duplicate = on_duplicate
         self._tables: dict[str, ParquetLakeTable] = {}
+        self._mvs: dict = {}  # ident -> MaterializedRollup
 
     def register(self, identifier: str, table: ParquetLakeTable) -> None:
         """Map a (possibly multi-part) SQL identifier to a lake table."""
@@ -247,6 +253,12 @@ class MergeSqlRunner:
             return self._run_alter(statement)
         if head.startswith("CALL"):
             return self._run_call(statement)
+        if re.match(r"^\s*(CREATE|DROP)\s+MATERIALIZED\b", statement,
+                    re.IGNORECASE):
+            return self._run_create_mv(statement) if head.startswith(
+                "CREATE") else self._run_drop_mv(statement)
+        if head.startswith("REFRES"):
+            return self._run_refresh_mv(statement)
         if head.startswith("CREATE"):
             return self._run_create(statement)
         m = _MERGE_RE.match(statement)
@@ -817,6 +829,159 @@ class MergeSqlRunner:
             table.create(self.spark.createDataFrame([], schema))
         self.register(ident, table)
         return table
+
+    # -- materialized views (incremental, lake/materialized.py) ----------
+
+    _MV_DIR = "_mv_state"  # checkpoint+spec subdir inside the MV location
+    #: safe inside the rollup table's own path: snapshot GC only ever
+    #: touches ``snap-*``/``delta-*`` dirs and ``_versions/``
+
+    def _run_create_mv(self, statement: str):
+        """Incrementally-maintained rollup as SQL (the IVM surface of
+        ``lake/materialized.py`` — the read-side continuation of the
+        reference's MERGE pipeline,
+        spark_sql_merge_into_iceberg.py:118-136)::
+
+            CREATE MATERIALIZED VIEW [IF NOT EXISTS] <mv>
+            USING lake LOCATION '<path>'
+            AS SELECT <g1> [, ...], COUNT(*) [AS n_rows]
+                      [, SUM(<c>) [AS sum_<c>] ...]
+               FROM <registered-table> GROUP BY <g1> [, ...]
+
+        The SELECT is a validated subset: bare group columns, exactly
+        one ``COUNT(*)``, any number of ``SUM(col)`` — the
+        self-maintainable aggregate class (AVG derives at read time;
+        MIN/MAX are deliberately outside IVM, see materialized.py).
+        Aliases are optional but, when given, must be the canonical
+        ``n_rows`` / ``sum_<col>`` names the rollup publishes. The MV
+        definition persists in ``<path>/_mv_state/MVSPEC.json``;
+        ``IF NOT EXISTS`` re-attaches to an existing MV after a
+        restart (definition must match). The MV is published as a
+        catalog view (``lakehouse.<mv>``), so plain SQL can query it;
+        REFRESH MATERIALIZED VIEW folds new source commits in
+        O(span changes) + O(touched groups) — never a base rescan."""
+        m = re.match(
+            r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
+            r"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?(?P<name>[\w.`]+)\s+"
+            r"USING\s+lake\s+LOCATION\s+'(?P<loc>[^']+)'\s+"
+            r"AS\s+SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<src>[\w.`]+)\s+"
+            r"GROUP\s+BY\s+(?P<gb>.+?)\s*;?\s*$",
+            statement, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise MergeSqlError(
+                "unsupported CREATE MATERIALIZED VIEW; expected "
+                "CREATE MATERIALIZED VIEW [IF NOT EXISTS] <mv> USING "
+                "lake LOCATION '<path>' AS SELECT <group cols>, "
+                "COUNT(*) [AS n_rows] [, SUM(c) [AS sum_c] ...] "
+                "FROM <table> GROUP BY <group cols>")
+        ident = self._norm_ident(m.group("name"))
+        group_cols, sum_cols, saw_count = [], [], False
+        for item in _split_top_level(m.group("select")):
+            cm = re.match(r"^COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?$",
+                          item, re.IGNORECASE)
+            sm = re.match(r"^SUM\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+(\w+))?$",
+                          item, re.IGNORECASE)
+            if cm:
+                if saw_count:
+                    raise MergeSqlError("duplicate COUNT(*) in MV select")
+                saw_count = True
+                if cm.group(1) and cm.group(1).lower() != "n_rows":
+                    raise MergeSqlError(
+                        f"COUNT(*) alias must be n_rows (the name the "
+                        f"rollup publishes), got {cm.group(1)!r}")
+            elif sm:
+                c = sm.group(1)
+                if sm.group(2) and sm.group(2).lower() != f"sum_{c}".lower():
+                    raise MergeSqlError(
+                        f"SUM({c}) alias must be sum_{c}, "
+                        f"got {sm.group(2)!r}")
+                sum_cols.append(c)
+            elif re.match(r"^`?\w+`?$", item):
+                group_cols.append(item.replace("`", ""))
+            else:
+                raise MergeSqlError(
+                    f"unsupported MV select item {item!r}; the "
+                    "incremental subset is bare group columns, "
+                    "COUNT(*), and SUM(col) — MIN/MAX are not "
+                    "self-maintainable under deletes (materialized.py)")
+        if not saw_count:
+            raise MergeSqlError("MV select must include COUNT(*) "
+                                "(the rollup always maintains n_rows)")
+        gb = [g.replace("`", "") for g in
+              _split_top_level(m.group("gb"))]
+        if sorted(gb) != sorted(group_cols):
+            raise MergeSqlError(
+                f"GROUP BY columns {gb} must equal the bare select "
+                f"columns {group_cols}")
+        src_tbl = self._resolve(m.group("src"))
+        loc = m.group("loc")
+        from .materialized import MaterializedRollup
+
+        state_dir = os.path.join(loc, self._MV_DIR)
+        spec = {"source": src_tbl.path, "location": loc,
+                "group_cols": gb, "sum_cols": sum_cols}
+        spec_file = os.path.join(state_dir, "MVSPEC.json")
+        existing = None
+        if src_tbl.fs.exists(spec_file):
+            existing = json.loads(src_tbl.fs.read_text(spec_file))
+        if (ident in self._mvs or existing is not None) and not m.group("ine"):
+            raise MergeSqlError(
+                f"materialized view {m.group('name')!r} already exists")
+        if existing is not None and existing != spec:
+            raise MergeSqlError(
+                f"materialized view {m.group('name')!r} exists with a "
+                f"different definition {existing}; DROP it first")
+        roll = MaterializedRollup(
+            src_tbl, loc, state_dir, group_cols=gb, sum_cols=sum_cols)
+        if existing is None:
+            src_tbl.fs.makedirs(state_dir)
+            tmp = spec_file + ".tmp"
+            src_tbl.fs.write_text(tmp, json.dumps(spec))
+            src_tbl.fs.replace(tmp, spec_file)
+            roll.refresh()  # initial build = the bootstrap delta fold
+        self._mvs[ident] = roll
+        # queryable by name, auto-refreshed per commit on this handle
+        roll.target.register_sql(ident.split(".")[-1])
+        return roll
+
+    def _run_refresh_mv(self, statement: str):
+        """``REFRESH MATERIALIZED VIEW <mv>`` — fold every source
+        commit past the MV's cursor (one signed-delta merge); returns
+        the source version the MV now reflects."""
+        m = re.match(
+            r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.`]+)"
+            r"\s*;?\s*$", statement, re.IGNORECASE)
+        if not m:
+            raise MergeSqlError(
+                "unsupported REFRESH; expected REFRESH MATERIALIZED "
+                "VIEW <mv>")
+        ident = self._norm_ident(m.group("name"))
+        if ident not in self._mvs:
+            raise MergeSqlError(
+                f"unknown materialized view {m.group('name')!r} in this "
+                f"runner (known: {sorted(self._mvs)}); re-attach with "
+                "CREATE MATERIALIZED VIEW IF NOT EXISTS after a restart")
+        return self._mvs[ident].refresh()
+
+    def _run_drop_mv(self, statement: str) -> None:
+        """``DROP MATERIALIZED VIEW [IF EXISTS] <mv>`` — removes the
+        summary table, its maintenance state, and the registration."""
+        m = re.match(
+            r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+"
+            r"(?:(?P<ie>IF\s+EXISTS)\s+)?(?P<name>[\w.`]+)\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if not m:
+            raise MergeSqlError(
+                "unsupported DROP; expected DROP MATERIALIZED VIEW "
+                "[IF EXISTS] <mv>")
+        ident = self._norm_ident(m.group("name"))
+        roll = self._mvs.pop(ident, None)
+        if roll is None:
+            if m.group("ie"):
+                return
+            raise MergeSqlError(
+                f"unknown materialized view {m.group('name')!r}")
+        roll.fs.rmtree(roll.target.path)
 
     # -- CALL procedures (Iceberg system stored-procedure parity) --------
 
