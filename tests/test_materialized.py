@@ -404,3 +404,72 @@ def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
             F.sum("amount").cast("long").alias("s")).collect()
     }
     assert _got(roll) == expect
+
+
+def test_rollup_rides_dml_ddl_soak(spark, tmp_path):
+    """The IVM rollup as a rider on the 210-statement DML×DDL soak
+    (test_dml_ddl_soak.py): at every periodic model checkpoint the
+    rollup is refreshed and must equal the from-scratch GROUP BY —
+    across MERGE/UPDATE/DELETE/INSERT churn, unrelated-column DDL,
+    widening of the SUM column, partition-field evolution, and
+    branch/tag version-number gaps. Group keys include NULLs (the
+    soak's generator emits them), so the null-safe delta join and the
+    rollup-table merge path are exercised for real."""
+    from test_dml_ddl_soak import _run_soak
+
+    class _MvRider:
+        def __init__(self):
+            self.roll = None
+            self.checks = 0
+
+        def __call__(self, table, i):
+            if self.roll is None:
+                self.roll = MaterializedRollup(
+                    table, str(tmp_path / "mv_roll"),
+                    str(tmp_path / "mv_ck"),
+                    group_cols=["customer_id"], sum_cols=["amount"])
+            self.roll.refresh()
+            expect = {
+                r["customer_id"]: (r["n_rows"], r["s"])
+                for r in table.read_data().groupBy("customer_id").agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("amount").cast("long").alias("s")).collect()
+            }
+            got = {r["customer_id"]: (r["n_rows"], r["sum_amount"])
+                   for r in self.roll.read().collect()}
+            assert got == expect, f"IVM divergence after statement {i}"
+            self.checks += 1
+
+    rider = _MvRider()
+    _run_soak(spark, tmp_path, 20260815, on_check=rider)
+    assert rider.checks >= 7
+
+
+def test_sum_null_semantics(spark, tmp_path):
+    """SUM over a group with no non-null values must read NULL (SQL),
+    not 0 — including when updates remove the last non-null value —
+    and must come back once a non-null value appears (the bug the
+    rider soak caught, pinned small)."""
+    src = ParquetLakeTable(spark, str(tmp_path / "src"),
+                           key_cols=["trans_id"], partition_col="event")
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    _merge(spark, src, [[1, "g", None, "insert", "2026-01-01 00:00:00", 1],
+                        [2, "g", 5, "insert", "2026-01-01 00:00:01", 2]])
+    roll.refresh()
+    assert _got(roll) == {"g": (2, 5)}
+
+    # 5 -> NULL: n_rows and the numeric sum contribution both collapse
+    # to "no non-null values left" — SUM must flip to NULL, not 0
+    _merge(spark, src, [[2, "g", None, "update", "2026-01-01 00:01:00", 3]])
+    roll.refresh()
+    assert _got(roll) == {"g": (2, None)}
+
+    _merge(spark, src, [[3, "g", 7, "insert", "2026-01-01 00:02:00", 4]])
+    roll.refresh()
+    assert _got(roll) == {"g": (3, 7)}
+
+    # rebuild() preserves the same semantics
+    roll.rebuild()
+    assert _got(roll) == {"g": (3, 7)}

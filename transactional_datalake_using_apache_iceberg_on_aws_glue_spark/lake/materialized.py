@@ -11,10 +11,14 @@ crashes.
 
 Scope = the self-maintainable aggregate class (the classic IVM
 result): ``COUNT(*)`` and ``SUM`` per group, which update from a
-change delta alone. ``AVG`` derives at read time (``sum / n``).
-``MIN``/``MAX`` are deliberately absent — a delete of the current
-extremum cannot be repaired without rescanning the group, so they do
-not belong on this fast path.
+change delta alone. SUM carries full SQL NULL semantics: the fold
+also maintains a signed NON-NULL count per sum column (``nn_<c>``),
+and ``read()`` presents ``SUM = NULL`` when no non-null values remain
+— the all-NULL group reading 0 instead of NULL was a real bug the
+DML×DDL rider soak caught. ``AVG`` derives at read time
+(``sum / nn``). ``MIN``/``MAX`` are deliberately absent — a delete of
+the current extremum cannot be repaired without rescanning the group,
+so they do not belong on this fast path.
 
 100 TB shape: the refresh cost is O(changes in the span) + O(touched
 groups), independent of the base table size. The change scan is the
@@ -96,10 +100,18 @@ class MaterializedRollup:
     # -- reads -----------------------------------------------------------
 
     def read(self) -> DataFrame:
-        """Current summary: group_cols + ``n_rows`` + ``sum_<c>``."""
+        """Current summary: group_cols + ``n_rows`` + ``sum_<c>``.
+
+        SQL NULL semantics for SUM (caught by the DML×DDL rider soak):
+        a group whose ``c`` values are all NULL must read ``SUM(c) =
+        NULL``, not 0. The stored fold keeps a running non-null count
+        per sum column (``nn_<c>``, maintained by the same signed
+        delta); presentation maps ``nn == 0`` back to NULL here."""
         return self.target.read_data().select(
             *self.group_cols, "n_rows",
-            *[f"sum_{c}" for c in self.sum_cols])
+            *[F.when(F.col(f"nn_{c}") == 0, F.lit(None))
+              .otherwise(F.col(f"sum_{c}")).alias(f"sum_{c}")
+              for c in self.sum_cols])
 
     def position(self) -> int:
         """Last source version fully folded into the summary."""
@@ -143,11 +155,16 @@ class MaterializedRollup:
         self._write_intent({"from": -1, "to": head,
                             "rollup_base": base_v})
         snap = self.source.read_data(as_of_version=head)
+        sum_aggs = []
+        for c in self.sum_cols:
+            sum_aggs.append(
+                F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}"))
+            sum_aggs.append(F.count(c).alias(f"nn_{c}"))  # non-nulls
         fresh = snap.groupBy(*self.group_cols).agg(
-            F.count("*").alias("n_rows"),
-            *[F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}")
-              for c in self.sum_cols],
-        )
+            F.count("*").alias("n_rows"), *sum_aggs)
+        stored = ["n_rows"]
+        for c in self.sum_cols:
+            stored += [f"sum_{c}", f"nn_{c}"]
         env = fresh.withColumn(OP_COL, F.lit("insert"))
         if self.target.exists():
             # groups that vanished since the summary was last correct:
@@ -156,8 +173,7 @@ class MaterializedRollup:
                 self.target.read_data()
                 .join(fresh.select(*self.group_cols), self.group_cols,
                       "left_anti")
-                .select(*self.group_cols, "n_rows",
-                        *[f"sum_{c}" for c in self.sum_cols])
+                .select(*self.group_cols, *stored)
                 .withColumn(OP_COL, F.lit("delete"))
             )
             env = env.unionByName(stale)
@@ -179,14 +195,23 @@ class MaterializedRollup:
         ch = self.source.read_changes(pos, head, include_preimages=True)
         sign = F.when(F.col(_CHANGE).isin(*_ADDS), F.lit(1)).otherwise(
             F.lit(-1))
-        aggs = [F.sum(sign).alias("_d_n")] + [
-            F.coalesce(F.sum(sign * F.col(c)), F.lit(0)).alias(f"_d_{c}")
-            for c in self.sum_cols
-        ]
+        aggs = [F.sum(sign).alias("_d_n")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
+                .alias(f"_d_{c}"))
+            # signed NON-NULL count: a 5 -> NULL update changes neither
+            # n_rows nor (numerically) the sum it leaves behind, but it
+            # must flip SUM to NULL once no non-null values remain
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNotNull(), sign)), F.lit(0))
+                .alias(f"_dnn_{c}"))
         delta = ch.groupBy(*self.group_cols).agg(*aggs)
         nonzero = F.col("_d_n") != 0
         for c in self.sum_cols:
-            nonzero = nonzero | (F.col(f"_d_{c}") != 0)
+            nonzero = (nonzero | (F.col(f"_d_{c}") != 0)
+                       | (F.col(f"_dnn_{c}") != 0))
         return delta.filter(nonzero)
 
     def _apply(self, pos: int, head: int) -> None:
@@ -211,10 +236,14 @@ class MaterializedRollup:
             return F.coalesce(F.col(f"s.{col}"), F.lit(0).cast(typ))
 
         new_n = (old("n_rows", "long") + F.col("d._d_n")).alias("n_rows")
-        new_sums = [
-            (old(f"sum_{c}", "long") + F.col(f"d._d_{c}")).alias(f"sum_{c}")
-            for c in self.sum_cols
-        ]
+        new_sums = []
+        for c in self.sum_cols:
+            new_sums.append(
+                (old(f"sum_{c}", "long") + F.col(f"d._d_{c}"))
+                .alias(f"sum_{c}"))
+            new_sums.append(
+                (old(f"nn_{c}", "long") + F.col(f"d._dnn_{c}"))
+                .alias(f"nn_{c}"))
         env = j.select(
             *[F.col(f"d.{c}") for c in self.group_cols], new_n, *new_sums,
         ).withColumn(

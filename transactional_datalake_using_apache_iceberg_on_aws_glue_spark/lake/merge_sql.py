@@ -940,8 +940,20 @@ class MergeSqlRunner:
             src_tbl.fs.replace(tmp, spec_file)
             roll.refresh()  # initial build = the bootstrap delta fold
         self._mvs[ident] = roll
-        # queryable by name, auto-refreshed per commit on this handle
-        roll.target.register_sql(ident.split(".")[-1])
+        # queryable by name, auto-refreshed per commit on this handle.
+        # The storage table keeps per-column non-null counts (nn_<c>)
+        # so SUM presents SQL NULL semantics; the public view hides the
+        # bookkeeping and maps nn == 0 back to NULL (materialized.py
+        # read() contract).
+        name = ident.split(".")[-1]
+        storage = roll.target.register_sql(f"{name}__storage")
+        sel = ", ".join(
+            [f"`{g}`" for g in gb] + ["n_rows"]
+            + [f"CASE WHEN nn_{c} = 0 THEN NULL ELSE sum_{c} END "
+               f"AS sum_{c}" for c in sum_cols])
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW lakehouse.`{name}` AS "
+            f"SELECT {sel} FROM {storage}")
         return roll
 
     def _run_refresh_mv(self, statement: str):

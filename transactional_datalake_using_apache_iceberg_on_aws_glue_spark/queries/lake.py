@@ -102,30 +102,35 @@ _IVM_CACHE: dict = {}
 
 
 def _ivm_rollup(spark: SparkSession, sf_dir: str):
-    """A MaterializedRollup (lake/materialized.py) maintained
-    INCREMENTALLY over the same two-wave history: its own source table
-    is built wave-by-wave with a ``refresh()`` after each merge, so the
-    summary the query returns was produced by two signed-delta folds —
-    never a recompute — yet must equal the plain GROUP BY oracle."""
+    """A materialized view maintained INCREMENTALLY over the same
+    two-wave history, built through the SQL statement family
+    (merge_sql.py CREATE/REFRESH MATERIALIZED VIEW) so the SQL front
+    path itself stands behind the value-hash gate: the source table is
+    merged wave-by-wave with a REFRESH after each merge — the summary
+    the query returns was produced by two signed-delta folds, never a
+    recompute — yet must equal the plain GROUP BY oracle."""
     r = _IVM_CACHE.get(sf_dir)
     if r is not None and os.path.isdir(r.target.path):
         return r
-    from ..lake import MaterializedRollup
+    from ..lake import MergeSqlRunner
 
     base = tempfile.mkdtemp(prefix="lake_query_ivm_")
     src = ParquetLakeTable(
         spark, os.path.join(base, "src"), key_cols=["trans_id"],
         partition_col="event",
     )
-    roll = MaterializedRollup(
-        src, os.path.join(base, "roll"), os.path.join(base, "ck"),
-        group_cols=["event"], sum_cols=["amount_cents"],
-    )
+    runner = MergeSqlRunner(spark)
+    runner.register("ivm.src", src)
     wave1, wave2 = _wave_dfs(spark, sf_dir)
     src.merge(wave1)
-    roll.refresh()
+    roll = runner.sql(
+        f"CREATE MATERIALIZED VIEW ivm.mv USING lake "
+        f"LOCATION '{os.path.join(base, 'roll')}' "
+        f"AS SELECT event, COUNT(*) AS n_rows, "
+        f"SUM(amount_cents) AS sum_amount_cents "
+        f"FROM ivm.src GROUP BY event")
     src.merge(wave2)
-    roll.refresh()
+    runner.sql("REFRESH MATERIALIZED VIEW ivm.mv")
     _IVM_CACHE[sf_dir] = roll
     return roll
 
