@@ -929,9 +929,6 @@ def test_create_mv_if_not_exists_reattaches(spark, tmp_path):
         r.sql(_mv_sql(tmp_path))
     r2 = MergeSqlRunner(spark)
     r2.register("db.t", t)
-    bad = _mv_sql(tmp_path, ine="IF NOT EXISTS ").replace(
-        "GROUP BY customer_id", "GROUP BY customer_id"
-    ).replace("SUM(amount) AS sum_amount, ", "")
     with pytest.raises(MergeSqlError, match="unknown materialized view"):
         r2.sql("REFRESH MATERIALIZED VIEW db.mv")  # not attached yet
     r2.sql(_mv_sql(tmp_path, ine="IF NOT EXISTS "))
@@ -975,3 +972,37 @@ def test_drop_mv(spark, tmp_path):
     r.sql(_mv_sql(tmp_path))
     assert spark.sql("SELECT COUNT(*) AS n FROM lakehouse.mv"
                      ).collect()[0]["n"] == 2
+
+
+def test_create_mv_avg_and_count_col(spark, tmp_path):
+    """AVG(c) and COUNT(c) are derivable from the stored
+    (sum, non-null count) pair — including SQL NULL semantics when a
+    group's values are all NULL."""
+    t = _table(spark, tmp_path,
+               [(1, "a", 10), (2, "a", 30), (3, "b", None)])
+    r = MergeSqlRunner(spark)
+    r.register("db.t", t)
+    r.sql(f"CREATE MATERIALIZED VIEW db.mva USING lake "
+          f"LOCATION '{tmp_path / 'mva'}' "
+          "AS SELECT customer_id, COUNT(*) AS n_rows, AVG(amount), "
+          "COUNT(amount) AS n_amount FROM db.t GROUP BY customer_id")
+    got = {row["customer_id"]: (row["n_rows"], row["avg_amount"],
+                                row["n_amount"])
+           for row in spark.sql("SELECT * FROM lakehouse.mva").collect()}
+    assert got == {"a": (2, 20.0, 2), "b": (1, None, 0)}
+
+    r.sql("UPDATE db.t SET amount = 50 WHERE trans_id = 3")
+    r.sql("REFRESH MATERIALIZED VIEW db.mva")
+    got = {row["customer_id"]: (row["n_rows"], row["avg_amount"],
+                                row["n_amount"])
+           for row in spark.sql("SELECT * FROM lakehouse.mva").collect()}
+    assert got == {"a": (2, 20.0, 2), "b": (1, 50.0, 1)}
+
+    with pytest.raises(MergeSqlError, match="not valid SQL"):
+        r.sql(f"CREATE MATERIALIZED VIEW db.bad USING lake LOCATION "
+              f"'{tmp_path / 'bad'}' AS SELECT customer_id, COUNT(*), "
+              f"SUM(*) FROM db.t GROUP BY customer_id")
+    with pytest.raises(MergeSqlError, match="alias must be"):
+        r.sql(f"CREATE MATERIALIZED VIEW db.bad USING lake LOCATION "
+              f"'{tmp_path / 'bad'}' AS SELECT customer_id, COUNT(*), "
+              f"AVG(amount) AS mean FROM db.t GROUP BY customer_id")

@@ -845,15 +845,22 @@ class MergeSqlRunner:
             CREATE MATERIALIZED VIEW [IF NOT EXISTS] <mv>
             USING lake LOCATION '<path>'
             AS SELECT <g1> [, ...], COUNT(*) [AS n_rows]
-                      [, SUM(<c>) [AS sum_<c>] ...]
+                      [, SUM(<c>) [AS sum_<c>]
+                       | AVG(<c>) [AS avg_<c>]
+                       | COUNT(<c>) [AS n_<c>] ...]
                FROM <registered-table> GROUP BY <g1> [, ...]
 
         The SELECT is a validated subset: bare group columns, exactly
-        one ``COUNT(*)``, any number of ``SUM(col)`` — the
-        self-maintainable aggregate class (AVG derives at read time;
-        MIN/MAX are deliberately outside IVM, see materialized.py).
-        Aliases are optional but, when given, must be the canonical
-        ``n_rows`` / ``sum_<col>`` names the rollup publishes. The MV
+        one ``COUNT(*)``, and any number of ``SUM(col)`` /
+        ``AVG(col)`` / ``COUNT(col)`` — the self-maintainable
+        aggregate class. The fold stores one (sum, non-null count)
+        pair per referenced column; SUM and AVG present SQL NULL
+        semantics through it (all-NULL group -> NULL), COUNT(col) IS
+        the non-null count, and AVG = sum / non-null count at view
+        time. MIN/MAX are deliberately outside IVM (materialized.py:
+        a delete of the extremum needs a group rescan). Aliases are
+        optional but, when given, must be the canonical ``n_rows`` /
+        ``sum_<col>`` / ``avg_<col>`` / ``n_<col>`` names. The MV
         definition persists in ``<path>/_mv_state/MVSPEC.json``;
         ``IF NOT EXISTS`` re-attaches to an existing MV after a
         restart (definition must match). The MV is published as a
@@ -875,35 +882,48 @@ class MergeSqlRunner:
                 "COUNT(*) [AS n_rows] [, SUM(c) [AS sum_c] ...] "
                 "FROM <table> GROUP BY <group cols>")
         ident = self._norm_ident(m.group("name"))
-        group_cols, sum_cols, saw_count = [], [], False
+        #: aggs = [(kind, col)] in statement order; sum_cols = columns
+        #: needing a (sum, non-null count) pair in the stored fold
+        group_cols, aggs, sum_cols, saw_count = [], [], [], False
+        _canon = {"count*": lambda c: "n_rows",
+                  "count": lambda c: f"n_{c}",
+                  "sum": lambda c: f"sum_{c}",
+                  "avg": lambda c: f"avg_{c}"}
         for item in _split_top_level(m.group("select")):
-            cm = re.match(r"^COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?$",
-                          item, re.IGNORECASE)
-            sm = re.match(r"^SUM\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+(\w+))?$",
-                          item, re.IGNORECASE)
-            if cm:
-                if saw_count:
-                    raise MergeSqlError("duplicate COUNT(*) in MV select")
-                saw_count = True
-                if cm.group(1) and cm.group(1).lower() != "n_rows":
+            am = re.match(
+                r"^(?P<fn>COUNT|SUM|AVG)\(\s*(?:\*|`?(?P<col>\w+)`?)\s*\)"
+                r"(?:\s+AS\s+(?P<alias>\w+))?$", item, re.IGNORECASE)
+            if am:
+                fn = am.group("fn").upper()
+                c = am.group("col")
+                if fn != "COUNT" and c is None:
+                    raise MergeSqlError(f"{fn}(*) is not valid SQL")
+                kind = "count*" if (fn == "COUNT" and c is None) \
+                    else fn.lower()
+                if kind == "count*":
+                    if saw_count:
+                        raise MergeSqlError(
+                            "duplicate COUNT(*) in MV select")
+                    saw_count = True
+                canon = _canon[kind](c)
+                if am.group("alias") and \
+                        am.group("alias").lower() != canon.lower():
                     raise MergeSqlError(
-                        f"COUNT(*) alias must be n_rows (the name the "
-                        f"rollup publishes), got {cm.group(1)!r}")
-            elif sm:
-                c = sm.group(1)
-                if sm.group(2) and sm.group(2).lower() != f"sum_{c}".lower():
-                    raise MergeSqlError(
-                        f"SUM({c}) alias must be sum_{c}, "
-                        f"got {sm.group(2)!r}")
-                sum_cols.append(c)
+                        f"{fn}({c or '*'}) alias must be {canon} (the "
+                        f"name the rollup publishes), "
+                        f"got {am.group('alias')!r}")
+                if c is not None and c not in sum_cols:
+                    sum_cols.append(c)
+                aggs.append([kind, c])
             elif re.match(r"^`?\w+`?$", item):
                 group_cols.append(item.replace("`", ""))
             else:
                 raise MergeSqlError(
                     f"unsupported MV select item {item!r}; the "
                     "incremental subset is bare group columns, "
-                    "COUNT(*), and SUM(col) — MIN/MAX are not "
-                    "self-maintainable under deletes (materialized.py)")
+                    "COUNT(*), SUM(col), AVG(col), COUNT(col) — "
+                    "MIN/MAX are not self-maintainable under deletes "
+                    "(materialized.py)")
         if not saw_count:
             raise MergeSqlError("MV select must include COUNT(*) "
                                 "(the rollup always maintains n_rows)")
@@ -919,7 +939,7 @@ class MergeSqlRunner:
 
         state_dir = os.path.join(loc, self._MV_DIR)
         spec = {"source": src_tbl.path, "location": loc,
-                "group_cols": gb, "sum_cols": sum_cols}
+                "group_cols": gb, "sum_cols": sum_cols, "aggs": aggs}
         spec_file = os.path.join(state_dir, "MVSPEC.json")
         existing = None
         if src_tbl.fs.exists(spec_file):
@@ -947,10 +967,16 @@ class MergeSqlRunner:
         # read() contract).
         name = ident.split(".")[-1]
         storage = roll.target.register_sql(f"{name}__storage")
-        sel = ", ".join(
-            [f"`{g}`" for g in gb] + ["n_rows"]
-            + [f"CASE WHEN nn_{c} = 0 THEN NULL ELSE sum_{c} END "
-               f"AS sum_{c}" for c in sum_cols])
+        derive = {
+            "count*": lambda c: "n_rows AS n_rows",
+            "count": lambda c: f"nn_{c} AS n_{c}",
+            "sum": lambda c: (f"CASE WHEN nn_{c} = 0 THEN NULL "
+                              f"ELSE sum_{c} END AS sum_{c}"),
+            "avg": lambda c: (f"CASE WHEN nn_{c} = 0 THEN NULL "
+                              f"ELSE sum_{c} / nn_{c} END AS avg_{c}"),
+        }
+        sel = ", ".join([f"`{g}`" for g in gb]
+                        + [derive[k](c) for k, c in aggs])
         self.spark.sql(
             f"CREATE OR REPLACE VIEW lakehouse.`{name}` AS "
             f"SELECT {sel} FROM {storage}")
