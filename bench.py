@@ -110,6 +110,7 @@ def _bench_cdc(spark, sf_dir: str, timings: dict, minimums: dict,
         apply_cdc_batch,
     )
     from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+        MaterializedRollup,
         ParquetLakeTable,
     )
     from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import load_table
@@ -161,9 +162,23 @@ def _bench_cdc(spark, sf_dir: str, timings: dict, minimums: dict,
             t0 = time.perf_counter()
             apply_cdc_batch(envelopes(li, "insert", "2024-01-01T00:00:00.000000"), table)
             t["cdc_initial_load"] = time.perf_counter() - t0
+
+            # IVM rollup riding the same table: the bootstrap fold
+            # scans the whole snapshot once; the post-churn refresh
+            # must cost O(churn span), not O(table) — both billed
+            roll = MaterializedRollup(
+                table, f"{work}/t_roll", f"{work}/t_roll_ck",
+                group_cols=["event"], sum_cols=["amount"])
+            t0 = time.perf_counter()
+            roll.refresh()
+            t["ivm_bootstrap_refresh"] = time.perf_counter() - t0
+
             t0 = time.perf_counter()
             apply_cdc_batch(churn, table)
             t["cdc_incremental_merge"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            roll.refresh()
+            t["ivm_incremental_refresh"] = time.perf_counter() - t0
 
             # merge-on-read mode: same churn batch as a delta append (write
             # cost O(batch), ~4x faster than COW at sf0.1) plus the read it
@@ -180,6 +195,10 @@ def _bench_cdc(spark, sf_dir: str, timings: dict, minimums: dict,
             if i == 0:  # result-shape guard, untimed
                 n_cow = table.read_data().count()
                 rows["cdc_initial_load"] = rows["cdc_incremental_merge"] = n_cow
+                n_groups = roll.read().count()
+                assert n_groups > 0, "IVM rollup came back empty"
+                rows["ivm_bootstrap_refresh"] = n_groups
+                rows["ivm_incremental_refresh"] = n_groups
                 n_mor = mor.read_data().count()
                 rows["cdc_mor_incremental_merge"] = n_mor
                 rows["cdc_mor_read_after_merge"] = n_mor

@@ -823,3 +823,122 @@ def test_clustering_candidates_consume_table_stats(spark, tmp_path):
                              cluster_by=["v", "id"])
     remaining = table.clustering_candidates(["v", "k"])
     assert remaining == [p for p in after[1:]]
+
+
+# --------------------------- span-pruned snapshot diff (r8, 100 TB path)
+
+
+def _merge_rows(spark, t, rows):
+    """rows: (trans_id, event, amount, op, txn)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.createDataFrame(
+        rows, "trans_id long, event string, amount long, _op string, "
+              "_txn_id long")
+        .withColumn("_op_timestamp",
+                    F.lit("2026-01-01 00:00:00").cast("timestamp")))
+    t.merge(df)
+
+
+def test_span_changed_partitions_localized_churn(spark, tmp_path):
+    """A merge touching one partition must yield a pruning set of
+    exactly that partition, and read_changes must not READ the
+    untouched partitions (pinned by intercepting the slice reader)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"),
+                         key_cols=["trans_id"], partition_col="event")
+    _merge_rows(spark, t, [(k, f"e{k % 4}", 10 * k, "insert", k)
+                           for k in range(1, 13)])
+    v1 = t.current_version()
+    _merge_rows(spark, t, [(4, "e0", 999, "update", 100)])
+    v2 = t.current_version()
+
+    only = t._span_changed_partitions(t._manifest(v1), t._manifest(v2))
+    assert only == {"e0"}
+
+    asked: list = []
+    real = t._read_snapshot_slice
+
+    def spy(snap, values, *a, **kw):
+        asked.extend(values)
+        return real(snap, values, *a, **kw)
+
+    t._read_snapshot_slice = spy
+    try:
+        got = {r["trans_id"]: (r["_change_type"], r["amount"])
+               for r in t.read_changes(v1, v2).collect()}
+    finally:
+        t._read_snapshot_slice = real
+    assert got == {4: ("update_postimage", 999)}
+    assert set(asked) == {"e0"}, f"diff read untouched partitions: {asked}"
+
+
+def test_span_pruning_bails_on_ddl_and_stays_correct(spark, tmp_path):
+    """Metadata-only DDL changes row images with no file rewrite — the
+    pruning set must be None for such spans and the diff must still
+    see the dropped column's images null out."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"),
+                         key_cols=["trans_id"], partition_col="event",
+                         allow_schema_evolution=True)
+    _merge_rows(spark, t, [(1, "a", 10, "insert", 1),
+                           (2, "b", 20, "insert", 2)])
+    v1 = t.current_version()
+    t.drop_column("amount")
+    v2 = t.current_version()
+    assert t._span_changed_partitions(t._manifest(v1),
+                                      t._manifest(v2)) is None
+    ch = {r["trans_id"]: r for r in t.read_changes(v1, v2).collect()}
+    assert set(ch) == {1, 2}  # every row's image changed (amount -> gone)
+
+    # rename span: also unprunable
+    t.add_column("note", "string")
+    v3 = t.current_version()
+    t.rename_column("note", "memo")
+    v4 = t.current_version()
+    assert t._span_changed_partitions(t._manifest(v3),
+                                      t._manifest(v4)) is None
+
+
+def test_span_pruned_diff_equals_full_diff_randomized(spark, tmp_path):
+    """Randomized DML waves (localized and broad): the pruned diff must
+    equal the diff computed with pruning disabled, span by span."""
+    import random
+
+    rng = random.Random(7)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"),
+                         key_cols=["trans_id"], partition_col="event")
+    _merge_rows(spark, t, [(k, f"e{k % 5}", k, "insert", k)
+                           for k in range(1, 21)])
+    versions = [t.current_version()]
+    tick = 100
+    for _ in range(5):
+        rows = []
+        for k in rng.sample(range(1, 30), rng.randrange(1, 6)):
+            tick += 1
+            op = rng.choice(["insert", "update", "delete"])
+            # mostly localized: bias toward one partition per wave
+            e = f"e{rng.randrange(5) if rng.random() < 0.3 else 0}"
+            rows.append((k, e, rng.randrange(1000), op, tick))
+        _merge_rows(spark, t, rows)
+        versions.append(t.current_version())
+
+    def snap(df):
+        return sorted((r["trans_id"], r["_change_type"], r["amount"])
+                      for r in df.collect())
+
+    real = t._span_changed_partitions
+    for lo, hi in zip(versions, versions[1:]):
+        pruned = snap(t.read_changes(lo, hi))
+        t._span_changed_partitions = lambda mo, mn: None
+        try:
+            full = snap(t.read_changes(lo, hi))
+        finally:
+            t._span_changed_partitions = real
+        assert pruned == full, f"span {lo}->{hi}"
+    # multi-commit span too
+    pruned = snap(t.read_changes(versions[0], versions[-1]))
+    t._span_changed_partitions = lambda mo, mn: None
+    try:
+        full = snap(t.read_changes(versions[0], versions[-1]))
+    finally:
+        t._span_changed_partitions = real
+    assert pruned == full

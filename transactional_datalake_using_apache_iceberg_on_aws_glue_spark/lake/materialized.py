@@ -160,8 +160,12 @@ class MaterializedRollup:
             sum_aggs.append(
                 F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}"))
             sum_aggs.append(F.count(c).alias(f"nn_{c}"))  # non-nulls
+        # materialized once (rollup-sized): consumed by env, the stale
+        # anti-join, AND the isEmpty probe — without this the full
+        # snapshot scan re-executes per consumer
         fresh = snap.groupBy(*self.group_cols).agg(
-            F.count("*").alias("n_rows"), *sum_aggs)
+            F.count("*").alias("n_rows"),
+            *sum_aggs).localCheckpoint(eager=True)
         stored = ["n_rows"]
         for c in self.sum_cols:
             stored += [f"sum_{c}", f"nn_{c}"]
@@ -218,7 +222,10 @@ class MaterializedRollup:
         base_v = self.target.current_version()
         self._write_intent({"from": pos, "to": head,
                             "rollup_base": base_v})
-        delta = self._signed_delta(pos, head)
+        # materialize the (rollup-sized) delta once: the snapshot diff
+        # behind it is the expensive part, and it is consumed three
+        # times below (join plan, isEmpty probe, merge execution)
+        delta = self._signed_delta(pos, head).localCheckpoint(eager=True)
 
         if self.target.exists():
             cur = self.target.read_data()

@@ -931,19 +931,26 @@ class ParquetLakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
-    def _assemble(self, manifest: dict) -> DataFrame:
+    def _assemble(self, manifest: dict,
+                  only_partitions: set | None = None) -> DataFrame:
         """Materialize a manifest as a DataFrame: per-snapshot reads
         (partition-pruned to the slices the manifest references) folded
         with deltas if present. Each slice is read under ITS OWN
         partition spec (partition-spec evolution leaves older snapshots
         in their original layout); a hidden partition column the
         current spec derives is reconstructed from its source column
-        for slices that predate it."""
+        for slices that predate it. ``only_partitions`` (internal, set
+        of partition value tokens) restricts the read to those
+        partitions — the snapshot-diff pruning hook
+        (``_span_changed_partitions``)."""
         schema = T.StructType.fromJson(manifest["schema"])
         renames = manifest.get("renames", [])
         _, cur_t = self._manifest_spec(manifest)
         derive = cur_t if cur_t is not None else None
         base_map: dict = manifest["base"]
+        if only_partitions is not None:
+            base_map = {p: s for p, s in base_map.items()
+                        if p in only_partitions}
         by_snap: dict[str, list[str]] = {}
         for part_value, snap in base_map.items():
             by_snap.setdefault(snap, []).append(part_value)
@@ -957,9 +964,14 @@ class ParquetLakeTable:
         deltas = []
         for d in manifest["deltas"]:
             d_col = self._slice_spec(manifest, d)[0]
+            d_values = self._list_partition_dirs(
+                os.path.join(self.path, d), d_col)
+            if only_partitions is not None:
+                d_values = [v for v in d_values if v in only_partitions]
+                if not d_values:
+                    continue
             deltas.append(self._read_snapshot_slice(
-                d, self._list_partition_dirs(
-                    os.path.join(self.path, d), d_col),
+                d, d_values,
                 schema, renames, partition_col=d_col, derive=derive))
         if not parts and not deltas:
             return self.spark.createDataFrame([], schema)
@@ -1117,16 +1129,18 @@ class ParquetLakeTable:
         return self._assemble(m)
 
     def read_data(self, as_of_version: int | None = None,
-                  as_of_timestamp_ms: int | None = None) -> DataFrame:
+                  as_of_timestamp_ms: int | None = None,
+                  _only_partitions: set | None = None) -> DataFrame:
         """Read the LIVE rows (tombstones filtered) without lineage
         columns — the user-facing relation. Hidden partition columns
         are dropped per the RESOLVED manifest's spec, so a time-travel
         read across a partition-spec evolution hides that version's own
-        derived column."""
+        derived column. ``_only_partitions`` is the internal
+        snapshot-diff pruning hook (``_span_changed_partitions``)."""
         m = self._resolve_as_of(as_of_version, as_of_timestamp_ms)
         if m is None:
             raise ValueError(f"table at {self.path} has no committed versions")
-        df = self._assemble(m)
+        df = self._assemble(m, only_partitions=_only_partitions)
         if DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         pcol, ptrans = self._manifest_spec(m)
@@ -1393,6 +1407,45 @@ class ParquetLakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    def _span_changed_partitions(self, m_old: dict | None,
+                                 m_new: dict | None) -> set | None:
+        """Partitions whose FILE SETS differ between two manifests —
+        the sound pruning set for a snapshot diff: COW rewrites a
+        touched partition's snap dir, MOR appends delta files, so a
+        partition with an identical (base dir, delta contribution)
+        pair holds identical rows and contributes nothing to the diff.
+        Returns None when pruning is unsound and the diff must read
+        both snapshots in full:
+
+        - schema or rename evolution inside the span (a DROP COLUMN
+          changes every row's image with no file rewrite);
+        - partition-spec evolution / mixed-spec slices (base and delta
+          tokens would live in different namespaces);
+        - a span delta dir that cannot be listed (expired debris).
+
+        At 100 TB this is the difference between a refresh/poll that
+        scans the table and one that scans the churned partitions."""
+        if m_old is None or m_new is None:
+            return None
+        if m_old.get("schema") != m_new.get("schema"):
+            return None
+        if (m_old.get("renames") or []) != (m_new.get("renames") or []):
+            return None
+        if m_old.get("spec") != m_new.get("spec"):
+            return None
+        if (m_old.get("slice_specs") or {}) or (m_new.get("slice_specs") or {}):
+            return None
+        bo, bn = m_old["base"], m_new["base"]
+        changed = {p for p in set(bo) | set(bn) if bo.get(p) != bn.get(p)}
+        d_col, _ = self._manifest_spec(m_new)
+        for d in set(m_old["deltas"]) ^ set(m_new["deltas"]):
+            try:
+                changed.update(self._list_partition_dirs(
+                    os.path.join(self.path, d), d_col))
+            except (FileNotFoundError, OSError):
+                return None
+        return changed
+
     def read_changes(self, from_version: int,
                      to_version: int | None = None,
                      include_preimages: bool = False) -> DataFrame:
@@ -1411,15 +1464,33 @@ class ParquetLakeTable:
         initial offset semantics.
 
         Cost: one full-outer join on the key between the two snapshot
-        reads — partition-pruned reads, single shuffle per side; no
-        per-version log replay needed because snapshots are complete
-        states (same reason Iceberg's changelog is a snapshot diff).
+        reads, single shuffle per side; no per-version log replay
+        needed because snapshots are complete states (same reason
+        Iceberg's changelog is a snapshot diff). Both sides are pruned
+        to the partitions whose FILE SETS changed inside the span
+        (``_span_changed_partitions`` — Iceberg's changed-files
+        manifest walk, expressed at partition granularity): localized
+        churn costs O(churned partitions), not O(table). Spans
+        containing schema/rename/spec evolution read both snapshots in
+        full (a metadata-only DDL can change row images with no file
+        rewrite, so pruning there would drop real changes).
         """
-        new = self.read_data(as_of_version=to_version)
+        # partition-pruned diff: only partitions whose file sets differ
+        # between the two manifests can contribute change rows (sound
+        # gating in _span_changed_partitions — schema/spec evolution in
+        # the span falls back to the full two-sided read)
+        only = None
+        if from_version != 0:
+            only = self._span_changed_partitions(
+                self._resolve_as_of(from_version, None),
+                self._resolve_as_of(to_version, None))
+        new = self.read_data(as_of_version=to_version,
+                             _only_partitions=only)
         if from_version == 0:
             old = self.spark.createDataFrame([], new.schema)
         else:
-            old = self.read_data(as_of_version=from_version)
+            old = self.read_data(as_of_version=from_version,
+                                 _only_partitions=only)
         # rename transparency (r6, caught by the stream's
         # schema-evolution soak): a column renamed between the two
         # versions is the SAME field (Iceberg's field-id semantics) —
