@@ -42,15 +42,20 @@ def _got(rollup):
 
 def _mk(spark, tmp_path, **kw):
     src = ParquetLakeTable(spark, str(tmp_path / "src"),
-                           key_cols=["trans_id"], partition_col="event")
+                           key_cols=["trans_id"], partition_col="event",
+                           merge_mode=kw.pop("merge_mode", "cow"))
     roll = MaterializedRollup(
         src, str(tmp_path / "roll"), str(tmp_path / "ck"),
         group_cols=["event"], sum_cols=["amount"], **kw)
     return src, roll
 
 
-def test_rollup_tracks_dml(spark, tmp_path):
-    src, roll = _mk(spark, tmp_path)
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_rollup_tracks_dml(spark, tmp_path, mode):
+    """Parametrized over BOTH merge modes: a MOR source's read_changes
+    folds base + delta slivers, so the signed delta must see through
+    the deferred merge exactly as it does the COW rewrite."""
+    src, roll = _mk(spark, tmp_path, merge_mode=mode)
     state = {}
 
     # wave 1: inserts across three groups
