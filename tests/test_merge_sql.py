@@ -968,6 +968,7 @@ def test_drop_mv(spark, tmp_path):
     with pytest.raises(MergeSqlError, match="unknown materialized view"):
         r.sql("REFRESH MATERIALIZED VIEW db.mv")
     r.sql("DROP MATERIALIZED VIEW IF EXISTS db.mv")  # idempotent spelling
+    assert not spark.catalog.tableExists("lakehouse.mv")  # view dropped too
     # location + state are gone: a fresh CREATE rebuilds from scratch
     r.sql(_mv_sql(tmp_path))
     assert spark.sql("SELECT COUNT(*) AS n FROM lakehouse.mv"

@@ -1019,6 +1019,9 @@ class MergeSqlRunner:
                 return
             raise MergeSqlError(
                 f"unknown materialized view {m.group('name')!r}")
+        name = ident.split(".")[-1]
+        for v in (name, f"{name}__storage"):  # no dangling catalog views
+            self.spark.sql(f"DROP VIEW IF EXISTS lakehouse.`{v}`")
         roll.fs.rmtree(roll.target.path)
 
     # -- CALL procedures (Iceberg system stored-procedure parity) --------
