@@ -478,3 +478,44 @@ def test_sum_null_semantics(spark, tmp_path):
     # rebuild() preserves the same semantics
     roll.rebuild()
     assert _got(roll) == {"g": (3, 7)}
+
+
+def test_refresh_lock_is_loud_and_stealable(spark, tmp_path):
+    """A second maintainer must get ConcurrentRefreshError while the
+    lock is held (silent double-count forbidden), and a stale lock
+    left by a dead holder is stolen after lock_grace_ms."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.materialized import (
+        ConcurrentRefreshError,
+    )
+
+    src, roll = _mk(spark, tmp_path)
+    _merge(spark, src, [[1, "g", 5, "insert", "2026-01-01 00:00:00", 1]])
+    roll.refresh()
+    assert not roll.fs.exists(roll._lock_file)  # released on success
+
+    _merge(spark, src, [[2, "g", 7, "insert", "2026-01-01 00:01:00", 2]])
+    # simulate a live concurrent holder
+    assert roll.fs.create_exclusive(roll._lock_file, "{}")
+    other = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    with pytest.raises(ConcurrentRefreshError, match="another maintainer"):
+        other.refresh()
+
+    # dead holder: grace 0 means any lock is stale -> stolen
+    stealer = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"], lock_grace_ms=0)
+    assert stealer.refresh() == src.current_version()
+    assert _got(stealer) == {"g": (2, 12)}
+    assert not stealer.fs.exists(stealer._lock_file)
+
+    # errors release the lock too (refresh past an expired cursor)
+    _merge(spark, src, [[3, "g", 9, "insert", "2026-01-01 00:02:00", 3]])
+    _merge(spark, src, [[4, "g", 11, "insert", "2026-01-01 00:03:00", 4]])
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(CursorExpiredError):
+        roll.refresh()
+    assert not roll.fs.exists(roll._lock_file)
+    roll.rebuild()
+    assert _got(roll) == {"g": (4, 32)}

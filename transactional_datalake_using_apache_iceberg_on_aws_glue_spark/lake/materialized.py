@@ -36,8 +36,16 @@ intent pointing at a rollup whose version advanced past the recorded
 base — recovery finalizes the cursor WITHOUT re-applying (re-applying
 would double-count: the engine's tie-break is batch-wins, so a
 replayed envelope with identical ``(ts, txn)`` lineage would overwrite
-good totals with re-derived ones). One maintainer per rollup path is
-assumed, like any Spark checkpoint dir.
+good totals with re-derived ones).
+
+One maintainer per rollup path — ENFORCED, not assumed: refresh and
+rebuild take an exclusive REFRESH_LOCK (``fs.create_exclusive``, the
+same primitive as the commit claim) and a second concurrent
+maintainer gets a typed :class:`ConcurrentRefreshError` instead of a
+silent double-count (two maintainers interleaving overlapping spans
+would each add the shared span's delta once). A lock left behind by a
+SIGKILLed holder is stolen after ``lock_grace_ms`` (default 1 h —
+crash recovery then proceeds via the intent protocol as usual).
 
 Null grouping keys: supported in the delta/join plumbing (null-safe
 join), but the rollup table keys on the group columns — callers with
@@ -49,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -62,6 +71,13 @@ _CHANGE = "_change_type"
 #: change kinds that ADD a row image to the group; everything else
 #: (delete, update_preimage) subtracts its image
 _ADDS = ("insert", "update_postimage")
+
+
+class ConcurrentRefreshError(RuntimeError):
+    """Another maintainer holds this rollup's REFRESH_LOCK. Refreshing
+    anyway could double-count (module docstring); retry after the
+    holder finishes, or raise ``lock_grace_ms`` tolerance only if the
+    holder is known dead."""
 
 
 class MaterializedRollup:
@@ -79,6 +95,7 @@ class MaterializedRollup:
         group_cols: list[str],
         sum_cols: list[str] | tuple[str, ...] = (),
         partition_col: str | None = None,
+        lock_grace_ms: int = 3_600_000,
     ) -> None:
         if not group_cols:
             raise ValueError("group_cols must be non-empty")
@@ -95,6 +112,8 @@ class MaterializedRollup:
         )
         self.feed = ChangeFeed(source, checkpoint_dir)
         self._intent_file = os.path.join(checkpoint_dir, "INTENT")
+        self._lock_file = os.path.join(checkpoint_dir, "REFRESH_LOCK")
+        self.lock_grace_ms = lock_grace_ms
         self.fs = source.fs
 
     # -- reads -----------------------------------------------------------
@@ -123,22 +142,26 @@ class MaterializedRollup:
         """Fold every source commit past the cursor into the summary;
         returns the source version the summary now reflects. No-op
         (and no commit) when already caught up."""
-        self._recover()
-        pos = self.feed.position()
-        head = self.source.current_version()
-        if head <= pos:
-            return pos
-        # a rollup left behind past the source's snapshot retention
-        # cannot diff from its cursor any more (expire_snapshots
-        # reclaimed the base) — fail typed and BEFORE the intent write,
-        # naming the recovery this class actually provides
-        _ensure_version_available(
-            self.source, pos,
-            "Call rebuild() on this rollup: one full GROUP BY over the "
-            "current snapshot replaces the summary and fast-forwards "
-            "the cursor to head.")
-        self._apply(pos, head)
-        return head
+        self._acquire_lock()
+        try:
+            self._recover()
+            pos = self.feed.position()
+            head = self.source.current_version()
+            if head <= pos:
+                return pos
+            # a rollup left behind past the source's snapshot retention
+            # cannot diff from its cursor any more (expire_snapshots
+            # reclaimed the base) — fail typed and BEFORE the intent
+            # write, naming the recovery this class actually provides
+            _ensure_version_available(
+                self.source, pos,
+                "Call rebuild() on this rollup: one full GROUP BY over "
+                "the current snapshot replaces the summary and "
+                "fast-forwards the cursor to head.")
+            self._apply(pos, head)
+            return head
+        finally:
+            self._release_lock()
 
     def rebuild(self) -> int:
         """Recompute the summary from the CURRENT source snapshot and
@@ -149,6 +172,13 @@ class MaterializedRollup:
         ``refresh``: the rebuild's merge is one commit, so recovery
         after a crash between merge and cursor just finalizes the
         cursor."""
+        self._acquire_lock()
+        try:
+            return self._rebuild_locked()
+        finally:
+            self._release_lock()
+
+    def _rebuild_locked(self) -> int:
         self._recover()
         head = self.source.current_version()
         base_v = self.target.current_version()
@@ -272,6 +302,41 @@ class MaterializedRollup:
         self.target.merge(env)
         self.feed.commit(head)
         self._clear_intent()
+
+    # -- single-maintainer lock -------------------------------------------
+
+    def _acquire_lock(self) -> None:
+        payload = json.dumps({"pid": os.getpid(),
+                              "acquired_ms": int(time.time() * 1000)})
+        for _ in range(2):  # second pass after a successful steal
+            if self.fs.create_exclusive(self._lock_file, payload):
+                return
+            try:
+                age = int(time.time() * 1000) - self.fs.mtime_ms(
+                    self._lock_file)
+            except (FileNotFoundError, OSError):
+                continue  # holder released between probe and stat
+            if age >= self.lock_grace_ms:
+                # stale: the holder died without releasing (SIGKILL);
+                # crash recovery proper happens via the intent protocol
+                try:
+                    self.fs.remove(self._lock_file)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentRefreshError(
+                f"another maintainer holds {self._lock_file} "
+                f"(age {age} ms, grace {self.lock_grace_ms} ms): "
+                f"{self.fs.read_text(self._lock_file)}")
+        raise ConcurrentRefreshError(
+            f"could not acquire {self._lock_file} after stealing a "
+            "stale lock — another maintainer is actively racing")
+
+    def _release_lock(self) -> None:
+        try:
+            self.fs.remove(self._lock_file)
+        except FileNotFoundError:
+            pass
 
     # -- crash protocol --------------------------------------------------
 
