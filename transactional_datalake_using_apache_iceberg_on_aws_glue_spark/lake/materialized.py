@@ -222,31 +222,85 @@ class MaterializedRollup:
         return head
 
     def _signed_delta(self, pos: int, head: int) -> DataFrame:
-        """Per-group net change over the span: +image for
-        insert/update_postimage, -image for delete/update_preimage.
-        One aggregation, map-side combined; groups whose net effect is
-        zero (e.g. a compaction-only span) drop out."""
-        ch = self.source.read_changes(pos, head, include_preimages=True)
-        sign = F.when(F.col(_CHANGE).isin(*_ADDS), F.lit(1)).otherwise(
-            F.lit(-1))
-        aggs = [F.sum(sign).alias("_d_n")]
-        for c in self.sum_cols:
-            aggs.append(
-                F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
-                .alias(f"_d_{c}"))
-            # signed NON-NULL count: a 5 -> NULL update changes neither
-            # n_rows nor (numerically) the sum it leaves behind, but it
-            # must flip SUM to NULL once no non-null values remain
-            aggs.append(
-                F.coalesce(
-                    F.sum(F.when(F.col(c).isNotNull(), sign)), F.lit(0))
-                .alias(f"_dnn_{c}"))
-        delta = ch.groupBy(*self.group_cols).agg(*aggs)
+        """Per-group net change over the span.
+
+        FAST PATH (distributive aggregates need no row diff): COUNT and
+        SUM are distributive, so the delta is simply ``agg(new side) -
+        agg(old side)`` per group — two map-side-combined aggregations
+        over the span's CHANGED partitions that shuffle only group
+        rows, with no key-level join of raw rows at all. Sound exactly
+        when ``_span_changed_partitions`` can prune (identical
+        schema/renames/spec across the span) — the same gate.
+
+        FALLBACK (schema evolution inside the span): the changelog
+        route — signed fold over ``read_changes`` with preimages, which
+        carries the rename/drop transparency the fast path lacks.
+
+        Groups whose net effect is zero (e.g. a compaction-only span)
+        drop out either way."""
+        src = self.source
+        only = None
+        if pos != 0:
+            only = src._span_changed_partitions(
+                src._resolve_as_of(pos, None),
+                src._resolve_as_of(head, None))
+        if pos != 0 and only is not None:
+            new_a = self._group_agg(
+                src.read_data(as_of_version=head, _only_partitions=only))
+            old_a = self._group_agg(
+                src.read_data(as_of_version=pos, _only_partitions=only))
+            cond = reduce(
+                lambda a, b: a & b,
+                [new_a[g].eqNullSafe(old_a[g]) for g in self.group_cols])
+            j = new_a.alias("na").join(old_a.alias("oa"), cond,
+                                       "full_outer")
+
+            def side(alias, col):
+                return F.coalesce(F.col(f"{alias}.{col}"), F.lit(0))
+
+            cols = [
+                F.coalesce(F.col(f"na.{g}"), F.col(f"oa.{g}")).alias(g)
+                for g in self.group_cols
+            ] + [(side("na", "_n") - side("oa", "_n")).alias("_d_n")]
+            for c in self.sum_cols:
+                cols.append((side("na", f"_s_{c}")
+                             - side("oa", f"_s_{c}")).alias(f"_d_{c}"))
+                cols.append((side("na", f"_nn_{c}")
+                             - side("oa", f"_nn_{c}")).alias(f"_dnn_{c}"))
+            delta = j.select(*cols)
+        else:
+            ch = src.read_changes(pos, head, include_preimages=True)
+            sign = F.when(F.col(_CHANGE).isin(*_ADDS), F.lit(1)).otherwise(
+                F.lit(-1))
+            aggs = [F.sum(sign).alias("_d_n")]
+            for c in self.sum_cols:
+                aggs.append(
+                    F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
+                    .alias(f"_d_{c}"))
+                # signed NON-NULL count: a 5 -> NULL update changes
+                # neither n_rows nor (numerically) the sum it leaves
+                # behind, but it must flip SUM to NULL once no
+                # non-null values remain
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.when(F.col(c).isNotNull(), sign)),
+                        F.lit(0))
+                    .alias(f"_dnn_{c}"))
+            delta = ch.groupBy(*self.group_cols).agg(*aggs)
         nonzero = F.col("_d_n") != 0
         for c in self.sum_cols:
             nonzero = (nonzero | (F.col(f"_d_{c}") != 0)
                        | (F.col(f"_dnn_{c}") != 0))
         return delta.filter(nonzero)
+
+    def _group_agg(self, df: DataFrame) -> DataFrame:
+        """One side's per-group (count, sum, non-null count) triple —
+        the distributive summary the fast delta subtracts."""
+        aggs = [F.count("*").alias("_n")]
+        for c in self.sum_cols:
+            aggs.append(F.coalesce(F.sum(c), F.lit(0)).alias(f"_s_{c}"))
+            aggs.append(F.count(c).alias(f"_nn_{c}"))
+        return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _apply(self, pos: int, head: int) -> None:
         base_v = self.target.current_version()
