@@ -519,3 +519,34 @@ def test_refresh_lock_is_loud_and_stealable(spark, tmp_path):
     assert not roll.fs.exists(roll._lock_file)
     roll.rebuild()
     assert _got(roll) == {"g": (4, 32)}
+
+
+def test_fast_delta_skips_row_diff_and_ddl_falls_back(spark, tmp_path):
+    """Plan-shape pin: a no-evolution span must use the distributive
+    fast path (agg-minus-agg, no read_changes row diff); a span with
+    column DDL must fall back to the changelog route."""
+    src, roll = _mk(spark, tmp_path)
+    src.allow_schema_evolution = True
+    _merge(spark, src, [[1, "g", 5, "insert", "2026-01-01 00:00:00", 1]])
+    roll.refresh()
+    _merge(spark, src, [[2, "h", 7, "insert", "2026-01-01 00:01:00", 2]])
+
+    calls = {"n": 0}
+    real = src.read_changes
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    src.read_changes = spy
+    try:
+        roll.refresh()
+        assert calls["n"] == 0, "no-evolution span must not row-diff"
+        src.add_column("note", "string")
+        _merge(spark, src, [[3, "g", 9, "insert",
+                             "2026-01-01 00:02:00", 3]])
+        roll.refresh()
+        assert calls["n"] == 1, "evolution span must use read_changes"
+    finally:
+        src.read_changes = real
+    assert _got(roll) == {"g": (2, 14), "h": (1, 7)}
