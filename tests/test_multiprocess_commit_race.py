@@ -642,3 +642,190 @@ def test_cross_process_gc_vs_writers_soak(spark, tmp_path, seed):
                  if k in expect and got[k] != expect[k]},
     }
     assert files_df(table).count() == table.file_count()
+
+
+_SRC_WRITER = """
+import json, os, sys, time
+
+sys.path.insert(0, sys.argv[1])
+table_path, waves_file, go_file, stats_file = (
+    sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+
+import pyspark.sql.functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import ParquetLakeTable
+
+spark = build_session(app_name="ivm-writer", master="local[2]",
+                      shuffle_partitions=2,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.sql.adaptive.enabled": "false"})
+table = ParquetLakeTable(spark, table_path, key_cols=["trans_id"],
+                         partition_col="event")
+waves = json.load(open(waves_file))
+
+open(stats_file + ".ready", "w").write("1")
+while not os.path.exists(go_file):
+    time.sleep(0.05)
+
+for wave in waves:
+    df = (spark.createDataFrame(
+            [tuple(r) for r in wave],
+            "trans_id long, event string, amount int, _op string, "
+            "ts string, _txn_id long")
+          .withColumn("_op_timestamp", F.to_timestamp("ts")).drop("ts"))
+    table.merge(df)
+    time.sleep(0.2)
+
+json.dump({"waves": len(waves)}, open(stats_file, "w"))
+spark.stop()
+"""
+
+_MAINTAINER = """
+import json, os, random, sys, time
+
+sys.path.insert(0, sys.argv[1])
+mid, src_path, roll_path, ck_path, go_file, stop_file, stats_file = (
+    int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6], sys.argv[7], sys.argv[8])
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    MaterializedRollup, ParquetLakeTable,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.materialized import (
+    ConcurrentRefreshError,
+)
+
+spark = build_session(app_name=f"ivm-m{mid}", master="local[2]",
+                      shuffle_partitions=2,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.sql.adaptive.enabled": "false"})
+src = ParquetLakeTable(spark, src_path, key_cols=["trans_id"],
+                       partition_col="event")
+roll = MaterializedRollup(src, roll_path, ck_path,
+                          group_cols=["event"], sum_cols=["amount"])
+rng = random.Random(mid)
+
+open(stats_file + ".ready", "w").write("1")
+while not os.path.exists(go_file):
+    time.sleep(0.05)
+
+refreshes = 0
+lock_conflicts = 0
+while not os.path.exists(stop_file):
+    if not src.exists():
+        time.sleep(0.1)
+        continue
+    try:
+        roll.refresh()
+        refreshes += 1
+    except ConcurrentRefreshError:
+        lock_conflicts += 1
+        time.sleep(rng.uniform(0.0, 0.05))
+# drain the tail so at least one maintainer reflects the final source
+for _ in range(60):
+    try:
+        roll.refresh()
+        refreshes += 1
+        break
+    except ConcurrentRefreshError:
+        lock_conflicts += 1
+        time.sleep(rng.uniform(0.02, 0.1))
+
+json.dump({"maintainer": mid, "refreshes": refreshes,
+           "lock_conflicts": lock_conflicts}, open(stats_file, "w"))
+spark.stop()
+"""
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_cross_process_ivm_maintainers_race_soak(spark, tmp_path, seed):
+    """Two REAL maintainer processes tight-looping refresh() against a
+    live writer: the REFRESH_LOCK must serialize them (>=1 surfaced
+    ConcurrentRefreshError proves the race happened), no lock file may
+    leak, and the final summary must equal the from-scratch GROUP BY —
+    the double-count an unlocked interleaving would produce is the
+    failure mode under test."""
+    rng = random.Random(seed)
+    waves, _expect = _gen_ops(rng, 1, n_waves=10, rows_per_wave=10)
+
+    src_path = str(tmp_path / "ivm_src")
+    roll_path = str(tmp_path / "ivm_roll")
+    ck_path = str(tmp_path / "ivm_ck")
+    go_file = str(tmp_path / "GO")
+    stop_file = str(tmp_path / "STOP")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("SPARK_GRAFT_CPUS", None)
+
+    writer_py = tmp_path / "writer.py"
+    writer_py.write_text(_SRC_WRITER)
+    maint_py = tmp_path / "maintainer.py"
+    maint_py.write_text(_MAINTAINER)
+
+    wf = tmp_path / "waves.json"
+    wf.write_text(json.dumps(waves[0]))
+    w_stats = str(tmp_path / "stats_writer.json")
+    writer = subprocess.Popen(
+        [sys.executable, str(writer_py), REPO, src_path, str(wf),
+         go_file, w_stats],
+        env=env, cwd=str(tmp_path),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+    maints, m_stats = [], []
+    for mid in range(2):
+        sf = str(tmp_path / f"stats_m{mid}.json")
+        m_stats.append(sf)
+        maints.append(subprocess.Popen(
+            [sys.executable, str(maint_py), REPO, str(mid), src_path,
+             roll_path, ck_path, go_file, stop_file, sf],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+
+    ready = [w_stats] + m_stats
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if all(os.path.exists(s + ".ready") for s in ready):
+            break
+        time.sleep(0.2)
+    with open(go_file, "w") as f:
+        f.write("go")
+
+    out, err = writer.communicate(timeout=420)
+    assert writer.returncode == 0, err.decode()[-3000:]
+    with open(stop_file, "w") as f:
+        f.write("stop")
+    for p in maints:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            pytest.fail("maintainer hung")
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    stats = [json.load(open(s)) for s in m_stats]
+    assert sum(s["refreshes"] for s in stats) >= 2, stats
+    assert sum(s["lock_conflicts"] for s in stats) >= 1, (
+        "the maintainers never actually collided", stats)
+    assert not os.path.exists(os.path.join(ck_path, "REFRESH_LOCK"))
+
+    # final summary == from-scratch GROUP BY (no double-count)
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+        MaterializedRollup,
+        ParquetLakeTable,
+    )
+
+    src = ParquetLakeTable(spark, src_path, key_cols=["trans_id"],
+                           partition_col="event")
+    roll = MaterializedRollup(src, roll_path, ck_path,
+                              group_cols=["event"], sum_cols=["amount"])
+    roll.refresh()  # no-op or tail drain; also proves the lock is free
+    got = {r["event"]: (r["n_rows"], r["sum_amount"])
+           for r in roll.read().collect()}
+    expect = {r["event"]: (r["n"], r["s"])
+              for r in src.read_data().groupBy("event").agg(
+                  F.count("*").alias("n"),
+                  F.sum("amount").cast("long").alias("s")).collect()}
+    assert got == expect
