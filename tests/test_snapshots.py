@@ -842,18 +842,23 @@ def _merge_rows(spark, t, rows):
 
 def test_span_changed_partitions_localized_churn(spark, tmp_path):
     """A merge touching one partition must yield a pruning set of
-    exactly that partition, and read_changes must not READ the
-    untouched partitions (pinned by intercepting the slice reader)."""
+    exactly that partition — when the partitions' stored KEY RANGES
+    are disjoint (interleaved ranges legitimately widen the set: the
+    lineage fold can park a key's winning image in an untouched
+    partition, so bounds-overlapping neighbors must be read too) —
+    and read_changes must not READ the pruned partitions (pinned by
+    intercepting the slice reader)."""
     t = ParquetLakeTable(spark, str(tmp_path / "t"),
                          key_cols=["trans_id"], partition_col="event")
-    _merge_rows(spark, t, [(k, f"e{k % 4}", 10 * k, "insert", k)
+    # disjoint key blocks per partition: e0={1..3} e1={4..6} ...
+    _merge_rows(spark, t, [(k, f"e{(k - 1) // 3}", 10 * k, "insert", k)
                            for k in range(1, 13)])
     v1 = t.current_version()
-    _merge_rows(spark, t, [(4, "e0", 999, "update", 100)])
+    _merge_rows(spark, t, [(4, "e1", 999, "update", 100)])
     v2 = t.current_version()
 
     only = t._span_changed_partitions(t._manifest(v1), t._manifest(v2))
-    assert only == {"e0"}
+    assert only == {"e1"}
 
     asked: list = []
     real = t._read_snapshot_slice
@@ -869,7 +874,7 @@ def test_span_changed_partitions_localized_churn(spark, tmp_path):
     finally:
         t._read_snapshot_slice = real
     assert got == {4: ("update_postimage", 999)}
-    assert set(asked) == {"e0"}, f"diff read untouched partitions: {asked}"
+    assert set(asked) == {"e1"}, f"diff read untouched partitions: {asked}"
 
 
 def test_span_pruning_bails_on_ddl_and_stays_correct(spark, tmp_path):

@@ -1444,7 +1444,94 @@ class ParquetLakeTable:
                     os.path.join(self.path, d), d_col))
             except (FileNotFoundError, OSError):
                 return None
+        if not changed:
+            return changed
+        # CROSS-PARTITION MOVES (caught by the stream-parity soak): the
+        # lineage fold resolves a key's winner across partitions at
+        # READ time, so a changed partition's key may have a stale (or
+        # winning) image sitting in a partition whose file set did NOT
+        # change — diffing without it mislabels updates as inserts (old
+        # side) or emits stale images (new side). Same problem the
+        # stream source solves with bounds-pruned neighbor stacks
+        # (sources/lake_stream.py); here the read set widens to every
+        # partition whose stored key range overlaps the changed set's,
+        # on either manifest. Missing key stats anywhere -> full read.
+        tokens: set = set()
+        per_m: list[dict] = []
+        for m in (m_old, m_new):
+            try:
+                bmap = self._all_token_bounds(m)
+            except (FileNotFoundError, OSError):
+                return None
+            per_m.append(bmap)
+            tokens.update(bmap)
+        span_range: dict[str, list] = {}
+        for tok in changed:
+            for bmap in per_m:
+                b = bmap.get(tok)
+                if b is None:
+                    continue  # token holds no rows under this manifest
+                if b == "unknown":
+                    return None  # changed token without stats: full read
+                for k, (lo, hi) in b.items():
+                    r = span_range.get(k)
+                    span_range[k] = ([lo, hi] if r is None else
+                                     [min(r[0], lo), max(r[1], hi)])
+        if not span_range:
+            return changed  # changed partitions hold no rows at all
+        for tok in tokens - changed:
+            for bmap in per_m:
+                b = bmap.get(tok)
+                if b is None:
+                    continue
+                if b == "unknown" or all(
+                        k in b and not (b[k][1] < r[0] or b[k][0] > r[1])
+                        for k, r in span_range.items()):
+                    changed.add(tok)
+                    break
         return changed
+
+    def _all_token_bounds(self, m: dict):
+        """{token: {key_col: [lo, hi]} | "unknown"} for every partition
+        token holding rows under manifest ``m`` — base-slice stats
+        widened by dir-level delta stats for every delta holding the
+        token's rows (the stream planner's ``_key_bounds`` derivation).
+        "unknown" = a contributing layer lacks stats for a key column
+        (always treated as overlapping). Raises OSError/
+        FileNotFoundError when a delta dir cannot be listed."""
+        out: dict = {}
+        stats = m.get("stats") or {}
+        for tok in m["base"]:
+            cols = (stats.get(tok) or {}).get("cols") or {}
+            b: dict | str = {}
+            for k in self.key_cols:
+                if k not in cols:
+                    b = "unknown"
+                    break
+                b[k] = list(cols[k])
+            out[tok] = b
+        d_stats = m.get("delta_stats") or {}
+        d_col, _ = self._manifest_spec(m)
+        for d in m["deltas"]:
+            toks = self._list_partition_dirs(os.path.join(self.path, d),
+                                             d_col)
+            dcols = ((d_stats.get(d) or {}).get(_ALL) or {}).get(
+                "cols") or {}
+            for tok in toks:
+                cur = out.get(tok, {})
+                if cur == "unknown":
+                    continue
+                for k in self.key_cols:
+                    if k not in dcols:
+                        cur = "unknown"
+                        break
+                    lo, hi = dcols[k]
+                    if k in cur:
+                        cur[k] = [min(cur[k][0], lo), max(cur[k][1], hi)]
+                    else:
+                        cur[k] = [lo, hi]
+                out[tok] = cur
+        return out
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None,
