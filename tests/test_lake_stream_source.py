@@ -398,9 +398,12 @@ def test_stream_matches_read_changes_soak(spark, tmp_path, seed):
 
         got.clear()
         _drain(spark, table.path, ckpt, got)
-        streamed = {(k, c): a for k, c, a in got}
-        oracle = {(r["trans_id"], r["_change_type"]): r["amount"]
-                  for r in table.read_changes(prev_v, cur_v).collect()}
+        # MULTISET comparison (r9): the dict form was multiplicity-
+        # blind and hid duplicate delete emissions for years of soak
+        # seeds — the streaming-IVM signed fold finally surfaced them
+        streamed = sorted(got)
+        oracle = sorted((r["trans_id"], r["_change_type"], r["amount"])
+                        for r in table.read_changes(prev_v, cur_v).collect())
         assert streamed == oracle, (
             f"wave {i} (v{prev_v}->v{cur_v}): {streamed} != {oracle}")
         prev_v = cur_v

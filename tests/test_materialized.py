@@ -550,3 +550,86 @@ def test_fast_delta_skips_row_diff_and_ddl_falls_back(spark, tmp_path):
     finally:
         src.read_changes = real
     assert _got(roll) == {"g": (2, 14), "h": (1, 7)}
+
+
+def test_refresh_fencing_aborts_stolen_lock_before_side_effects(
+        spark, tmp_path):
+    """r8 advisor: a holder stalled past lock_grace_ms (slow, not
+    dead) loses its lock to a stealer; without fencing its in-flight
+    merge still landed afterwards, double-counting the span. The lock
+    payload now carries a token re-verified immediately before every
+    side effect — the stalled holder must abort typed with the target
+    table and cursor untouched."""
+    import json as _json
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.materialized import (
+        ConcurrentRefreshError,
+    )
+
+    src, roll = _mk(spark, tmp_path)
+    _merge(spark, src, [[1, "g", 5, "insert", "2026-01-01 00:00:00", 1]])
+    roll.refresh()
+    _merge(spark, src, [[2, "g", 7, "insert", "2026-01-01 00:01:00", 2]])
+
+    pos_before = roll.feed.position()
+    v_before = roll.target.current_version()
+    real_delta = roll._signed_delta
+
+    def stalls(pos, head):
+        # while this maintainer "computes" its delta, a stealer takes
+        # the lock (grace elapsed) and replaces the payload
+        roll.fs.remove(roll._lock_file)
+        roll.fs.create_exclusive(
+            roll._lock_file, _json.dumps({"token": "stealer-token"}))
+        return real_delta(pos, head)
+
+    roll._signed_delta = stalls
+    try:
+        with pytest.raises(ConcurrentRefreshError, match="stolen"):
+            roll.refresh()
+    finally:
+        roll._signed_delta = real_delta
+    # aborted BEFORE any side effect: no merge landed, cursor parked
+    assert roll.target.current_version() == v_before
+    assert roll.feed.position() == pos_before
+    # and the stalled holder's release must NOT remove the stealer's
+    # lock (that would cascade the steal onto a third maintainer)
+    held = _json.loads(roll.fs.read_text(roll._lock_file))
+    assert held["token"] == "stealer-token"
+
+    # once the stealer finishes (releases), a normal refresh applies
+    # the span exactly once
+    roll.fs.remove(roll._lock_file)
+    roll.refresh()
+    assert _got(roll) == {"g": (2, 12)}
+
+
+def test_acquire_lock_retries_when_holder_releases_mid_probe(
+        spark, tmp_path):
+    """r8 advisor: the holder can release between the age check and
+    the payload read for the error message — that read raising
+    FileNotFoundError must loop back to the acquire, not escape as an
+    untyped error."""
+    src, roll = _mk(spark, tmp_path)
+    _merge(spark, src, [[1, "g", 5, "insert", "2026-01-01 00:00:00", 1]])
+
+    # a live holder's lock exists at probe time...
+    assert roll.fs.create_exclusive(roll._lock_file, "{}")
+    real_read = roll.fs.read_text
+    state = {"fired": False}
+
+    def vanishing(path):
+        if path == roll._lock_file and not state["fired"]:
+            # ...but vanishes exactly between mtime stat and this read
+            state["fired"] = True
+            roll.fs.remove(roll._lock_file)
+            raise FileNotFoundError(path)
+        return real_read(path)
+
+    roll.fs.read_text = vanishing
+    try:
+        assert roll.refresh() == src.current_version()
+    finally:
+        roll.fs.read_text = real_read
+    assert state["fired"], "probe path never exercised"
+    assert _got(roll) == {"g": (1, 5)}

@@ -947,3 +947,93 @@ def test_span_pruned_diff_equals_full_diff_randomized(spark, tmp_path):
     finally:
         t._span_changed_partitions = real
     assert pruned == full
+
+
+def test_read_changes_open_span_pins_head_once(spark, tmp_path):
+    """r8 advisor (medium): with to_version=None the prune set and the
+    new-side read each resolved CURRENT independently — a commit
+    landing between the two (a concurrent writer during CALL
+    create_changelog_view without end_snapshot) changed partitions
+    absent from the prune set, so both sides pruned them and those
+    changes were silently dropped. The head must be pinned ONCE: a
+    commit landing mid-call is simply outside the span."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"),
+                         key_cols=["trans_id"], partition_col="event")
+    # disjoint key blocks per partition so neighbor-bounds widening
+    # cannot mask a dropped partition
+    _merge_rows(spark, t, [(k, f"e{(k - 1) // 3}", 10 * k, "insert", k)
+                           for k in range(1, 13)])
+    v1 = t.current_version()
+    _merge_rows(spark, t, [(4, "e1", 999, "update", 100)])
+    v2 = t.current_version()
+
+    real = t._span_changed_partitions
+    fired = {"n": 0}
+
+    def racing(mo, mn):
+        # a concurrent writer lands ONE commit touching both a
+        # partition inside the v1->v2 prune set (e1) and one outside
+        # (e2), exactly between the prune computation and the new-side
+        # read. Pre-fix this produced a TORN diff: the new side
+        # resolved the racing head but stayed pruned to {e1}, so the
+        # racing commit's e1 half leaked in while its e2 half was
+        # silently dropped — matching NO version the table ever held.
+        if fired["n"] == 0:
+            fired["n"] += 1
+            _merge_rows(spark, t, [(5, "e1", 555, "update", 101),
+                                   (7, "e2", 777, "update", 102)])
+        return real(mo, mn)
+
+    t._span_changed_partitions = racing
+    try:
+        got = {r["trans_id"]: (r["_change_type"], r["amount"])
+               for r in t.read_changes(v1, None).collect()}
+    finally:
+        t._span_changed_partitions = real
+    assert fired["n"] == 1
+    # consistent span v1 -> v2 (the head pinned BEFORE the race): the
+    # racing commit is wholly outside — atomically absent
+    assert got == {4: ("update_postimage", 999)}, (
+        f"torn diff — racing commit half-applied: {got}")
+    # and a fresh open-span diff sees the racing commit in full
+    got2 = {r["trans_id"]: (r["_change_type"], r["amount"])
+            for r in t.read_changes(v2, None).collect()}
+    assert got2 == {5: ("update_postimage", 555),
+                    7: ("update_postimage", 777)}
+
+
+def test_read_changes_accepts_precomputed_prune(spark, tmp_path):
+    """r8 advisor: a caller that already ran _span_changed_partitions
+    (the IVM fast-path gate) can hand the verdict in — including None
+    = "determined unprunable" — and read_changes must not pay the
+    manifest walk a second time."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"),
+                         key_cols=["trans_id"], partition_col="event")
+    _merge_rows(spark, t, [(k, f"e{(k - 1) // 3}", 10 * k, "insert", k)
+                           for k in range(1, 13)])
+    v1 = t.current_version()
+    _merge_rows(spark, t, [(4, "e1", 999, "update", 100)])
+    v2 = t.current_version()
+
+    def snap(df):
+        return sorted((r["trans_id"], r["_change_type"], r["amount"])
+                      for r in df.collect())
+
+    baseline = snap(t.read_changes(v1, v2))
+
+    calls = {"n": 0}
+    real = t._span_changed_partitions
+
+    def spy(mo, mn):
+        calls["n"] += 1
+        return real(mo, mn)
+
+    t._span_changed_partitions = spy
+    try:
+        handed = snap(t.read_changes(v1, v2, _prune={"e1"}))
+        full = snap(t.read_changes(v1, v2, _prune=None))
+    finally:
+        t._span_changed_partitions = real
+    assert calls["n"] == 0, "precomputed prune must skip the span scan"
+    assert handed == baseline
+    assert full == baseline

@@ -57,12 +57,15 @@ class _StreamRider:
                 if batch_rows else ["trans_id"])
 
         def keyed(rows):
-            out = {}
-            for r in rows:
-                d = r.asDict()
-                out[(d["trans_id"], d["_change_type"])] = tuple(
-                    d.get(c) for c in cols)
-            return out
+            # multiset semantics (r9): a dict here was multiplicity-
+            # blind — duplicate delete emissions passed every seed
+            # until the streaming-IVM signed fold double-subtracted
+            from collections import Counter
+
+            return Counter(
+                (r["trans_id"], r["_change_type"])
+                + tuple(r.asDict().get(c) for c in cols)
+                for r in rows)
 
         got, want = keyed(batch_rows), keyed(oracle)
         assert got == want, (

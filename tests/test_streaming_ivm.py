@@ -1,0 +1,307 @@
+"""Streaming IVM (r9 judge brief #2): a MaterializedRollup maintained
+CONTINUOUSLY from the native ``lake-changes`` stream must equal both
+the from-scratch GROUP BY and a polling-refreshed twin — the
+composition of the engine's two flagship r8 surfaces. Also pins the
+two stream options the maintainer rides on: ``includePreimages``
+(paired update images, Iceberg's compute_updates changelog shape) and
+``emitSpan`` (the batch's version offsets).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    MaterializedRollup,
+    ParquetLakeTable,
+    StreamingRollupMaintainer,
+)
+
+_SCHEMA = ("trans_id long, event string, amount long, _op string, "
+           "ts string, _txn_id long")
+
+
+def _merge(spark, table, rows):
+    df = (spark.createDataFrame([tuple(r) for r in rows], _SCHEMA)
+          .withColumn("_op_timestamp", F.to_timestamp("ts")).drop("ts"))
+    table.merge(df)
+
+
+def _mk_table(spark, tmp_path, **kw):
+    return ParquetLakeTable(spark, str(tmp_path / "src"),
+                            key_cols=["trans_id"], partition_col="event",
+                            **kw)
+
+
+def _expected_groups(table):
+    return {
+        r["event"]: (r["n_rows"], r["s"])
+        for r in table.read_data().groupBy("event").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("amount").cast("long").alias("s")).collect()
+    }
+
+
+def _got(rollup):
+    return {r["event"]: (r["n_rows"], r["sum_amount"])
+            for r in rollup.read().collect()}
+
+
+# --------------------------- stream options the maintainer rides on
+
+
+def test_stream_include_preimages_matches_read_changes(spark, tmp_path):
+    """includePreimages must produce exactly read_changes(...,
+    include_preimages=True) — paired update_preimage/update_postimage
+    rows — including across a cross-partition key move (where the
+    preimage is the key's GLOBAL old winner, not a local relic)."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    t = _mk_table(spark, tmp_path)
+    register_lake_stream(spark)
+    batches: list = []
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("lake-changes")
+             .option("path", t.path).option("keys", "trans_id")
+             .option("partitionCol", "event")
+             .option("includePreimages", "true")
+             .load()
+             .writeStream.foreachBatch(
+                 lambda df, b: batches.append(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _merge(spark, t, [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1],
+                      [2, "a", 20, "insert", "2026-01-01 00:00:00", 2],
+                      [3, "b", 30, "insert", "2026-01-01 00:00:00", 3]])
+    v1 = t.current_version()
+    drain()
+    # update in place, cross-partition move, delete, fresh insert
+    _merge(spark, t, [[1, "a", 11, "update", "2026-01-01 00:01:00", 4],
+                      [2, "b", 22, "update", "2026-01-01 00:01:00", 5],
+                      [3, "b", 30, "delete", "2026-01-01 00:01:00", 6],
+                      [4, "c", 40, "insert", "2026-01-01 00:01:00", 7]])
+    v2 = t.current_version()
+    drain()
+
+    def keyed(rows):
+        return sorted((r["trans_id"], r["_change_type"], r["amount"])
+                      for r in rows)
+
+    # bootstrap batch: whole v1 as inserts (no preimages by definition)
+    assert keyed(batches[0]) == keyed(
+        t.read_changes(0, v1, include_preimages=True).collect())
+    # incremental: paired update images, global-winner preimage for
+    # the moved key, delete preimage
+    got = keyed(batches[1])
+    want = keyed(t.read_changes(v1, v2, include_preimages=True).collect())
+    assert got == want
+    kinds = [k for (_tid, k, _a) in got]
+    assert kinds.count("update_preimage") == 2  # keys 1 and 2
+    assert (2, "update_preimage", 20) in got  # moved key's OLD image
+    assert (2, "update_postimage", 22) in got
+
+
+def test_stream_emit_span_columns(spark, tmp_path):
+    """emitSpan appends the batch's (from, to) version offsets to
+    every row — constant within a batch, consecutive across drains."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    t = _mk_table(spark, tmp_path)
+    _merge(spark, t, [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1]])
+    v1 = t.current_version()
+
+    register_lake_stream(spark)
+    batches: list = []
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = (spark.readStream.format("lake-changes")
+             .option("path", t.path).option("keys", "trans_id")
+             .option("partitionCol", "event")
+             .option("emitSpan", "true")
+             .load()
+             .writeStream.foreachBatch(
+                 lambda df, b: batches.append(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    _merge(spark, t, [[2, "a", 20, "insert", "2026-01-01 00:01:00", 2]])
+    _merge(spark, t, [[3, "b", 30, "insert", "2026-01-01 00:02:00", 3]])
+    v3 = t.current_version()
+    drain()
+
+    spans0 = {(r["_span_from"], r["_span_to"]) for r in batches[0]}
+    assert spans0 == {(0, v1)}
+    # the second drain coalesces both commits into one span
+    spans1 = {(r["_span_from"], r["_span_to"]) for r in batches[1]}
+    assert spans1 == {(v1, v3)}
+
+
+# --------------------------- the maintainer itself
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_streaming_maintainer_tracks_dml(spark, tmp_path, mode):
+    """Drain-per-wave: the stream-maintained rollup equals the
+    from-scratch GROUP BY after every wave, the happy path FOLDS the
+    batch (never re-reads the table), and a drain with no new commits
+    is a no-op."""
+    src = _mk_table(spark, tmp_path, merge_mode=mode)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    m = StreamingRollupMaintainer(roll)
+
+    waves = [
+        [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1],
+         [2, "a", 20, "insert", "2026-01-01 00:00:00", 2],
+         [3, "b", 30, "insert", "2026-01-01 00:00:00", 3]],
+        [[1, "a", 11, "update", "2026-01-01 00:01:00", 4],
+         [2, "b", 22, "update", "2026-01-01 00:01:00", 5]],  # moves a->b
+        [[3, "b", 30, "delete", "2026-01-01 00:02:00", 6],
+         [4, "c", 40, "insert", "2026-01-01 00:02:00", 7],
+         [5, "c", None, "insert", "2026-01-01 00:02:00", 8]],  # null sum
+    ]
+    reads = {"n": 0}
+    real = src.read_data
+
+    def spy(*a, **kw):
+        reads["n"] += 1
+        return real(*a, **kw)
+
+    for wave in waves:
+        _merge(spark, src, wave)
+        src.read_data = spy
+        try:
+            m.drain()
+        finally:
+            src.read_data = real
+        assert _got(roll) == _expected_groups(src)
+        assert roll.position() == src.current_version()
+    assert reads["n"] == 0, "happy path must not re-read the table"
+    assert m.stats["folded"] >= 3 and m.stats["fallback"] == 0
+
+    # no new commits: the drain is a no-op (empty batch skips)
+    before = roll.target.current_version()
+    m.drain()
+    assert roll.target.current_version() == before
+
+
+def test_streaming_maintainer_survives_interleaved_poll_refresh(
+        spark, tmp_path):
+    """A manual refresh() between drains diverges the cursor from the
+    stream span — the batch handler must fall back to the polling
+    catch-up and stay correct (never double-fold the shared span)."""
+    src = _mk_table(spark, tmp_path)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    m = StreamingRollupMaintainer(roll)
+
+    _merge(spark, src, [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1]])
+    m.drain()
+    # poll-refresh advances the cursor past the stream's checkpoint
+    _merge(spark, src, [[2, "a", 20, "insert", "2026-01-01 00:01:00", 2]])
+    roll.refresh()
+    _merge(spark, src, [[3, "b", 30, "insert", "2026-01-01 00:02:00", 3]])
+    m.drain()
+    assert _got(roll) == _expected_groups(src)
+    # the diverged batch went through the fallback exactly once; the
+    # double-fold failure mode would read a=(2, 50) instead of (2, 30)
+    assert m.stats["fallback"] >= 1
+    # back in lockstep: the next wave folds from the stream again
+    _merge(spark, src, [[4, "c", 40, "insert", "2026-01-01 00:03:00", 4]])
+    folded_before = m.stats["folded"]
+    m.drain()
+    assert m.stats["folded"] == folded_before + 1
+    assert _got(roll) == _expected_groups(src)
+
+
+def test_streaming_maintainer_replay_is_exactly_once(spark, tmp_path):
+    """A crash between the cursor commit and the stream checkpoint
+    commit replays the batch — simulated by draining the SAME span
+    from a second, fresh stream checkpoint. The replayed span must be
+    skipped, not re-folded."""
+    src = _mk_table(spark, tmp_path)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    m = StreamingRollupMaintainer(roll)
+    _merge(spark, src, [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1],
+                        [2, "b", 20, "insert", "2026-01-01 00:00:00", 2]])
+    m.drain()
+    want = _expected_groups(src)
+    assert _got(roll) == want
+    # fresh checkpoint = Structured Streaming re-delivers from offset 0
+    replay = StreamingRollupMaintainer(
+        roll, stream_checkpoint=str(tmp_path / "ck2" / "stream_ck"))
+    replay.drain()
+    assert replay.stats == {"folded": 0, "fallback": 0, "skipped": 1}
+    assert _got(roll) == want  # unchanged — not doubled
+
+
+def test_streaming_maintainer_rides_dml_ddl_soak(spark, tmp_path):
+    """The r9 composition soak (judge brief #2): a stream-maintained
+    rollup AND a polling-refreshed twin ride the 210-statement DML×DDL
+    soak (test_dml_ddl_soak.py); at every model checkpoint both must
+    equal the from-scratch GROUP BY — stream-maintained ≡
+    batch-refreshed across column DDL (incl. widening the SUM column),
+    partition-field evolution, and branch/tag version gaps. The stream
+    batches themselves are span-exact across DDL (pinned by
+    test_stream_ddl_soak.py), so every span should FOLD (O(batch)) —
+    the polling fallback is for divergence, not DDL."""
+    from test_dml_ddl_soak import _run_soak
+
+    class _Rider:
+        def __init__(self):
+            self.m = None
+            self.twin = None
+            self.checks = 0
+
+        def __call__(self, table, i):
+            if self.m is None:
+                roll = MaterializedRollup(
+                    table, str(tmp_path / "s_roll"),
+                    str(tmp_path / "s_ck"),
+                    group_cols=["customer_id"], sum_cols=["amount"])
+                self.m = StreamingRollupMaintainer(roll)
+                self.twin = MaterializedRollup(
+                    table, str(tmp_path / "t_roll"),
+                    str(tmp_path / "t_ck"),
+                    group_cols=["customer_id"], sum_cols=["amount"])
+            self.m.drain()
+            self.twin.refresh()
+            expect = {
+                r["customer_id"]: (r["n_rows"], r["s"])
+                for r in table.read_data().groupBy("customer_id").agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("amount").cast("long").alias("s")).collect()
+            }
+            streamed = {r["customer_id"]: (r["n_rows"], r["sum_amount"])
+                        for r in self.m.rollup.read().collect()}
+            polled = {r["customer_id"]: (r["n_rows"], r["sum_amount"])
+                      for r in self.twin.read().collect()}
+            assert streamed == expect, (
+                f"stream-maintained diverged after statement {i}")
+            assert polled == expect, (
+                f"polling twin diverged after statement {i}")
+            self.checks += 1
+
+    rider = _Rider()
+    _run_soak(spark, tmp_path, 20260815, on_check=rider)
+    assert rider.checks >= 7
+    # every span folded from the stream (O(batch)); zero fallbacks
+    # means the lockstep contract held across the whole soak
+    assert rider.m.stats["fallback"] == 0, rider.m.stats
+    assert rider.m.stats["folded"] >= rider.checks - 1, rider.m.stats

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""One-off scale probe for the CDC / IVM / stream path (r9 judge brief
+#5): sf0.1 is the largest driver fixture, so amplify lineitem into a
+temp dir (union x AMP with shifted keys — default 16x, ~96M lineitem
+envelope rows at sf0.1's 6M base... actually sf0.1 lineitem is ~600k
+rows -> 16x ~= 9.6M) and run the same scenario bench.py times at 1x,
+reporting per-step times at both scales and the implied scaling
+exponent log(t_big/t_small)/log(AMP). Exponent ~1.0 = linear in data;
+the CDC merge, IVM refresh, and stream drain must not be superlinear.
+
+Writes one JSON line to stdout (aux-style, consumed manually /
+recorded in ROADMAP; BENCH aux integration lives in bench.py).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.cdc.apply import apply_cdc_batch
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    MaterializedRollup,
+    ParquetLakeTable,
+    StreamingRollupMaintainer,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session import build_session, load_table
+
+AMP = int(os.environ.get("SCALE_PROBE_AMP", "16"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def envelopes(df, op, ts):
+    return df.select(
+        F.struct(
+            F.col("k").alias("trans_id"),
+            F.col("l_suppkey").cast("string").alias("customer_id"),
+            F.col("l_returnflag").alias("event"),
+            F.col("l_linestatus").alias("sku"),
+            F.col("l_quantity").cast("int").alias("amount"),
+            F.lit("pc").alias("device"),
+            F.date_format("l_shipdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("trans_datetime"),
+        ).alias("data"),
+        F.struct(
+            F.lit(ts).alias("timestamp"),
+            F.lit("data").alias("record-type"),
+            F.lit(op).alias("operation"),
+            F.lit("primary-key").alias("partition-key-type"),
+            F.lit("bench").alias("schema-name"),
+            F.lit("lineitem").alias("table-name"),
+            F.col("k").alias("transaction-id"),
+        ).alias("metadata"),
+    )
+
+
+def amplified(spark, amp: int):
+    """lineitem x amp with shifted keys, materialized to parquet in a
+    temp dir so every scenario reads identical bytes-at-rest."""
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "k", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    if amp > 1:
+        span = li.agg(F.max("k")).first()[0] + 1
+        li = li.withColumn("_rep", F.explode(F.array(
+            *[F.lit(i) for i in range(amp)])))
+        li = li.withColumn("k", F.col("k") + F.col("_rep") * F.lit(span)).drop("_rep")
+    d = tempfile.mkdtemp(prefix=f"scale_probe_src_{amp}_")
+    li.write.mode("overwrite").parquet(d)
+    return d
+
+
+def scenario(spark, src_dir: str) -> dict:
+    li = spark.read.parquet(src_dir)
+    n = li.count()
+    churn = envelopes(
+        li.filter(F.col("l_orderkey") % 10 == 0), "update",
+        "2024-01-02T00:00:00.000000"
+    ).unionByName(envelopes(
+        li.filter(F.col("l_orderkey") % 20 == 1), "delete",
+        "2024-01-02T00:00:00.000000"))
+    work = tempfile.mkdtemp(prefix="scale_probe_t_")
+    t: dict = {"rows": n}
+    try:
+        table = ParquetLakeTable(spark, f"{work}/t", key_cols=["trans_id"],
+                                 partition_col="event")
+        t0 = time.perf_counter()
+        apply_cdc_batch(envelopes(li, "insert", "2024-01-01T00:00:00.000000"),
+                        table)
+        t["cdc_initial_load"] = time.perf_counter() - t0
+
+        roll = MaterializedRollup(
+            table, f"{work}/roll", f"{work}/ck",
+            group_cols=["event"], sum_cols=["amount"])
+        t0 = time.perf_counter()
+        roll.refresh()
+        t["ivm_bootstrap_refresh"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        apply_cdc_batch(churn, table)
+        t["cdc_incremental_merge"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        roll.refresh()
+        t["ivm_incremental_refresh"] = time.perf_counter() - t0
+
+        # stream drain of the same span (bootstrap + churn) into a
+        # second, stream-maintained rollup — O(span) per batch claim
+        m = StreamingRollupMaintainer(MaterializedRollup(
+            table, f"{work}/roll2", f"{work}/ck2",
+            group_cols=["event"], sum_cols=["amount"]))
+        t0 = time.perf_counter()
+        m.drain(timeout_s=1800)
+        t["stream_drain_bootstrap"] = time.perf_counter() - t0
+        assert m.stats["folded"] >= 1, m.stats
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in t.items()}
+
+
+def main() -> None:
+    spark = build_session(app_name="scale_probe",
+                          extra_conf={"spark.ui.showConsoleProgress": "false"})
+    srcs = {}
+    try:
+        srcs[1] = amplified(spark, 1)
+        srcs[AMP] = amplified(spark, AMP)
+        small = scenario(spark, srcs[1])
+        big = scenario(spark, srcs[AMP])
+        exps = {}
+        for k in small:
+            if k == "rows":
+                continue
+            if small[k] > 0 and big[k] > 0:
+                exps[k] = round(math.log(big[k] / small[k]) / math.log(AMP), 3)
+        out = {"aux": "scale_probe", "amp": AMP, "sf": SF_DIR,
+               "cpus": os.cpu_count(),
+               "loadavg": [round(x, 2) for x in os.getloadavg()],
+               "t_1x": small, "t_amp": big, "exponent": exps}
+    finally:
+        for d in srcs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

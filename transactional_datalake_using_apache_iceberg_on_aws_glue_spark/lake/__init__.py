@@ -5,7 +5,7 @@ over partitioned parquet with snapshot-versioned manifest commits
 partitioning transforms, and manifest-stats scan planning."""
 
 from .changefeed import ChangeFeed, CursorExpiredError
-from .materialized import MaterializedRollup
+from .materialized import MaterializedRollup, StreamingRollupMaintainer
 from .merge_sql import DuplicateKeyError, MergeSqlError, MergeSqlRunner
 from .metadata import register_metadata_views
 from .table import BranchDivergedError, CommitConflictError, ParquetLakeTable
@@ -17,6 +17,7 @@ __all__ = [
     "CursorExpiredError",
     "DuplicateKeyError",
     "MaterializedRollup",
+    "StreamingRollupMaintainer",
     "MergeSqlError",
     "MergeSqlRunner",
     "CommitConflictError",

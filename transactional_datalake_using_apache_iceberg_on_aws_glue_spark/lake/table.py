@@ -164,6 +164,11 @@ def _spec_load(d: dict) -> tuple[str | None, Transform | None]:
 #: inline in the manifest
 _STATS_FILE_KEYS = ("files", "file_rows", "file_sizes")
 
+#: sentinel distinguishing "caller passed no pruning set" from
+#: "caller determined the span is unprunable (None)" in
+#: ``read_changes(_prune=...)`` — plain None is a meaningful value
+_PRUNE_UNSET = object()
+
 
 def _externalize_stats(fs, versions_dir: str, stats: dict,
                        threshold: int | None) -> dict:
@@ -378,7 +383,12 @@ class ParquetLakeTable:
         partition's file-level stats externalize into a
         content-addressed ``_versions/statsext/`` sidecar at commit
         (None = always inline). Keeps the manifest rewrite O(batch)
-        at millions of files; readers accept both forms.
+        at millions of files; readers accept both forms. Default
+        256 KiB (~1,300 files/partition before a sidecar appears):
+        below that, inline stats are strictly cheaper — the r8
+        4 KiB default externalized on every sf0.1 commit and cost
+        +39%/+69% on merge/read (judge A/B, ROADMAP r9 crossover
+        note) while buying nothing until O(100k) files.
     """
 
     def __init__(
@@ -395,7 +405,7 @@ class ParquetLakeTable:
         partition_by: Transform | None = None,
         ref: str = "main",
         orphan_grace_ms: int = 86_400_000,
-        stats_ext_threshold: int | None = 4096,
+        stats_ext_threshold: int | None = 262_144,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -1535,7 +1545,8 @@ class ParquetLakeTable:
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None,
-                     include_preimages: bool = False) -> DataFrame:
+                     include_preimages: bool = False,
+                     _prune=_PRUNE_UNSET) -> DataFrame:
         """Incremental changelog between two snapshots — Iceberg's
         ``create_changelog_view`` / incremental read, the read-side twin
         of CDC ingest: one row per key whose LIVE state changed, tagged
@@ -1562,15 +1573,32 @@ class ParquetLakeTable:
         full (a metadata-only DDL can change row images with no file
         rewrite, so pruning there would drop real changes).
         """
+        # pin the head ONCE (r8 advisor, medium): with to_version=None
+        # the prune set and the new-side read each resolved CURRENT
+        # independently — a commit landing between the two (reachable
+        # via CALL create_changelog_view without end_snapshot under a
+        # concurrent writer) changed partitions absent from the prune
+        # set, silently dropping them from the diff. Every downstream
+        # resolve below uses this single pinned version.
+        if to_version is None:
+            to_version = self.current_version()
         # partition-pruned diff: only partitions whose file sets differ
         # between the two manifests can contribute change rows (sound
         # gating in _span_changed_partitions — schema/spec evolution in
-        # the span falls back to the full two-sided read)
-        only = None
-        if from_version != 0:
+        # the span falls back to the full two-sided read). ``_prune``
+        # lets a caller that already ran _span_changed_partitions over
+        # the same span (MaterializedRollup._signed_delta's fast-path
+        # gate) hand the result in — including None meaning "already
+        # determined unprunable" — instead of paying the manifest walk
+        # + delta-dir listings a second time (r8 advisor).
+        if _prune is not _PRUNE_UNSET:
+            only = _prune
+        elif from_version != 0:
             only = self._span_changed_partitions(
                 self._resolve_as_of(from_version, None),
                 self._resolve_as_of(to_version, None))
+        else:
+            only = None
         new = self.read_data(as_of_version=to_version,
                              _only_partitions=only)
         if from_version == 0:

@@ -126,6 +126,17 @@ _METRICS_DIR = "_stream_metrics"
 _log = logging.getLogger(__name__)
 
 
+def _opt_bool(options: dict, *names: str) -> bool:
+    """Case-tolerant boolean option lookup (Spark lowercases data
+    source option keys on some paths and preserves them on others —
+    the partitionCol handling above predates this helper)."""
+    for n in names:
+        v = options.get(n)
+        if v is not None:
+            return str(v).lower() == "true"
+    return False
+
+
 def move_cap_events(path: str) -> list:
     """Machine-readable move-resolution cap relaxations for the table
     at ``path`` — one dict per offset range whose batch exited the
@@ -357,7 +368,7 @@ class _PartDiff(InputPartition):
     relabeling (module docstring, cross-partition key moves)."""
 
     def __init__(self, part, old_layers, new_layers, renames=(),
-                 fill_col=None, move_new=(), move_old=()):
+                 fill_col=None, move_new=(), move_old=(), span=(0, 0)):
         self.part = part
         self.old_layers = old_layers
         self.new_layers = new_layers
@@ -365,6 +376,12 @@ class _PartDiff(InputPartition):
         self.fill_col = fill_col
         self.move_new = list(move_new)
         self.move_old = list(move_old)
+        #: the batch's (from_version, to_version) offsets — surfaced
+        #: as ``_span_from``/``_span_to`` columns under ``emitSpan``
+        #: (r9, the streaming-IVM handshake: diffs COALESCE commits,
+        #: so per-row commit attribution doesn't exist; the span is
+        #: the honest granularity)
+        self.span = tuple(span)
 
 
 class LakeChangeStreamReader(DataSourceStreamReader):
@@ -375,9 +392,24 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             "partitionCol")
         self.initial = options.get("initial", "earliest")
         hidden = options.get("hiddenpartition", "false").lower() == "true"
+        #: Iceberg changelog-view shape (r9): emit paired
+        #: ``update_preimage`` rows alongside every update — what a
+        #: signed-delta consumer (StreamingRollupMaintainer) needs to
+        #: SUBTRACT the old image without re-reading the table
+        self.include_preimages = _opt_bool(options, "includepreimages",
+                                           "includePreimages")
+        #: append the batch's (from, to) version offsets as
+        #: ``_span_from``/``_span_to`` columns (Delta CDF's
+        #: _commit_version, at the span granularity diffs coalesce to)
+        self.emit_span = _opt_bool(options, "emitspan", "emitSpan")
         self.columns, self.change_schema = _resolve_schema(
             self.path, self.partition_col if hidden else None
         )
+        if self.emit_span:
+            self.change_schema = T.StructType(
+                self.change_schema.fields
+                + [T.StructField("_span_from", T.LongType()),
+                   T.StructField("_span_to", T.LongType())])
         #: committed delta dirs are immutable — one listing per dir
         #: ever, only for manifests predating the delta_files entry
         self._delta_cache: dict[str, dict] = {}
@@ -514,7 +546,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
         if hi <= lo:
-            return [_PartDiff(_ALL, [], [])]  # empty batch
+            return [_PartDiff(_ALL, [], [], span=(lo, hi))]  # empty batch
         new_m = _read_offset_manifest(self.path, hi)
         old_m = None if lo == 0 else _read_offset_manifest(self.path, lo)
         renames = new_m.get("renames", [])
@@ -534,7 +566,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 continue
             changed.append(ns)
         if not changed:
-            return [_PartDiff(_ALL, [], [])]
+            return [_PartDiff(_ALL, [], [], span=(lo, hi))]
 
         # cross-partition move resolution (r6): hand each task the
         # stacks of OTHER partitions whose stored key ranges overlap
@@ -607,7 +639,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             _PartDiff(ns[1], old_map.get(ns, []), new_map.get(ns, []),
                       renames, fill_col=ns[0],
                       move_new=moves_n.get(ns, ()),
-                      move_old=moves_o.get(ns, ()))
+                      move_old=moves_o.get(ns, ()), span=(lo, hi))
             for ns in changed
         ]
 
@@ -668,6 +700,16 @@ class LakeChangeStreamReader(DataSourceStreamReader):
     # -- per-task diff (executor-side, pyarrow/pandas only) ---------------
 
     def read(self, partition: _PartDiff):
+        """Emit the partition task's change rows, plus the optional
+        ``emitSpan`` offset columns. Row shape must match
+        ``change_schema`` field order: data columns, ``_change_type``,
+        then (when enabled) ``_span_from``/``_span_to``."""
+        tail = tuple(int(v) for v in partition.span) if self.emit_span \
+            else ()
+        for row in self._diff_rows(partition):
+            yield row + tail
+
+    def _diff_rows(self, partition: _PartDiff):
         import pandas as pd
 
         fill_col = (partition.fill_col if partition.fill_col is not None
@@ -786,17 +828,35 @@ class LakeChangeStreamReader(DataSourceStreamReader):
 
         for kind, d in pending:
             k = ktup(d) if moves_on else None
+            w_old = None
             if kind == "delete" and moves_on:
                 # live elsewhere in the new snapshot -> the key moved
                 # away; its new holder's task emits it
-                if is_live(best(own_new.get(k), nbr_new.get(k))):
+                g_new = best(own_new.get(k), nbr_new.get(k))
+                if is_live(g_new):
                     continue
                 # and it must have been globally LIVE before: a relic
                 # outranked by a tombstone elsewhere was already dead
                 w_old = best(own_old.get(k), nbr_old.get(k))
                 if not is_live(w_old):
                     continue
+                # DELETE OWNERSHIP (r9 — the streaming-IVM signed fold
+                # caught duplicate deletes every dict-keyed equivalence
+                # test was blind to): exactly ONE task speaks for a
+                # dead key, mirroring the insert/update rule. The
+                # namespace holding the key's global new winner (its
+                # tombstone) emits — here if it is ours, via its own
+                # tombs loop if not; with no new image anywhere (a
+                # rewrite purged the row) the global OLD winner's task
+                # emits. A relic-holding bystander stays silent
+                # instead of emitting a duplicate with the global
+                # pre-image.
+                if g_new is not None and g_new is not own_new.get(k):
+                    continue  # another namespace owns the tombstone
+                if g_new is None and w_old is not own_old.get(k):
+                    continue  # old winner's own task emits the vanish
                 if w_old is not own_old.get(k):
+                    # ours to emit (we hold the tombstone winner), but
                     # the pre-image is the global OLD winner's, not
                     # this namespace's relic image
                     yield from_winner(k, w_old) + ("delete",)
@@ -822,6 +882,20 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                         dtypes[c], partition.renames, c)
                 for c in self.columns
             )
+            if kind == "update_postimage" and self.include_preimages:
+                # Iceberg's paired changelog shape (compute_updates):
+                # the preimage is the key's GLOBAL old winner when the
+                # move resolution found one (the local _old side can
+                # be a relic), else the local merge's old side
+                if moves_on and w_old is not None:
+                    yield from_winner(k, w_old) + ("update_preimage",)
+                else:
+                    yield tuple(
+                        _coerce(d[c] if c in self.keys
+                                else d.get(f"{c}_old"),
+                                dtypes[c], partition.renames, c)
+                        for c in self.columns
+                    ) + ("update_preimage",)
             yield vals + (kind,)
 
         # a delete routed to a partition the key never lived in: emit
@@ -1227,7 +1301,17 @@ class LakeChangeDataSource(DataSource):
         return "lake-changes"
 
     def schema(self):
-        return _resolve_schema(self.options["path"])[1]
+        hidden = _opt_bool(self.options, "hiddenpartition",
+                           "hiddenPartition")
+        pcol = (self.options.get("partitioncol")
+                or self.options.get("partitionCol"))
+        s = _resolve_schema(self.options["path"],
+                            pcol if hidden else None)[1]
+        if _opt_bool(self.options, "emitspan", "emitSpan"):
+            s = T.StructType(s.fields
+                             + [T.StructField("_span_from", T.LongType()),
+                                T.StructField("_span_to", T.LongType())])
+        return s
 
     def streamReader(self, schema) -> LakeChangeStreamReader:
         return LakeChangeStreamReader(self.options)
