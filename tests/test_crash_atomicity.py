@@ -45,6 +45,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+from test_multiprocess_commit_race import _patience  # noqa: E402 (load-adaptive waits, r9)
+
 _WORKER = """
 import json, os, random, sys, time
 
@@ -156,7 +158,7 @@ def test_sigkill_mid_merge_atomic_and_replayable(spark, tmp_path, seed):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             start_new_session=True))  # own pgid: the kill takes the JVM too
 
-    deadline = time.time() + 240
+    deadline = time.time() + 240 * _patience()
     while time.time() < deadline:
         if all(os.path.exists(a + ".ready") for a in ack_files):
             break
@@ -181,7 +183,7 @@ def test_sigkill_mid_merge_atomic_and_replayable(spark, tmp_path, seed):
             except ProcessLookupError:
                 pass
     for p in procs:
-        p.wait(timeout=60)
+        p.wait(timeout=60 * _patience())
     time.sleep(2.0)  # let any orphaned JVM file handles drain
 
     acked = []

@@ -710,3 +710,77 @@ def test_stream_restart_from_expired_offset_fails_loud(spark, tmp_path):
     _drain(spark, table.path, str(tmp_path / "ckpt2"), got3)
     assert {t for (_, t, _) in got3} == {"insert"}
     assert {k: a for (k, _, a) in got3} == fixtures.expected_final_state()
+
+
+def test_stream_move_cap_degraded_still_emits_cross_partition_delete(
+        spark, tmp_path):
+    """r9: in the CAPPED (degraded) regime, a delete routed to a
+    partition the key never lived in must STILL surface — before this
+    pin, the tombstone's task only spoke for it via the (disabled)
+    move-resolution loop and the key's home partition had no task at
+    all (its file set never changed), so the delete vanished and a
+    keyed consumer diverged from the table's own state. Degraded mode
+    may relax labels and images (delete+insert pairs, tombstone-image
+    deletes), never membership."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    R = "trans_id long, event string, amount int"
+    table = ParquetLakeTable(spark, str(tmp_path / "cap"),
+                             key_cols=["trans_id"], partition_col="event",
+                             merge_mode="mor")
+    # interleaved key ranges so the cap (limit=1) genuinely trips
+    table.create(spark.createDataFrame(
+        [(1, "a", 10), (4, "a", 40), (2, "b", 20), (5, "b", 50),
+         (3, "c", 30), (6, "c", 60)], R))
+
+    batches: list[list[tuple]] = []
+
+    def drain():
+        register_lake_stream(spark)
+        q = (spark.readStream.format("lake-changes")
+             .option("path", table.path).option("keys", "trans_id")
+             .option("partitionCol", "event")
+             .option("moveCheckLimit", "1").load()
+             .writeStream.foreachBatch(
+                 lambda df, b: batches.append(
+                     [(r["trans_id"], r["_change_type"]) for r in
+                      df.collect()]))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()  # bootstrap
+    # the wave: a cross-partition DELETE (key 1 lives in a, tombstone
+    # routed to b) plus moves that trip the cap
+    table.merge(spark.createDataFrame(
+        [(1, "b", 10, "delete"),    # delete routed AWAY from home
+         (4, "c", 41, "update"),    # moves a -> c
+         (5, "a", 51, "update")],   # moves b -> a
+        "trans_id long, event string, amount int, _op string"))
+    n_boot = len(batches)
+    drain()
+    wave = [kv for b in batches[n_boot:] for kv in b]
+
+    # key 1's delete must be in the batch (label fidelity may degrade,
+    # membership may not)
+    assert ("1".isdigit() and (1, "delete") in wave), (
+        f"cross-partition delete vanished in degraded mode: {wave}")
+    # keyed fold of all batches converges to the table's exact state
+    folded: dict = {}
+    order = {"delete": 0, "insert": 1, "update_postimage": 1}
+    for b in batches:
+        per_key: dict = {}
+        for k, c in b:
+            if k not in per_key or order[c] >= order[per_key[k]]:
+                per_key[k] = c
+        for k, c in per_key.items():
+            if c == "delete":
+                folded.pop(k, None)
+            else:
+                folded[k] = True
+    live = {r["trans_id"] for r in table.read_data().collect()}
+    assert set(folded) == live, (sorted(folded), sorted(live))

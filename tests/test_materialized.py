@@ -302,9 +302,14 @@ def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
     src = ParquetLakeTable(spark, str(tmp_path / "src"),
                            key_cols=["trans_id"], partition_col="event",
                            allow_schema_evolution=True)
+    # r9: the rollup also rides MIN/MAX through every axis — hybrid
+    # maintenance must survive compaction spans, the widen of its own
+    # column (extrema store wide from the start), spec evolution,
+    # rollback's inverse diffs, and rebuild-after-GC
     roll = MaterializedRollup(
         src, str(tmp_path / "roll"), str(tmp_path / "ck"),
-        group_cols=["event"], sum_cols=["amount"])
+        group_cols=["event"], sum_cols=["amount"],
+        min_cols=["amount"], max_cols=["amount"])
     # amount starts INT so the widen step is a real type change
     schema = ("trans_id long, event string, amount int, _op string, "
               "ts string, _txn_id long")
@@ -386,12 +391,17 @@ def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
                 roll.rebuild()
                 counters["rebuild"] += 1
             expect = {
-                r["event"]: (r["n_rows"], r["s"])
+                r["event"]: (r["n_rows"], r["s"], r["mn"], r["mx"])
                 for r in src.read_data().groupBy("event").agg(
                     F.count("*").alias("n_rows"),
-                    F.sum("amount").cast("long").alias("s")).collect()
+                    F.sum("amount").cast("long").alias("s"),
+                    F.min("amount").cast("long").alias("mn"),
+                    F.max("amount").cast("long").alias("mx")).collect()
             }
-            assert _got(roll) == expect, f"step {step}"
+            got = {r["event"]: (r["n_rows"], r["sum_amount"],
+                                r["min_amount"], r["max_amount"])
+                   for r in roll.read().collect()}
+            assert got == expect, f"step {step}"
     # the randomized walk must have exercised rollback, else reseed
     assert counters["rollback"] >= 1, counters
     # deterministic tail: leave the cursor several commits behind, then
@@ -403,12 +413,17 @@ def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
         roll.refresh()
     roll.rebuild()
     expect = {
-        r["event"]: (r["n_rows"], r["s"])
+        r["event"]: (r["n_rows"], r["s"], r["mn"], r["mx"])
         for r in src.read_data().groupBy("event").agg(
             F.count("*").alias("n_rows"),
-            F.sum("amount").cast("long").alias("s")).collect()
+            F.sum("amount").cast("long").alias("s"),
+            F.min("amount").cast("long").alias("mn"),
+            F.max("amount").cast("long").alias("mx")).collect()
     }
-    assert _got(roll) == expect
+    got = {r["event"]: (r["n_rows"], r["sum_amount"],
+                        r["min_amount"], r["max_amount"])
+           for r in roll.read().collect()}
+    assert got == expect
 
 
 def test_rollup_rides_dml_ddl_soak(spark, tmp_path):
@@ -633,3 +648,179 @@ def test_acquire_lock_retries_when_holder_releases_mid_probe(
         roll.fs.read_text = real_read
     assert state["fired"], "probe path never exercised"
     assert _got(roll) == {"g": (1, 5)}
+
+
+# --------------------------- hybrid MIN/MAX maintenance (r9)
+
+
+def _mk_mm(spark, tmp_path, **kw):
+    src = ParquetLakeTable(spark, str(tmp_path / "src"),
+                           key_cols=["trans_id"], partition_col="event",
+                           merge_mode=kw.pop("merge_mode", "cow"))
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"],
+        min_cols=["amount"], max_cols=["amount"], **kw)
+    return src, roll
+
+
+def _mm_expected(src):
+    return {
+        r["event"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in src.read_data().groupBy("event").agg(
+            F.count("*").alias("n"),
+            F.sum("amount").cast("long").alias("s"),
+            F.min("amount").alias("mn"),
+            F.max("amount").alias("mx")).collect()
+    }
+
+
+def _mm_got(roll):
+    return {r["event"]: (r["n_rows"], r["sum_amount"],
+                         r["min_amount"], r["max_amount"])
+            for r in roll.read().collect()}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_minmax_rollup_tracks_dml(spark, tmp_path, mode):
+    """MIN/MAX via hybrid maintenance must equal the from-scratch
+    GROUP BY across the interesting transitions: extremum improved
+    (delta-only), extremum deleted (group-targeted rescan), extremum
+    deleted but replaced in the same span (delta-only again), interior
+    deletes (no rescan), value -> NULL flips, and group emptying."""
+    src, roll = _mk_mm(spark, tmp_path, merge_mode=mode)
+    waves = [
+        # bootstrap
+        [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1],
+         [2, "a", 50, "insert", "2026-01-01 00:00:00", 2],
+         [3, "a", 30, "insert", "2026-01-01 00:00:00", 3],
+         [4, "b", 7, "insert", "2026-01-01 00:00:00", 4]],
+        # improve min and max delta-only
+        [[5, "a", 5, "insert", "2026-01-01 00:01:00", 5],
+         [6, "a", 99, "insert", "2026-01-01 00:01:00", 6]],
+        # delete the min (5) -> rescan must restore 10
+        [[5, "a", 5, "delete", "2026-01-01 00:02:00", 7]],
+        # delete the max (99) AND insert a bigger one -> delta-only
+        [[6, "a", 99, "delete", "2026-01-01 00:03:00", 8],
+         [7, "a", 120, "insert", "2026-01-01 00:03:00", 9]],
+        # interior delete (30): extrema unchanged, no rescan needed
+        [[3, "a", 30, "delete", "2026-01-01 00:04:00", 10]],
+        # update the min in place: 10 -> 60 (old extremum vanishes via
+        # preimage, new value is interior) -> rescan
+        [[1, "a", 60, "update", "2026-01-01 00:05:00", 11]],
+        # b's only value -> NULL: min/max flip to NULL, count stays
+        [[4, "b", None, "update", "2026-01-01 00:06:00", 12]],
+        # group a empties entirely
+        [[1, "a", 60, "delete", "2026-01-01 00:07:00", 13],
+         [2, "a", 50, "delete", "2026-01-01 00:07:00", 14],
+         [7, "a", 120, "delete", "2026-01-01 00:07:00", 15]],
+    ]
+    for i, wave in enumerate(waves):
+        _merge(spark, src, wave)
+        roll.refresh()
+        assert _mm_got(roll) == _mm_expected(src), f"wave {i}"
+
+
+def test_minmax_rescan_is_group_targeted(spark, tmp_path):
+    """Plan-shape pin for the hybrid: an extremum-preserving span must
+    NOT re-read the base table at all; an extremum-deleting span
+    rescans — and the scan it issues carries the flagged group as a
+    pushed predicate (only that group's partition is read when the
+    group IS the partition column)."""
+    src, roll = _mk_mm(spark, tmp_path)
+    _merge(spark, src, [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1],
+                        [2, "a", 50, "insert", "2026-01-01 00:00:00", 2],
+                        [3, "b", 30, "insert", "2026-01-01 00:00:00", 3]])
+    roll.refresh()
+
+    reads = {"n": 0}
+    real = src.read_data
+
+    def spy(*a, **kw):
+        # the distributive fast path's own two reads are partition-
+        # pruned (_only_partitions); the hybrid rescan reads the
+        # snapshot unpruned with the flagged-group predicate — count
+        # only those
+        if "_only_partitions" not in kw:
+            reads["n"] += 1
+        return real(*a, **kw)
+
+    # interior insert: no rescan, no base read
+    _merge(spark, src, [[4, "a", 20, "insert", "2026-01-01 00:01:00", 2]])
+    src.read_data = spy
+    try:
+        roll.refresh()
+    finally:
+        src.read_data = real
+    assert reads["n"] == 0, "extremum-preserving span must not rescan"
+
+    # delete the min of group a: exactly one targeted rescan read
+    _merge(spark, src, [[1, "a", 10, "delete", "2026-01-01 00:02:00", 3]])
+    src.read_data = spy
+    try:
+        roll.refresh()
+    finally:
+        src.read_data = real
+    assert reads["n"] == 1, "extremum delete must rescan exactly once"
+    assert _mm_got(roll) == _mm_expected(src)
+
+
+def test_minmax_string_column(spark, tmp_path):
+    """MIN/MAX are ordered, not arithmetic — a string column must work
+    (SUM of it would be invalid SQL; the rollup keeps them separate)."""
+    src = ParquetLakeTable(spark, str(tmp_path / "src"),
+                           key_cols=["trans_id"], partition_col=None)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], min_cols=["sku"], max_cols=["sku"])
+    schema = ("trans_id long, event string, sku string, _op string, "
+              "ts string, _txn_id long")
+
+    def merge(rows):
+        df = (spark.createDataFrame([tuple(r) for r in rows], schema)
+              .withColumn("_op_timestamp", F.to_timestamp("ts"))
+              .drop("ts"))
+        src.merge(df)
+
+    merge([[1, "g", "mango", "insert", "2026-01-01 00:00:00", 1],
+           [2, "g", "apple", "insert", "2026-01-01 00:00:00", 2],
+           [3, "g", "zebra", "insert", "2026-01-01 00:00:00", 3]])
+    roll.refresh()
+    got = {r["event"]: (r["n_rows"], r["min_sku"], r["max_sku"])
+           for r in roll.read().collect()}
+    assert got == {"g": (3, "apple", "zebra")}
+    # delete both extremes in one span -> rescan lands on 'mango'
+    merge([[2, "g", "apple", "delete", "2026-01-01 00:01:00", 4],
+           [3, "g", "zebra", "delete", "2026-01-01 00:01:00", 5]])
+    roll.refresh()
+    got = {r["event"]: (r["n_rows"], r["min_sku"], r["max_sku"])
+           for r in roll.read().collect()}
+    assert got == {"g": (1, "mango", "mango")}
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_minmax_randomized_equivalence_soak(spark, tmp_path, seed):
+    """Randomized DML waves against a MIN/MAX+SUM rollup: after every
+    refresh the summary equals the from-scratch GROUP BY — extremum
+    churn, NULL values, group moves, deletes, all mixed."""
+    rng = random.Random(seed)
+    src, roll = _mk_mm(spark, tmp_path)
+    state: dict = {}
+    tick = 0
+    for wave in range(10):
+        rows = []
+        for k in rng.sample(range(1, 25), rng.randrange(2, 7)):
+            tick += 1
+            op = rng.choice(["insert", "update", "update", "delete"])
+            e = f"g{rng.randrange(3)}"
+            a = rng.choice([None, rng.randrange(100), rng.randrange(100)])
+            rows.append([k, e, a, op,
+                         f"2026-01-01 00:{tick // 60:02d}:{tick % 60:02d}",
+                         tick])
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = (e, a)
+        _merge(spark, src, rows)
+        roll.refresh()
+        assert _mm_got(roll) == _mm_expected(src), f"wave {wave}"

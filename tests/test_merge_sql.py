@@ -943,10 +943,10 @@ def test_create_mv_if_not_exists_reattaches(spark, tmp_path):
 def test_create_mv_rejects_non_incremental_shapes(spark, tmp_path):
     r, _t = _mv_runner(spark, tmp_path)
     loc = tmp_path / "mv2"
-    with pytest.raises(MergeSqlError, match="MIN/MAX"):
+    with pytest.raises(MergeSqlError, match="unsupported MV select"):
         r.sql(f"CREATE MATERIALIZED VIEW db.m2 USING lake LOCATION "
-              f"'{loc}' AS SELECT customer_id, COUNT(*), MIN(amount) "
-              f"FROM db.t GROUP BY customer_id")
+              f"'{loc}' AS SELECT customer_id, COUNT(*), "
+              f"STDDEV(amount) FROM db.t GROUP BY customer_id")
     with pytest.raises(MergeSqlError, match="COUNT"):
         r.sql(f"CREATE MATERIALIZED VIEW db.m2 USING lake LOCATION "
               f"'{loc}' AS SELECT customer_id, SUM(amount) "
@@ -1007,3 +1007,43 @@ def test_create_mv_avg_and_count_col(spark, tmp_path):
         r.sql(f"CREATE MATERIALIZED VIEW db.bad USING lake LOCATION "
               f"'{tmp_path / 'bad'}' AS SELECT customer_id, COUNT(*), "
               f"AVG(amount) AS mean FROM db.t GROUP BY customer_id")
+
+
+def test_create_mv_min_max_hybrid(spark, tmp_path):
+    """MIN/MAX in CREATE MATERIALIZED VIEW (r9, closing the r8
+    rejection): delta-maintained candidates, group-targeted rescan
+    when a group's stored extremum is deleted, SQL NULL semantics for
+    the all-NULL group — all through the SQL front end."""
+    t = _table(spark, tmp_path,
+               [(1, "a", 10), (2, "a", 50), (3, "b", None)])
+    r = MergeSqlRunner(spark)
+    r.register("db.t", t)
+    r.sql(f"CREATE MATERIALIZED VIEW db.mvx USING lake "
+          f"LOCATION '{tmp_path / 'mvx'}' "
+          "AS SELECT customer_id, COUNT(*) AS n_rows, MIN(amount), "
+          "MAX(amount) AS max_amount FROM db.t GROUP BY customer_id")
+
+    def got():
+        return {row["customer_id"]:
+                (row["n_rows"], row["min_amount"], row["max_amount"])
+                for row in spark.sql(
+                    "SELECT * FROM lakehouse.mvx").collect()}
+
+    assert got() == {"a": (2, 10, 50), "b": (1, None, None)}
+
+    # delete the group minimum -> targeted rescan restores 50
+    r.sql("DELETE FROM db.t WHERE trans_id = 1")
+    # and give b a value: NULL extrema flip to it
+    r.sql("UPDATE db.t SET amount = 7 WHERE trans_id = 3")
+    r.sql("REFRESH MATERIALIZED VIEW db.mvx")
+    assert got() == {"a": (1, 50, 50), "b": (1, 7, 7)}
+
+    # IF NOT EXISTS re-attach must honor the min/max spec keys
+    r2 = MergeSqlRunner(spark)
+    r2.register("db.t", t)
+    r2.sql(f"CREATE MATERIALIZED VIEW IF NOT EXISTS db.mvx USING lake "
+           f"LOCATION '{tmp_path / 'mvx'}' "
+           "AS SELECT customer_id, COUNT(*) AS n_rows, MIN(amount), "
+           "MAX(amount) FROM db.t GROUP BY customer_id")
+    r2.sql("REFRESH MATERIALIZED VIEW db.mvx")
+    assert got() == {"a": (1, 50, 50), "b": (1, 7, 7)}

@@ -35,6 +35,21 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _patience() -> float:
+    """Load-adaptive timeout multiplier (r9, de-flaking the ROADMAP
+    'Known flake (r8)'): these soaks spawn 3-4 real Spark JVMs, and
+    under a saturated box (full suite + a concurrent oracle gate) the
+    fixed wall-clock waits below occasionally expired on HEALTHY
+    processes. Scale every subprocess wait by the 1-minute loadavg per
+    CPU — unit patience on an idle box, up to 4x on a pinned one — so
+    a slow-but-alive writer is distinguished from a hung one."""
+    try:
+        per_cpu = os.getloadavg()[0] / max(1, os.cpu_count() or 1)
+    except OSError:
+        return 1.0
+    return min(4.0, max(1.0, 1.0 + per_cpu))
+
 _WORKER = """
 import json, os, random, sys, time
 
@@ -277,7 +292,7 @@ def test_cross_process_commit_race_soak(spark, tmp_path, seed):
 
     # barrier: release only when every worker session is up, so the
     # first merges overlap and the race is guaranteed, not hoped-for
-    deadline = time.time() + 240
+    deadline = time.time() + 240 * _patience()
     while time.time() < deadline:
         if all(os.path.exists(s + ".ready") for s in stats_files):
             break
@@ -289,7 +304,7 @@ def test_cross_process_commit_race_soak(spark, tmp_path, seed):
 
     for p in procs:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=420 * _patience())
         except subprocess.TimeoutExpired:
             p.kill()
             pytest.fail("race worker hung")
@@ -372,7 +387,7 @@ def test_live_stream_reads_through_cross_process_race(spark, tmp_path, seed):
             env=env, cwd=str(tmp_path),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE))
 
-    deadline = time.time() + 240
+    deadline = time.time() + 240 * _patience()
     while time.time() < deadline:
         if all(os.path.exists(s + ".ready") for s in stats_files):
             break
@@ -405,7 +420,7 @@ def test_live_stream_reads_through_cross_process_race(spark, tmp_path, seed):
             mid_drains += 1
         time.sleep(0.3)
     for p in procs:
-        out, err = p.communicate(timeout=60)
+        out, err = p.communicate(timeout=60 * _patience())
         assert p.returncode == 0, err.decode()[-3000:]
     drain()  # whatever landed after the last mid-race drain
 
@@ -478,7 +493,7 @@ def test_cross_process_mor_writers_vs_compactor_soak(spark, tmp_path, seed):
         env=env, cwd=str(tmp_path),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
-    deadline = time.time() + 240
+    deadline = time.time() + 240 * _patience()
     ready = stats_files + [comp_sf]
     while time.time() < deadline:
         if all(os.path.exists(s + ".ready") for s in ready):
@@ -489,7 +504,7 @@ def test_cross_process_mor_writers_vs_compactor_soak(spark, tmp_path, seed):
 
     for p in procs:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=420 * _patience())
         except subprocess.TimeoutExpired:
             p.kill()
             compactor.kill()
@@ -498,7 +513,7 @@ def test_cross_process_mor_writers_vs_compactor_soak(spark, tmp_path, seed):
     with open(stop_file, "w") as f:
         f.write("stop")
     try:
-        out, err = compactor.communicate(timeout=300)
+        out, err = compactor.communicate(timeout=300 * _patience())
     except subprocess.TimeoutExpired:
         compactor.kill()
         pytest.fail("compactor hung")
@@ -579,7 +594,7 @@ def test_cross_process_gc_vs_writers_soak(spark, tmp_path, seed):
         env=env, cwd=str(tmp_path),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
 
-    deadline = time.time() + 240
+    deadline = time.time() + 240 * _patience()
     ready = stats_files + [gc_sf]
     while time.time() < deadline:
         if all(os.path.exists(s + ".ready") for s in ready):
@@ -590,7 +605,7 @@ def test_cross_process_gc_vs_writers_soak(spark, tmp_path, seed):
 
     for p in procs:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=420 * _patience())
         except subprocess.TimeoutExpired:
             p.kill()
             gc_proc.kill()
@@ -599,7 +614,7 @@ def test_cross_process_gc_vs_writers_soak(spark, tmp_path, seed):
     with open(stop_file, "w") as f:
         f.write("stop")
     try:
-        out, err = gc_proc.communicate(timeout=300)
+        out, err = gc_proc.communicate(timeout=300 * _patience())
     except subprocess.TimeoutExpired:
         gc_proc.kill()
         pytest.fail("gc process hung")
@@ -783,7 +798,7 @@ def test_cross_process_ivm_maintainers_race_soak(spark, tmp_path, seed):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE))
 
     ready = [w_stats] + m_stats
-    deadline = time.time() + 240
+    deadline = time.time() + 240 * _patience()
     while time.time() < deadline:
         if all(os.path.exists(s + ".ready") for s in ready):
             break
@@ -791,13 +806,13 @@ def test_cross_process_ivm_maintainers_race_soak(spark, tmp_path, seed):
     with open(go_file, "w") as f:
         f.write("go")
 
-    out, err = writer.communicate(timeout=420)
+    out, err = writer.communicate(timeout=420 * _patience())
     assert writer.returncode == 0, err.decode()[-3000:]
     with open(stop_file, "w") as f:
         f.write("stop")
     for p in maints:
         try:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=420 * _patience())
         except subprocess.TimeoutExpired:
             p.kill()
             pytest.fail("maintainer hung")

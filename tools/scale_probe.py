@@ -124,6 +124,53 @@ def scenario(spark, src_dir: str) -> dict:
             for k, v in t.items()}
 
 
+def localized(spark, src_dir: str) -> dict:
+    """The O(churned partitions) demonstration (r9): a RANGE-
+    partitioned table (partition correlated with the key — disjoint
+    stored key ranges, so span pruning and the stream's neighbor
+    pruning actually bite) takes churn confined to ONE constant-size
+    partition. As the table grows 16x the localized refresh and the
+    localized stream drain must stay ~FLAT (exponent ~0): their cost
+    is the churned partition, not the table."""
+    li = spark.read.parquet(src_dir)
+    rng_evt = F.concat(F.lit("r"), (F.col("k") / 600_000)
+                       .cast("int").cast("string"))
+    work = tempfile.mkdtemp(prefix="scale_probe_loc_")
+    t: dict = {}
+    try:
+        table = ParquetLakeTable(spark, f"{work}/t", key_cols=["trans_id"],
+                                 partition_col="event")
+        src = li.withColumn("l_returnflag", rng_evt)
+        apply_cdc_batch(envelopes(src, "insert",
+                                  "2024-01-01T00:00:00.000000"), table)
+        roll = MaterializedRollup(
+            table, f"{work}/roll", f"{work}/ck",
+            group_cols=["event"], sum_cols=["amount"])
+        roll.refresh()  # bootstrap untimed
+        sm = StreamingRollupMaintainer(MaterializedRollup(
+            table, f"{work}/roll2", f"{work}/ck2",
+            group_cols=["event"], sum_cols=["amount"]),
+            initial="latest")
+        sm.rollup.refresh()
+        sm.drain(timeout_s=600)  # checkpoint at head, untimed
+        churn = envelopes(
+            src.filter((F.col("k") < 600_000) & (F.col("k") % 50 == 3))
+            .withColumn("l_quantity", F.col("l_quantity") + 7),
+            "update", "2024-01-01T12:00:00.000000")
+        apply_cdc_batch(churn, table)
+        t0 = time.perf_counter()
+        roll.refresh()
+        t["ivm_localized_refresh"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sm.drain(timeout_s=600)
+        t["stream_drain_localized"] = time.perf_counter() - t0
+        assert sm.stats["folded"] >= 1 and sm.stats["fallback"] == 0, (
+            sm.stats)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {k: round(v, 3) for k, v in t.items()}
+
+
 def main() -> None:
     spark = build_session(app_name="scale_probe",
                           extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -133,6 +180,8 @@ def main() -> None:
         srcs[AMP] = amplified(spark, AMP)
         small = scenario(spark, srcs[1])
         big = scenario(spark, srcs[AMP])
+        small.update(localized(spark, srcs[1]))
+        big.update(localized(spark, srcs[AMP]))
         exps = {}
         for k in small:
             if k == "rows":

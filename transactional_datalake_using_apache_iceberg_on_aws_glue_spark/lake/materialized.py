@@ -9,16 +9,22 @@ is maintained from ``read_changes`` deltas — never a base-table rescan
 — with a write-ahead intent making every refresh exactly-once across
 crashes.
 
-Scope = the self-maintainable aggregate class (the classic IVM
-result): ``COUNT(*)`` and ``SUM`` per group, which update from a
-change delta alone. SUM carries full SQL NULL semantics: the fold
-also maintains a signed NON-NULL count per sum column (``nn_<c>``),
-and ``read()`` presents ``SUM = NULL`` when no non-null values remain
-— the all-NULL group reading 0 instead of NULL was a real bug the
-DML×DDL rider soak caught. ``AVG`` derives at read time
-(``sum / nn``). ``MIN``/``MAX`` are deliberately absent — a delete of
-the current extremum cannot be repaired without rescanning the group,
-so they do not belong on this fast path.
+Scope: ``COUNT(*)`` and ``SUM`` per group are the classic
+self-maintainable class — they update from a change delta alone. SUM
+carries full SQL NULL semantics: the fold also maintains a signed
+NON-NULL count per aggregated column (``nn_<c>``), and ``read()``
+presents ``SUM = NULL`` when no non-null values remain — the all-NULL
+group reading 0 instead of NULL was a real bug the DML×DDL rider soak
+caught. ``AVG`` derives at read time (``sum / nn``). ``MIN``/``MAX``
+(r9) use HYBRID maintenance — they are not self-maintainable under
+deletes (a delete of the current extremum cannot be repaired from the
+delta), so the delta carries per-group add/remove extremum CANDIDATES:
+an added value at or beyond the stored extremum updates it delta-only;
+a removed value TIED with the stored extremum (with no add replacing
+it) flags just that group for a targeted re-aggregation at the span
+head (predicate-pushed scan of the flagged groups only). Localized
+churn therefore stays O(span) even with MIN/MAX; only
+extremum-deleting groups pay a rescan, and only for themselves.
 
 100 TB shape: the refresh cost is O(changes in the span) + O(touched
 groups), independent of the base table size. The change scan is the
@@ -102,16 +108,34 @@ class MaterializedRollup:
         sum_cols: list[str] | tuple[str, ...] = (),
         partition_col: str | None = None,
         lock_grace_ms: int = 3_600_000,
+        min_cols: list[str] | tuple[str, ...] = (),
+        max_cols: list[str] | tuple[str, ...] = (),
     ) -> None:
         if not group_cols:
             raise ValueError("group_cols must be non-empty")
-        overlap = set(group_cols) & set(sum_cols)
+        overlap = set(group_cols) & (set(sum_cols) | set(min_cols)
+                                     | set(max_cols))
         if overlap:
-            raise ValueError(f"columns cannot be both group and sum: "
-                             f"{sorted(overlap)}")
+            raise ValueError(f"columns cannot be both group and "
+                             f"aggregate: {sorted(overlap)}")
         self.source = source
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        #: MIN/MAX via HYBRID maintenance (r9, closing the r8 "not
+        #: self-maintainable" rejection): the delta keeps per-group
+        #: CANDIDATE extrema from the span's added/removed values — a
+        #: new value at or beyond the stored extremum updates it
+        #: delta-only; a REMOVED value tied with the stored extremum
+        #: (and no add replacing it) flags the group for a targeted
+        #: rescan of just that group at the span head. Everything else
+        #: stays O(span); only extremum-deleting groups re-aggregate,
+        #: and only themselves (predicate-pushed scan).
+        self.min_cols = list(min_cols)
+        self.max_cols = list(max_cols)
+        #: columns carrying a stored signed non-null count ``nn_<c>``
+        #: (SQL NULL semantics for SUM/AVG; MIN/MAX all-null detection)
+        self.counted_cols = list(dict.fromkeys(
+            self.sum_cols + self.min_cols + self.max_cols))
         self.target = ParquetLakeTable(
             source.spark, path, key_cols=self.group_cols,
             partition_col=partition_col,
@@ -136,7 +160,13 @@ class MaterializedRollup:
             *self.group_cols, "n_rows",
             *[F.when(F.col(f"nn_{c}") == 0, F.lit(None))
               .otherwise(F.col(f"sum_{c}")).alias(f"sum_{c}")
-              for c in self.sum_cols])
+              for c in self.sum_cols],
+            *[F.when(F.col(f"nn_{c}") == 0, F.lit(None))
+              .otherwise(F.col(f"min_{c}")).alias(f"min_{c}")
+              for c in self.min_cols],
+            *[F.when(F.col(f"nn_{c}") == 0, F.lit(None))
+              .otherwise(F.col(f"max_{c}")).alias(f"max_{c}")
+              for c in self.max_cols])
 
     def position(self) -> int:
         """Last source version fully folded into the summary."""
@@ -201,16 +231,19 @@ class MaterializedRollup:
         for c in self.sum_cols:
             sum_aggs.append(
                 F.coalesce(F.sum(c), F.lit(0)).alias(f"sum_{c}"))
+        for c in self.counted_cols:
             sum_aggs.append(F.count(c).alias(f"nn_{c}"))  # non-nulls
+        for c in self.min_cols:
+            sum_aggs.append(F.min(self._wide(snap, c)).alias(f"min_{c}"))
+        for c in self.max_cols:
+            sum_aggs.append(F.max(self._wide(snap, c)).alias(f"max_{c}"))
         # materialized once (rollup-sized): consumed by env, the stale
         # anti-join, AND the isEmpty probe — without this the full
         # snapshot scan re-executes per consumer
         fresh = snap.groupBy(*self.group_cols).agg(
             F.count("*").alias("n_rows"),
             *sum_aggs).localCheckpoint(eager=True)
-        stored = ["n_rows"]
-        for c in self.sum_cols:
-            stored += [f"sum_{c}", f"nn_{c}"]
+        stored = self._stored_cols()
         env = fresh.withColumn(OP_COL, F.lit("insert"))
         if self.target.exists():
             # groups that vanished since the summary was last correct:
@@ -235,6 +268,31 @@ class MaterializedRollup:
             self.feed.commit(head)
         self._clear_intent()
         return head
+
+    @staticmethod
+    def _wide(df: DataFrame, c: str):
+        """Column expression for an extremum aggregate, pre-cast to
+        its WIDEST same-family type (integral -> bigint, float ->
+        double; everything else natural). Extrema are order-preserving
+        under widening casts, and storing wide from the start means a
+        later ``widen_column`` on the source cannot type-clash with
+        the rollup's stored column (the same reason sums store as
+        BIGINT unconditionally)."""
+        t = dict(df.dtypes).get(c)
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return F.col(c).cast("bigint")
+        if t in ("float", "double"):
+            return F.col(c).cast("double")
+        return F.col(c)
+
+    def _stored_cols(self) -> list:
+        """Non-group columns the rollup table stores, in order."""
+        out = ["n_rows"]
+        out += [f"sum_{c}" for c in self.sum_cols]
+        out += [f"nn_{c}" for c in self.counted_cols]
+        out += [f"min_{c}" for c in self.min_cols]
+        out += [f"max_{c}" for c in self.max_cols]
+        return out
 
     def _signed_delta(self, pos: int, head: int) -> DataFrame:
         """Per-group net change over the span.
@@ -280,8 +338,19 @@ class MaterializedRollup:
             for c in self.sum_cols:
                 cols.append((side("na", f"_s_{c}")
                              - side("oa", f"_s_{c}")).alias(f"_d_{c}"))
+            for c in self.counted_cols:
                 cols.append((side("na", f"_nn_{c}")
                              - side("oa", f"_nn_{c}")).alias(f"_dnn_{c}"))
+            # hybrid MIN/MAX candidates: the new side of the changed
+            # partitions is the "add" set, the old side the "remove"
+            # set — same rule the changelog fold feeds (NULLs kept:
+            # "no values on this side" is meaningful)
+            for c in self.min_cols:
+                cols.append(F.col(f"na._mn_{c}").alias(f"_add_min_{c}"))
+                cols.append(F.col(f"oa._mn_{c}").alias(f"_del_min_{c}"))
+            for c in self.max_cols:
+                cols.append(F.col(f"na._mx_{c}").alias(f"_add_max_{c}"))
+                cols.append(F.col(f"oa._mx_{c}").alias(f"_del_max_{c}"))
             delta = j.select(*cols)
         else:
             # hand the already-computed pruning verdict in (None =
@@ -306,6 +375,7 @@ class MaterializedRollup:
             aggs.append(
                 F.coalesce(F.sum(sign * F.col(c)), F.lit(0))
                 .alias(f"_d_{c}"))
+        for c in self.counted_cols:
             # signed NON-NULL count: a 5 -> NULL update changes
             # neither n_rows nor (numerically) the sum it leaves
             # behind, but it must flip SUM to NULL once no
@@ -315,24 +385,56 @@ class MaterializedRollup:
                     F.sum(F.when(F.col(c).isNotNull(), sign)),
                     F.lit(0))
                 .alias(f"_dnn_{c}"))
+        # hybrid MIN/MAX candidates: extremum of the ADDED images vs
+        # extremum of the REMOVED images (preimages/deletes)
+        for c in self.min_cols:
+            aggs.append(F.min(F.when(sign == 1, self._wide(ch, c)))
+                        .alias(f"_add_min_{c}"))
+            aggs.append(F.min(F.when(sign == -1, self._wide(ch, c)))
+                        .alias(f"_del_min_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(F.when(sign == 1, self._wide(ch, c)))
+                        .alias(f"_add_max_{c}"))
+            aggs.append(F.max(F.when(sign == -1, self._wide(ch, c)))
+                        .alias(f"_del_max_{c}"))
         return self._nonzero(ch.groupBy(*self.group_cols).agg(*aggs))
 
     def _nonzero(self, delta: DataFrame) -> DataFrame:
         """Drop groups whose net effect is zero (compaction-only
-        spans, self-cancelling churn)."""
+        spans, self-cancelling churn). Sound for MIN/MAX too: the
+        stored state depends only on these aggregates, and equal
+        add/remove extremum candidates with zero count/sum/nn deltas
+        cannot move any of them (new_min = min(rest, add) =
+        min(rest, del) = old_min)."""
         nonzero = F.col("_d_n") != 0
         for c in self.sum_cols:
-            nonzero = (nonzero | (F.col(f"_d_{c}") != 0)
-                       | (F.col(f"_dnn_{c}") != 0))
+            nonzero = nonzero | (F.col(f"_d_{c}") != 0)
+        for c in self.counted_cols:
+            nonzero = nonzero | (F.col(f"_dnn_{c}") != 0)
+        for c in self.min_cols:
+            nonzero = nonzero | ~F.col(f"_add_min_{c}").eqNullSafe(
+                F.col(f"_del_min_{c}"))
+        for c in self.max_cols:
+            nonzero = nonzero | ~F.col(f"_add_max_{c}").eqNullSafe(
+                F.col(f"_del_max_{c}"))
         return delta.filter(nonzero)
 
     def _group_agg(self, df: DataFrame) -> DataFrame:
-        """One side's per-group (count, sum, non-null count) triple —
-        the distributive summary the fast delta subtracts."""
+        """One side's per-group (count, sum, non-null count, min, max)
+        summary — the distributive frame the fast delta subtracts.
+        The min/max columns feed the hybrid candidate rule, where
+        "side" plays the add/remove role the changelog fold's signed
+        rows play (both reduce to: new-side extremum candidates vs
+        removed-side extremum threats)."""
         aggs = [F.count("*").alias("_n")]
         for c in self.sum_cols:
             aggs.append(F.coalesce(F.sum(c), F.lit(0)).alias(f"_s_{c}"))
+        for c in self.counted_cols:
             aggs.append(F.count(c).alias(f"_nn_{c}"))
+        for c in self.min_cols:
+            aggs.append(F.min(self._wide(df, c)).alias(f"_mn_{c}"))
+        for c in self.max_cols:
+            aggs.append(F.max(self._wide(df, c)).alias(f"_mx_{c}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _apply(self, pos: int, head: int) -> None:
@@ -377,17 +479,51 @@ class MaterializedRollup:
                 return F.lit(0).cast(typ)
             return F.coalesce(F.col(f"s.{col}"), F.lit(0).cast(typ))
 
+        def old_agg(col):
+            """Stored aggregate value, NULL-preserving (for extrema a
+            missing group means "no stored extremum", never 0)."""
+            if cur is None:
+                return F.lit(None)
+            return F.col(f"s.{col}")
+
         new_n = (old("n_rows", "long") + F.col("d._d_n")).alias("n_rows")
         new_sums = []
         for c in self.sum_cols:
             new_sums.append(
                 (old(f"sum_{c}", "long") + F.col(f"d._d_{c}"))
                 .alias(f"sum_{c}"))
+        for c in self.counted_cols:
             new_sums.append(
                 (old(f"nn_{c}", "long") + F.col(f"d._dnn_{c}"))
                 .alias(f"nn_{c}"))
+        # hybrid MIN/MAX (r9): candidate rule per group. An added
+        # value at or beyond the stored extremum IS the new extremum
+        # (survivors cannot beat the old global extremum). Otherwise,
+        # a REMOVED value tied with the stored extremum means the
+        # extremum may be gone -> flag the group for a targeted rescan
+        # (resolved below); removed values strictly inside the range
+        # cannot displace it. NULL stored extremum (empty/all-null
+        # group) takes the add side directly.
+        rescan_flags = []
+        for mcols, kind, beats in ((self.min_cols, "min",
+                                    lambda a, b: a <= b),
+                                   (self.max_cols, "max",
+                                    lambda a, b: a >= b)):
+            for c in mcols:
+                stored = old_agg(f"{kind}_{c}")
+                add = F.col(f"d._add_{kind}_{c}")
+                rem = F.col(f"d._del_{kind}_{c}")
+                flag = (stored.isNotNull()
+                        & rem.isNotNull() & beats(rem, stored)
+                        & ~(add.isNotNull() & beats(add, stored)))
+                rescan_flags.append(flag.alias(f"_rs_{kind}_{c}"))
+                new_sums.append(
+                    F.when(stored.isNull(), add)
+                    .when(add.isNotNull() & beats(add, stored), add)
+                    .otherwise(stored).alias(f"{kind}_{c}"))
         env = j.select(
             *[F.col(f"d.{c}") for c in self.group_cols], new_n, *new_sums,
+            *rescan_flags,
         ).withColumn(
             OP_COL,
             F.when(F.col("n_rows") == 0, F.lit("delete"))
@@ -397,6 +533,8 @@ class MaterializedRollup:
             # refreshes, deterministic under replay
             OP_TS_COL, F.timestamp_seconds(F.lit(head)),
         ).withColumn(TXN_COL, F.lit(head).cast("long"))
+        if rescan_flags:
+            env = self._resolve_extremum_rescans(env, head)
 
         if env.isEmpty():
             # span with zero net effect (compaction / self-cancelling
@@ -412,6 +550,64 @@ class MaterializedRollup:
         self.target.merge(env)
         self.feed.commit(head)
         self._clear_intent()
+
+    def _resolve_extremum_rescans(self, env: DataFrame,
+                                  head: int) -> DataFrame:
+        """Resolve the hybrid MIN/MAX rescan flags: groups whose stored
+        extremum may have been deleted this span re-aggregate their
+        extrema from the span-head snapshot — ONLY those groups (the
+        filter is a literal predicate over the bounded flagged set, so
+        it pushes into the parquet scan), everything else keeps the
+        delta-maintained value. Returns the env with flags dropped.
+
+        The flagged-set collect is rollup-row-bounded (at most the
+        groups whose extremum was removed this span) — same
+        recorded-benign class as the merge paths' partition-value
+        collects."""
+        flags = [c for c in env.columns if c.startswith("_rs_")]
+        env = env.localCheckpoint(eager=True)  # consumed repeatedly
+        cond = None
+        for f in flags:
+            cond = F.col(f) if cond is None else (cond | F.col(f))
+        flagged = env.filter(cond).select(*self.group_cols).collect()
+        if not flagged:
+            return env.drop(*flags)
+        snap = self.source.read_data(as_of_version=head)
+        pred = None
+        for r in flagged:
+            one = None
+            for g in self.group_cols:
+                e = F.col(g).eqNullSafe(F.lit(r[g]))
+                one = e if one is None else (one & e)
+            pred = one if pred is None else (pred | one)
+        aggs = ([F.min(self._wide(snap, c)).alias(f"_rm_min_{c}")
+                 for c in self.min_cols]
+                + [F.max(self._wide(snap, c)).alias(f"_rm_max_{c}")
+                   for c in self.max_cols])
+        rescan = snap.filter(pred).groupBy(*self.group_cols).agg(*aggs)
+        jc = reduce(lambda a, b: a & b,
+                    [env[g].eqNullSafe(rescan[g]) for g in self.group_cols])
+        j = env.alias("e").join(rescan.alias("r"), jc, "left")
+        keep = [F.col(f"e.{g}") .alias(g) for g in self.group_cols]
+        for c in env.columns:
+            if c in self.group_cols or c in flags:
+                continue
+            m = None
+            for mcols, kind in ((self.min_cols, "min"),
+                                (self.max_cols, "max")):
+                for mc in mcols:
+                    if c == f"{kind}_{mc}":
+                        m = (kind, mc)
+            if m is None:
+                keep.append(F.col(f"e.{c}").alias(c))
+            else:
+                kind, mc = m
+                keep.append(
+                    F.when(F.col(f"e._rs_{kind}_{mc}"),
+                           F.col(f"r._rm_{kind}_{mc}"))
+                    .otherwise(F.col(f"e.{kind}_{mc}"))
+                    .alias(c))
+        return j.select(*keep)
 
     # -- single-maintainer lock -------------------------------------------
 
@@ -566,11 +762,20 @@ class StreamingRollupMaintainer:
     """
 
     def __init__(self, rollup: MaterializedRollup,
-                 stream_checkpoint: str | None = None) -> None:
+                 stream_checkpoint: str | None = None,
+                 initial: str = "earliest") -> None:
         self.rollup = rollup
         feed_dir = os.path.dirname(rollup._intent_file)
         self.stream_checkpoint = stream_checkpoint or os.path.join(
             feed_dir, "stream_ck")
+        #: first-offset policy for a FRESH stream checkpoint:
+        #: "earliest" streams the bootstrap too (whole table through
+        #: the Python Data Source — O(table) in pandas); "latest" is
+        #: the recommended large-table pattern (scale probe, ROADMAP
+        #: r9): bootstrap via refresh()/rebuild() on the Spark side,
+        #: then stream only incremental spans. With the cursor at head
+        #: when the stream starts, lockstep holds from the first batch.
+        self.initial = initial
         #: batches handled since construction, by route — observability
         #: for tests and operators (folded = O(batch) happy path,
         #: fallback = polling catch-up, skipped = replay/empty)
@@ -587,7 +792,8 @@ class StreamingRollupMaintainer:
                   .option("path", src.path)
                   .option("keys", ",".join(src.key_cols))
                   .option("includePreimages", "true")
-                  .option("emitSpan", "true"))
+                  .option("emitSpan", "true")
+                  .option("initial", self.initial))
         if src.partition_col and src.partition_transform is None:
             reader = reader.option("partitionCol", src.partition_col)
         return reader.load()

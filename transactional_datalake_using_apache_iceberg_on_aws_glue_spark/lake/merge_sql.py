@@ -847,20 +847,24 @@ class MergeSqlRunner:
             AS SELECT <g1> [, ...], COUNT(*) [AS n_rows]
                       [, SUM(<c>) [AS sum_<c>]
                        | AVG(<c>) [AS avg_<c>]
-                       | COUNT(<c>) [AS n_<c>] ...]
+                       | COUNT(<c>) [AS n_<c>]
+                       | MIN(<c>) [AS min_<c>]
+                       | MAX(<c>) [AS max_<c>] ...]
                FROM <registered-table> GROUP BY <g1> [, ...]
 
         The SELECT is a validated subset: bare group columns, exactly
         one ``COUNT(*)``, and any number of ``SUM(col)`` /
-        ``AVG(col)`` / ``COUNT(col)`` — the self-maintainable
-        aggregate class. The fold stores one (sum, non-null count)
-        pair per referenced column; SUM and AVG present SQL NULL
-        semantics through it (all-NULL group -> NULL), COUNT(col) IS
-        the non-null count, and AVG = sum / non-null count at view
-        time. MIN/MAX are deliberately outside IVM (materialized.py:
-        a delete of the extremum needs a group rescan). Aliases are
-        optional but, when given, must be the canonical ``n_rows`` /
-        ``sum_<col>`` / ``avg_<col>`` / ``n_<col>`` names. The MV
+        ``AVG(col)`` / ``COUNT(col)`` / ``MIN(col)`` / ``MAX(col)``.
+        The fold stores one (sum, non-null count) pair per summed
+        column; SUM and AVG present SQL NULL semantics through it
+        (all-NULL group -> NULL), COUNT(col) IS the non-null count,
+        and AVG = sum / non-null count at view time. MIN/MAX (r9) ride
+        the HYBRID maintenance in materialized.py — delta-maintained
+        candidates, with a group-targeted rescan only when a group's
+        stored extremum is deleted. Aliases are optional but, when
+        given, must be the canonical ``n_rows`` / ``sum_<col>`` /
+        ``avg_<col>`` / ``n_<col>`` / ``min_<col>`` / ``max_<col>``
+        names. The MV
         definition persists in ``<path>/_mv_state/MVSPEC.json``;
         ``IF NOT EXISTS`` re-attaches to an existing MV after a
         restart (definition must match). The MV is published as a
@@ -884,14 +888,18 @@ class MergeSqlRunner:
         ident = self._norm_ident(m.group("name"))
         #: aggs = [(kind, col)] in statement order; sum_cols = columns
         #: needing a (sum, non-null count) pair in the stored fold
-        group_cols, aggs, sum_cols, saw_count = [], [], [], False
+        group_cols, aggs, saw_count = [], [], False
+        sum_cols, min_cols, max_cols = [], [], []
         _canon = {"count*": lambda c: "n_rows",
                   "count": lambda c: f"n_{c}",
                   "sum": lambda c: f"sum_{c}",
-                  "avg": lambda c: f"avg_{c}"}
+                  "avg": lambda c: f"avg_{c}",
+                  "min": lambda c: f"min_{c}",
+                  "max": lambda c: f"max_{c}"}
         for item in _split_top_level(m.group("select")):
             am = re.match(
-                r"^(?P<fn>COUNT|SUM|AVG)\(\s*(?:\*|`?(?P<col>\w+)`?)\s*\)"
+                r"^(?P<fn>COUNT|SUM|AVG|MIN|MAX)"
+                r"\(\s*(?:\*|`?(?P<col>\w+)`?)\s*\)"
                 r"(?:\s+AS\s+(?P<alias>\w+))?$", item, re.IGNORECASE)
             if am:
                 fn = am.group("fn").upper()
@@ -912,8 +920,13 @@ class MergeSqlRunner:
                         f"{fn}({c or '*'}) alias must be {canon} (the "
                         f"name the rollup publishes), "
                         f"got {am.group('alias')!r}")
-                if c is not None and c not in sum_cols:
-                    sum_cols.append(c)
+                dest = {"min": min_cols, "max": max_cols}.get(kind)
+                if dest is None:
+                    # SUM/AVG/COUNT(col) all fold through the stored
+                    # (sum, non-null count) pair
+                    dest = sum_cols
+                if c is not None and c not in dest:
+                    dest.append(c)
                 aggs.append([kind, c])
             elif re.match(r"^`?\w+`?$", item):
                 group_cols.append(item.replace("`", ""))
@@ -921,9 +934,8 @@ class MergeSqlRunner:
                 raise MergeSqlError(
                     f"unsupported MV select item {item!r}; the "
                     "incremental subset is bare group columns, "
-                    "COUNT(*), SUM(col), AVG(col), COUNT(col) — "
-                    "MIN/MAX are not self-maintainable under deletes "
-                    "(materialized.py)")
+                    "COUNT(*), SUM(col), AVG(col), COUNT(col), "
+                    "MIN(col), MAX(col)")
         if not saw_count:
             raise MergeSqlError("MV select must include COUNT(*) "
                                 "(the rollup always maintains n_rows)")
@@ -940,6 +952,11 @@ class MergeSqlRunner:
         state_dir = os.path.join(loc, self._MV_DIR)
         spec = {"source": src_tbl.path, "location": loc,
                 "group_cols": gb, "sum_cols": sum_cols, "aggs": aggs}
+        if min_cols or max_cols:
+            # keyed only when present: pre-r9 MVSPEC files (no
+            # min/max) must keep matching their re-attach spec
+            spec["min_cols"] = min_cols
+            spec["max_cols"] = max_cols
         spec_file = os.path.join(state_dir, "MVSPEC.json")
         existing = None
         if src_tbl.fs.exists(spec_file):
@@ -952,7 +969,8 @@ class MergeSqlRunner:
                 f"materialized view {m.group('name')!r} exists with a "
                 f"different definition {existing}; DROP it first")
         roll = MaterializedRollup(
-            src_tbl, loc, state_dir, group_cols=gb, sum_cols=sum_cols)
+            src_tbl, loc, state_dir, group_cols=gb, sum_cols=sum_cols,
+            min_cols=min_cols, max_cols=max_cols)
         if existing is None:
             src_tbl.fs.makedirs(state_dir)
             tmp = spec_file + ".tmp"
@@ -974,6 +992,10 @@ class MergeSqlRunner:
                               f"ELSE sum_{c} END AS sum_{c}"),
             "avg": lambda c: (f"CASE WHEN nn_{c} = 0 THEN NULL "
                               f"ELSE sum_{c} / nn_{c} END AS avg_{c}"),
+            "min": lambda c: (f"CASE WHEN nn_{c} = 0 THEN NULL "
+                              f"ELSE min_{c} END AS min_{c}"),
+            "max": lambda c: (f"CASE WHEN nn_{c} = 0 THEN NULL "
+                              f"ELSE max_{c} END AS max_{c}"),
         }
         sel = ", ".join([f"`{g}`" for g in gb]
                         + [derive[k](c) for k, c in aggs])

@@ -459,6 +459,10 @@ class ParquetLakeTable:
         #: sidecar blobs are immutable + content-addressed: memoize
         #: loads per handle
         self._statsext_cache: dict = {}
+        #: parsed-manifest memo {version: dict} — immutable per
+        #: version; bounded; existence re-checked on hit (see
+        #: ``_manifest``)
+        self._manifest_cache: dict = {}
         # live SQL-view registrations (data + metadata views) are
         # recorded PROCESS-wide in lake/catalog.py's _VIEW_REGISTRY,
         # keyed by (path, ref) — any handle's commit refreshes them
@@ -531,17 +535,38 @@ class ParquetLakeTable:
         return out
 
     def _manifest(self, version: int | None = None) -> dict | None:
+        """Parsed manifest for ``version`` (CURRENT when None).
+
+        Cached per handle (r9): a committed manifest is IMMUTABLE per
+        version number, and one refresh/merge resolves the same
+        version 4-6 times — at a few thousand files the JSON parse is
+        multi-MB and became the dominant cost of a partition-pruned
+        IVM refresh (16x scale probe). Callers must treat the returned
+        dict as READ-ONLY (every rewrite path already copies — the
+        stats/rename helpers are copy-on-write). A cache hit re-stats
+        the file so an ``expire_snapshots``-reclaimed version still
+        raises instead of serving a ghost manifest."""
         v = self.current_version() if version is None else version
         if v <= 0:
             return None
+        mf = self._manifest_file(v)
+        hit = self._manifest_cache.get(v)
+        if hit is not None:
+            if self.fs.exists(mf):
+                return hit
+            self._manifest_cache.pop(v, None)  # expired under us
         try:
-            return json.loads(self.fs.read_text(self._manifest_file(v)))
+            m = json.loads(self.fs.read_text(mf))
         except FileNotFoundError:
             if version is None:
                 return None
             raise ValueError(
                 f"version {version} does not exist (expired or never committed)"
             )
+        self._manifest_cache[v] = m
+        while len(self._manifest_cache) > 4:  # refreshes touch 2-3
+            self._manifest_cache.pop(next(iter(self._manifest_cache)))
+        return m
 
     def _resolved_entry(self, entry: dict | None) -> dict | None:
         """One partition's stats entry with its file-level triple

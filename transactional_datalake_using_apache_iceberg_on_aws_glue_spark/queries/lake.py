@@ -127,7 +127,9 @@ def _ivm_rollup(spark: SparkSession, sf_dir: str):
         f"CREATE MATERIALIZED VIEW ivm.mv USING lake "
         f"LOCATION '{os.path.join(base, 'roll')}' "
         f"AS SELECT event, COUNT(*) AS n_rows, "
-        f"SUM(amount_cents) AS sum_amount_cents "
+        f"SUM(amount_cents) AS sum_amount_cents, "
+        f"MIN(amount_cents) AS min_amount_cents, "
+        f"MAX(amount_cents) AS max_amount_cents "
         f"FROM ivm.src GROUP BY event")
     src.merge(wave2)
     runner.sql("REFRESH MATERIALIZED VIEW ivm.mv")
@@ -186,15 +188,21 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS ({_CURRENT_STATE_ORACLE})
     SELECT 'cow' AS mode, event, COUNT(*) AS n_rows,
-           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
     FROM s GROUP BY event
     UNION ALL
     SELECT 'mor' AS mode, event, COUNT(*) AS n_rows,
-           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
     FROM s GROUP BY event
     UNION ALL
     SELECT 'ivm' AS mode, event, COUNT(*) AS n_rows,
-           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
     FROM s GROUP BY event
     """,
     doc="The lake table read through its CATALOG NAME: register_sql "
@@ -208,7 +216,11 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MaterializedRollup (lake/materialized.py) maintained "
         "INCREMENTALLY — one signed-delta fold per wave, never a "
         "recompute — so incremental view maintenance goes through the "
-        "value-hash gate too.",
+        "value-hash gate too. All three branches also carry "
+        "MIN/MAX (r9): the ivm branch's extrema ride the HYBRID "
+        "maintenance (delta candidates + group-targeted rescan on "
+        "extremum deletes — wave 2's deletes DO remove group minima, "
+        "so the rescan path is exercised under the hash gate).",
     tags=("cdc", "lake", "catalog", "ivm"),
 )
 def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,11 +229,16 @@ def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = _lake(spark, sf_dir, mode).register_sql(f"orders_cdc_{mode}")
         out.append(spark.sql(
             f"SELECT '{mode}' AS mode, event, COUNT(*) AS n_rows, "
-            f"SUM(amount_cents) AS total_cents FROM {name} GROUP BY event"
+            f"SUM(amount_cents) AS total_cents, "
+            f"MIN(amount_cents) AS min_cents, "
+            f"MAX(amount_cents) AS max_cents "
+            f"FROM {name} GROUP BY event"
         ))
     ivm = _ivm_rollup(spark, sf_dir).read().select(
         F.lit("ivm").alias("mode"), "event", "n_rows",
         F.col("sum_amount_cents").alias("total_cents"),
+        F.col("min_amount_cents").alias("min_cents"),
+        F.col("max_amount_cents").alias("max_cents"),
     )
     return out[0].unionByName(out[1]).unionByName(ivm)
 

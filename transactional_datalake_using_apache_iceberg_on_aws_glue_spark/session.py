@@ -57,7 +57,18 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     import the package. When the engine is used from a source checkout
     (sys.path manipulation, no pip install), workers can't — so zip the
     package once and addPyFile it. Idempotent per session.
+
+    The zip is CONTENT-ADDRESSED and written atomically (r9): the old
+    fixed ``/tmp/<pkg>.zip`` path was shared by every process on the
+    box, so two concurrent sessions (the cross-process soaks spawn
+    3-4) raced on the rewrite and an executor fetch could see a file
+    that "exists and does not match contents" — the real root of the
+    r8 'load-sensitive' soak flake. A hash-named immutable file makes
+    concurrent identical builders converge and concurrent different
+    builders (e.g. a source edit mid-run) never clash.
     """
+    import hashlib
+    import io
     import tempfile
     import zipfile
 
@@ -67,14 +78,28 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
+            _dirs.sort()  # deterministic walk -> deterministic digest
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+                    # pin the archive mtime so identical sources zip to
+                    # identical bytes regardless of checkout times
+                    info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+                    with open(full, "rb") as fh:
+                        zf.writestr(info, fh.read())
+    data = buf.getvalue()
+    digest = hashlib.sha256(data).hexdigest()[:16]
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"{pkg_name}-{digest}.zip")
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, zpath)  # atomic: readers see whole files only
     sc.addPyFile(zpath)
     setattr(sc, marker, True)
 

@@ -368,7 +368,8 @@ class _PartDiff(InputPartition):
     relabeling (module docstring, cross-partition key moves)."""
 
     def __init__(self, part, old_layers, new_layers, renames=(),
-                 fill_col=None, move_new=(), move_old=(), span=(0, 0)):
+                 fill_col=None, move_new=(), move_old=(), span=(0, 0),
+                 degraded=False):
         self.part = part
         self.old_layers = old_layers
         self.new_layers = new_layers
@@ -376,6 +377,12 @@ class _PartDiff(InputPartition):
         self.fill_col = fill_col
         self.move_new = list(move_new)
         self.move_old = list(move_old)
+        #: True when the planner relaxed move resolution for this
+        #: batch (cap tripped): empty move lists then mean "no global
+        #: view", NOT "no overlapping neighbors" — the task must still
+        #: surface its newly-won tombstones for never-lived keys (r9:
+        #: membership may not degrade, only labels/images may)
+        self.degraded = degraded
         #: the batch's (from_version, to_version) offsets — surfaced
         #: as ``_span_from``/``_span_to`` columns under ``emitSpan``
         #: (r9, the streaming-IVM handshake: diffs COALESCE commits,
@@ -423,6 +430,14 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         #: same batch (restart re-creates the reader; the sidecar event
         #: filename is range-keyed so the rewrite is idempotent)
         self._warned_ranges: set = set()
+        #: per-reader parsed-manifest memo {version: dict} — manifests
+        #: are immutable per version, and at a few thousand files the
+        #: JSON is multi-MB, re-parsed per batch for the SAME `lo`
+        #: offset otherwise (r9 scale probe). Instance-scoped on
+        #: purpose: a module-level memo would ride the by-value
+        #: cloudpickle into every query start. A hit re-stats the file
+        #: so an expired version still raises OffsetExpiredError.
+        self._mf_memo: dict = {}
 
     # -- offsets (driver-side) -------------------------------------------
 
@@ -543,12 +558,32 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     bounds[k] = [lo, hi]
         return bounds
 
+    def _offset_manifest(self, version: int) -> dict:
+        """Memoized ``_read_offset_manifest`` — a batch's `lo` is the
+        previous batch's `hi`, so each manifest would otherwise be
+        parsed twice (and re-planned batches more)."""
+        from pyarrow import fs as pafs
+
+        hit = self._mf_memo.get(version)
+        if hit is not None:
+            fs, root = _fs_and_root(self.path)
+            info = fs.get_file_info(posixpath.join(
+                root, "_versions", f"v{version:06d}.json"))
+            if info.type == pafs.FileType.File:
+                return hit
+            self._mf_memo.pop(version, None)  # expired under us
+        m = _read_offset_manifest(self.path, version)
+        self._mf_memo[version] = m
+        while len(self._mf_memo) > 4:
+            self._mf_memo.pop(next(iter(self._mf_memo)))
+        return m
+
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
         if hi <= lo:
             return [_PartDiff(_ALL, [], [], span=(lo, hi))]  # empty batch
-        new_m = _read_offset_manifest(self.path, hi)
-        old_m = None if lo == 0 else _read_offset_manifest(self.path, lo)
+        new_m = self._offset_manifest(hi)
+        old_m = None if lo == 0 else self._offset_manifest(lo)
         renames = new_m.get("renames", [])
         old_map = self._layered(old_m)
         new_map = self._layered(new_m)
@@ -582,9 +617,11 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         # can be a relabel candidate — skipping is exact, not a
         # relaxation, so it is not flagged
         run_moves = self.move_limit > 0 and bool(old_map)
+        degraded = False
         if run_moves and pair_budget > 200_000:
             # too many candidate pairs to even bounds-gate: the batch
             # degrades to labeled delete+insert pairs — LOUDLY
+            degraded = True
             self._flag_move_cap(lo, hi, "pair_budget",
                                 pair_budget=pair_budget,
                                 partitions_changed=len(changed))
@@ -632,6 +669,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 n_desc += len(moves_n.get(ns, ())) + len(moves_o.get(ns, ()))
             if n_desc > self.move_limit:
                 moves_n, moves_o = {}, {}
+                degraded = True
                 self._flag_move_cap(lo, hi, "move_limit", n_desc=n_desc,
                                     pair_budget=pair_budget,
                                     partitions_changed=len(changed))
@@ -639,7 +677,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             _PartDiff(ns[1], old_map.get(ns, []), new_map.get(ns, []),
                       renames, fill_col=ns[0],
                       move_new=moves_n.get(ns, ()),
-                      move_old=moves_o.get(ns, ()), span=(lo, hi))
+                      move_old=moves_o.get(ns, ()), span=(lo, hi),
+                      degraded=degraded)
             for ns in changed
         ]
 
@@ -736,6 +775,37 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                                       how="outer", suffixes=("_old", "_new"),
                                       indicator=True)
         data_cols = [c for c in self.columns if c not in self.keys]
+        # VECTORIZED unchanged-row prefilter (r9 — profiling the
+        # localized-churn drain showed ~80% of task time spent
+        # per-row-comparing rows that hadn't changed): a row whose RAW
+        # old/new images are equal is necessarily equal after
+        # coercion too (_coerce is a normalization — raw-equal inputs
+        # coerce identically), so it can be dropped at C speed before
+        # the per-row pipeline. Strictly CONSERVATIVE: any column the
+        # vectorized compare cannot prove equal (object columns
+        # holding arrays, exotic dtypes) keeps its rows, and the
+        # per-row pass re-checks survivors with the exact coerced
+        # comparison — raw-unequal-but-coerced-equal rows (e.g.
+        # pre-rename struct keys) still drop there, just later.
+        if len(merged):
+            both = (merged["_merge"] == "both").to_numpy()
+            if both.any():
+                keep = ~both  # one-sided rows always proceed
+                for c in data_cols:
+                    o, n = merged[f"{c}_old"], merged[f"{c}_new"]
+                    try:
+                        eq = o.eq(n) | (o.isna() & n.isna())
+                        if eq.dtype != bool:
+                            raise TypeError(str(eq.dtype))
+                        ne = (~eq).to_numpy()
+                    except (TypeError, ValueError):
+                        # un-vectorizable column: conservatively treat
+                        # every row as possibly changed on it
+                        keep = None
+                        break
+                    keep = keep | ne
+                if keep is not None:
+                    merged = merged[keep]
         records = merged.to_dict(orient="records")
 
         def ktup(d):
@@ -752,13 +822,18 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         # cross-partition move resolution (r6, module docstring):
         # a tombstone that newly WINS this namespace for a key that was
         # never live here (a delete routed to the key's new partition)
-        # is invisible to the live diff — surface those too
+        # is invisible to the live diff — surface those too. The own-
+        # winner dicts are also built in DEGRADED (capped) batches
+        # (r9): relaxation may degrade labels and images, never
+        # membership — a never-lived key's tombstone must still emit
+        # its delete, or keyed consumers diverge from the table
         moves_on = bool(partition.move_new or partition.move_old)
-        merged_keys = {ktup(d) for d in records} if moves_on else set()
+        track_tombs = moves_on or partition.degraded
+        merged_keys = {ktup(d) for d in records} if track_tombs else set()
         own_new = ({ktup(r): r for r in new_full.to_dict(orient="records")}
-                   if moves_on else {})
+                   if track_tombs else {})
         own_old = ({ktup(r): r for r in old_full.to_dict(orient="records")}
-                   if moves_on else {})
+                   if track_tombs else {})
         tombs = [
             (k, r) for k, r in own_new.items()
             if bool(_coerce(r.get("_deleted"), T.BooleanType()))
@@ -902,6 +977,23 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         # it HERE iff this stack's tombstone is the key's global new
         # winner (unique owner) and the key was globally live before
         for k, tomb in tombs:
+            if not moves_on:
+                # DEGRADED batch (cap tripped): no global view to
+                # verify ownership or prior liveness against. Emit the
+                # delete whenever OUR tombstone newly wins this
+                # namespace — the one suppression available locally is
+                # a tombstone that already won the OLD stack (the key
+                # was already dead here; re-emitting every carried
+                # tombstone forever would be noise, and a replayed
+                # compaction span must stay empty). Possible spurious
+                # deletes (key live or already dead elsewhere) are
+                # no-ops for the keyed consumers this mode documents;
+                # a MISSED delete (pre-r9) silently diverged them.
+                o = own_old.get(k)
+                if o is not None and not is_live(o):
+                    continue  # tombstone predates the span here
+                yield from_winner(k, tomb) + ("delete",)
+                continue
             g_new = best(tomb, nbr_new.get(k))
             if g_new is not tomb or is_live(g_new):
                 continue
