@@ -257,11 +257,17 @@ def test_streaming_maintainer_rides_dml_ddl_soak(spark, tmp_path):
     soak (test_dml_ddl_soak.py); at every model checkpoint both must
     equal the from-scratch GROUP BY — stream-maintained ≡
     batch-refreshed across column DDL (incl. widening the SUM column),
-    partition-field evolution, and branch/tag version gaps. The stream
+    partition-field evolution, and branch/tag version gaps. Both
+    rollups also carry MIN/MAX (r9): the hybrid extremum maintenance —
+    including its group-targeted rescans — rides the same churn,
+    through the streamed signed fold AND the polling delta. The stream
     batches themselves are span-exact across DDL (pinned by
     test_stream_ddl_soak.py), so every span should FOLD (O(batch)) —
     the polling fallback is for divergence, not DDL."""
     from test_dml_ddl_soak import _run_soak
+
+    aggs = dict(group_cols=["customer_id"], sum_cols=["amount"],
+                min_cols=["amount"], max_cols=["amount"])
 
     class _Rider:
         def __init__(self):
@@ -273,25 +279,28 @@ def test_streaming_maintainer_rides_dml_ddl_soak(spark, tmp_path):
             if self.m is None:
                 roll = MaterializedRollup(
                     table, str(tmp_path / "s_roll"),
-                    str(tmp_path / "s_ck"),
-                    group_cols=["customer_id"], sum_cols=["amount"])
+                    str(tmp_path / "s_ck"), **aggs)
                 self.m = StreamingRollupMaintainer(roll)
                 self.twin = MaterializedRollup(
                     table, str(tmp_path / "t_roll"),
-                    str(tmp_path / "t_ck"),
-                    group_cols=["customer_id"], sum_cols=["amount"])
+                    str(tmp_path / "t_ck"), **aggs)
             self.m.drain()
             self.twin.refresh()
             expect = {
-                r["customer_id"]: (r["n_rows"], r["s"])
+                r["customer_id"]: (r["n_rows"], r["s"], r["mn"], r["mx"])
                 for r in table.read_data().groupBy("customer_id").agg(
                     F.count("*").alias("n_rows"),
-                    F.sum("amount").cast("long").alias("s")).collect()
+                    F.sum("amount").cast("long").alias("s"),
+                    F.min("amount").cast("long").alias("mn"),
+                    F.max("amount").cast("long").alias("mx")).collect()
             }
-            streamed = {r["customer_id"]: (r["n_rows"], r["sum_amount"])
-                        for r in self.m.rollup.read().collect()}
-            polled = {r["customer_id"]: (r["n_rows"], r["sum_amount"])
-                      for r in self.twin.read().collect()}
+
+            def summary(roll):
+                return {r["customer_id"]: (r["n_rows"], r["sum_amount"],
+                                           r["min_amount"], r["max_amount"])
+                        for r in roll.read().collect()}
+
+            streamed, polled = summary(self.m.rollup), summary(self.twin)
             assert streamed == expect, (
                 f"stream-maintained diverged after statement {i}")
             assert polled == expect, (

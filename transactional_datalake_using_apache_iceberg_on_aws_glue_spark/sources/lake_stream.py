@@ -806,6 +806,25 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     keep = keep | ne
                 if keep is not None:
                     merged = merged[keep]
+        # VECTORIZED one-sided emission (r9 — the bootstrap batch is
+        # 100% right_only rows, and per-value _coerce on every emitted
+        # cell dominated the whole-table drain): without move
+        # resolution a left/right-only row's label is purely local
+        # (insert/delete, no preimage), so those rows bypass the
+        # per-row pipeline entirely and emit via per-COLUMN converters
+        # (struct/array columns keep the exact _coerce; scalar columns
+        # use a 3-branch normalize that matches _coerce's behavior for
+        # every value shape that can reach them — parquet scalars,
+        # numpy scalars, NaN/NaT floats, already-typed partition
+        # values). With move resolution on, one-sided rows need the
+        # global fold checks and stay on the per-row path.
+        moves_on = bool(partition.move_new or partition.move_old)
+        singles = None
+        if not moves_on and len(merged):
+            one_mask = (merged["_merge"] != "both").to_numpy()
+            if one_mask.any():
+                singles = merged[one_mask]
+                merged = merged[~one_mask]
         records = merged.to_dict(orient="records")
 
         def ktup(d):
@@ -827,9 +846,18 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         # (r9): relaxation may degrade labels and images, never
         # membership — a never-lived key's tombstone must still emit
         # its delete, or keyed consumers diverge from the table
-        moves_on = bool(partition.move_new or partition.move_old)
         track_tombs = moves_on or partition.degraded
         merged_keys = {ktup(d) for d in records} if track_tombs else set()
+        if track_tombs and singles is not None:
+            # the one-sided rows left the per-row pipeline but their
+            # keys are still part of the local diff — without them a
+            # carried tombstone for a just-removed key would double-
+            # emit through the degraded tombs loop
+            merged_keys |= {
+                tuple(_coerce(v, dtypes[k], partition.renames, k)
+                      for k, v in zip(self.keys, row))
+                for row in zip(*[singles[k].tolist() for k in self.keys])
+            }
         own_new = ({ktup(r): r for r in new_full.to_dict(orient="records")}
                    if track_tombs else {})
         own_old = ({ktup(r): r for r in old_full.to_dict(orient="records")}
@@ -1001,6 +1029,60 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             if not is_live(g_old):
                 continue  # was already dead (or never existed)
             yield from_winner(k, g_old) + ("delete",)
+
+        # vectorized one-sided rows (split off above): inserts from
+        # the new side, deletes from the old side
+        if singles is not None:
+            m_col = singles["_merge"].to_numpy()
+            ins = singles[m_col == "right_only"]
+            if len(ins):
+                yield from self._emit_one_sided(
+                    ins, "_new", "insert", dtypes, partition.renames)
+            dels = singles[m_col == "left_only"]
+            if len(dels):
+                yield from self._emit_one_sided(
+                    dels, "_old", "delete", dtypes, partition.renames)
+
+    def _emit_one_sided(self, frame, side: str, kind: str,
+                        dtypes: dict, renames):
+        """Column-at-a-time emission for rows needing no global
+        resolution. Scalar columns use a minimal normalize replicating
+        ``_coerce`` for the shapes that reach them (None/NaN/NaT ->
+        None, numpy scalar -> Python, merge-floated integral ->
+        int; partition values are already typed by ``_load_state``);
+        nested columns keep the full ``_coerce`` per value."""
+        import numpy as np
+        import pandas as pd
+
+        integral = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        cols = []
+        for c in self.columns:
+            series = frame[c] if c in self.keys else frame[f"{c}{side}"]
+            dt_ = dtypes[c]
+            lst = series.tolist()
+            if isinstance(dt_, (T.StructType, T.ArrayType, T.MapType)):
+                cols.append([_coerce(v, dt_, renames, c) for v in lst])
+                continue
+            is_int = isinstance(dt_, integral)
+            out = []
+            ap = out.append
+            for v in lst:
+                if v is None or v is pd.NaT:
+                    ap(None)
+                    continue
+                if isinstance(v, np.generic):
+                    v = v.item()
+                if isinstance(v, float):
+                    if v != v:  # NaN (merge-floated null)
+                        ap(None)
+                        continue
+                    if is_int:
+                        ap(int(v))
+                        continue
+                ap(v)
+            cols.append(out)
+        n = len(frame)
+        return zip(*cols, [kind] * n)
 
     def _neighbor_winners(self, descs, renames, keys_only,
                           key_filter=None):
