@@ -416,7 +416,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             self.change_schema = T.StructType(
                 self.change_schema.fields
                 + [T.StructField("_span_from", T.LongType()),
-                   T.StructField("_span_to", T.LongType())])
+                   T.StructField("_span_to", T.LongType()),
+                   T.StructField("_span_degraded", T.BooleanType())])
         #: committed delta dirs are immutable — one listing per dir
         #: ever, only for manifests predating the delta_files entry
         self._delta_cache: dict[str, dict] = {}
@@ -742,8 +743,21 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         """Emit the partition task's change rows, plus the optional
         ``emitSpan`` offset columns. Row shape must match
         ``change_schema`` field order: data columns, ``_change_type``,
-        then (when enabled) ``_span_from``/``_span_to``."""
-        tail = tuple(int(v) for v in partition.span) if self.emit_span \
+        then (when enabled) ``_span_from``/``_span_to``/
+        ``_span_degraded``.
+
+        ``_span_degraded`` (r10, advisor finding): True when the
+        planner relaxed move resolution for this batch (cap tripped).
+        A degraded batch may carry spurious or relabeled rows that
+        are no-ops only for KEYED consumers — a signed-delta consumer
+        (StreamingRollupMaintainer) is not keyed and must route such
+        spans to its exact polling fallback. The flag rides every row
+        of the batch (span-granular, like the offsets) because the
+        sidecar events under ``_stream_metrics/`` are best-effort —
+        a read-only filesystem downgrades them to log-only, which is
+        not an acceptable delivery channel for a correctness signal."""
+        tail = (tuple(int(v) for v in partition.span)
+                + (bool(partition.degraded),)) if self.emit_span \
             else ()
         for row in self._diff_rows(partition):
             yield row + tail
@@ -1484,7 +1498,9 @@ class LakeChangeDataSource(DataSource):
         if _opt_bool(self.options, "emitspan", "emitSpan"):
             s = T.StructType(s.fields
                              + [T.StructField("_span_from", T.LongType()),
-                                T.StructField("_span_to", T.LongType())])
+                                T.StructField("_span_to", T.LongType()),
+                                T.StructField("_span_degraded",
+                                              T.BooleanType())])
         return s
 
     def streamReader(self, schema) -> LakeChangeStreamReader:
