@@ -270,8 +270,11 @@ def test_streaming_maintainer_rides_dml_ddl_soak(spark, tmp_path):
     the polling fallback is for divergence, not DDL."""
     from test_dml_ddl_soak import _run_soak
 
-    aggs = dict(group_cols=["customer_id"], sum_cols=["amount"],
-                min_cols=["amount"], max_cols=["amount"])
+    # r10: an EXPRESSION aggregate rides the soak too — folded into
+    # the delta projection on both the streamed and the polled path
+    aggs = dict(group_cols=["customer_id"], sum_cols=["amount", "wamt"],
+                min_cols=["amount"], max_cols=["amount"],
+                agg_exprs={"wamt": "amount * 2 + 1"})
 
     class _Rider:
         def __init__(self):
@@ -291,17 +294,21 @@ def test_streaming_maintainer_rides_dml_ddl_soak(spark, tmp_path):
             self.m.drain()
             self.twin.refresh()
             expect = {
-                r["customer_id"]: (r["n_rows"], r["s"], r["mn"], r["mx"])
+                r["customer_id"]: (r["n_rows"], r["s"], r["mn"],
+                                   r["mx"], r["w"])
                 for r in table.read_data().groupBy("customer_id").agg(
                     F.count("*").alias("n_rows"),
                     F.sum("amount").cast("long").alias("s"),
                     F.min("amount").cast("long").alias("mn"),
-                    F.max("amount").cast("long").alias("mx")).collect()
+                    F.max("amount").cast("long").alias("mx"),
+                    F.sum(F.expr("amount * 2 + 1")).cast("long")
+                    .alias("w")).collect()
             }
 
             def summary(roll):
                 return {r["customer_id"]: (r["n_rows"], r["sum_amount"],
-                                           r["min_amount"], r["max_amount"])
+                                           r["min_amount"], r["max_amount"],
+                                           r["sum_wamt"])
                         for r in roll.read().collect()}
 
             streamed, polled = summary(self.m.rollup), summary(self.twin)

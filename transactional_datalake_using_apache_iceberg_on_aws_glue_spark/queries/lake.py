@@ -129,7 +129,12 @@ def _ivm_rollup(spark: SparkSession, sf_dir: str):
         f"AS SELECT event, COUNT(*) AS n_rows, "
         f"SUM(amount_cents) AS sum_amount_cents, "
         f"MIN(amount_cents) AS min_amount_cents, "
-        f"MAX(amount_cents) AS max_amount_cents "
+        f"MAX(amount_cents) AS max_amount_cents, "
+        # expression aggregate (r10): integer-exact, references TWO
+        # source columns — maintained by folding the expression into
+        # the delta projection, hash-gated against the same SUM in
+        # DuckDB below
+        f"SUM(amount_cents * (trans_id % 3)) AS weighted_cents "
         f"FROM ivm.src GROUP BY event")
     src.merge(wave2)
     runner.sql("REFRESH MATERIALIZED VIEW ivm.mv")
@@ -190,19 +195,25 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cow' AS mode, event, COUNT(*) AS n_rows,
            CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
            CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
-           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents,
+           CAST(SUM(amount_cents * (trans_id % 3)) AS BIGINT)
+             AS weighted_cents
     FROM s GROUP BY event
     UNION ALL
     SELECT 'mor' AS mode, event, COUNT(*) AS n_rows,
            CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
            CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
-           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents,
+           CAST(SUM(amount_cents * (trans_id % 3)) AS BIGINT)
+             AS weighted_cents
     FROM s GROUP BY event
     UNION ALL
     SELECT 'ivm' AS mode, event, COUNT(*) AS n_rows,
            CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
            CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
-           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents,
+           CAST(SUM(amount_cents * (trans_id % 3)) AS BIGINT)
+             AS weighted_cents
     FROM s GROUP BY event
     """,
     doc="The lake table read through its CATALOG NAME: register_sql "
@@ -220,7 +231,14 @@ def lake_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MIN/MAX (r9): the ivm branch's extrema ride the HYBRID "
         "maintenance (delta candidates + group-targeted rescan on "
         "extremum deletes — wave 2's deletes DO remove group minima, "
-        "so the rescan path is exercised under the hash gate).",
+        "so the rescan path is exercised under the hash gate). r10 "
+        "adds an EXPRESSION aggregate (SUM(amount_cents * (trans_id "
+        "% 3)) — two source columns, integer-exact): the ivm branch's "
+        "value is maintained by folding the expression into the "
+        "delta projection (materialized.py agg_exprs, the CREATE "
+        "MATERIALIZED VIEW front-end's 'AS weighted_cents' path), "
+        "hash-matched against DuckDB computing the same SUM from "
+        "scratch.",
     tags=("cdc", "lake", "catalog", "ivm"),
 )
 def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +249,8 @@ def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT '{mode}' AS mode, event, COUNT(*) AS n_rows, "
             f"SUM(amount_cents) AS total_cents, "
             f"MIN(amount_cents) AS min_cents, "
-            f"MAX(amount_cents) AS max_cents "
+            f"MAX(amount_cents) AS max_cents, "
+            f"SUM(amount_cents * (trans_id % 3)) AS weighted_cents "
             f"FROM {name} GROUP BY event"
         ))
     ivm = _ivm_rollup(spark, sf_dir).read().select(
@@ -239,6 +258,7 @@ def lake_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_amount_cents").alias("total_cents"),
         F.col("min_amount_cents").alias("min_cents"),
         F.col("max_amount_cents").alias("max_cents"),
+        F.col("sum_weighted_cents").alias("weighted_cents"),
     )
     return out[0].unionByName(out[1]).unionByName(ivm)
 
