@@ -784,3 +784,59 @@ def test_stream_move_cap_degraded_still_emits_cross_partition_delete(
                 folded[k] = True
     live = {r["trans_id"] for r in table.read_data().collect()}
     assert set(folded) == live, (sorted(folded), sorted(live))
+
+
+def test_stream_arrow_emission_equals_row_emission(spark, tmp_path):
+    """r10 (Arrow-native emission): with ``arrowEmit=false`` the
+    reader takes the per-row path; the default takes the RecordBatch
+    path. Both must produce IDENTICAL multisets of change rows —
+    across a bootstrap (pure one-sided frames), an update wave
+    (per-row resolved tuples), nulls, and a non-string partition
+    value derived from the directory token. The comparison is a
+    MULTISET (r9 lesson: dict-keyed comparisons hid duplicate
+    emission for three rounds)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    table = ParquetLakeTable(spark, str(tmp_path / "ar"),
+                             key_cols=["trans_id"], partition_col="event")
+    R = "trans_id long, event string, amount int, note string, _op string"
+
+    def wave(rows):
+        df = (spark.createDataFrame(rows, R)
+              .withColumn("_op_timestamp",
+                          F.lit("2026-01-01 00:00:00").cast("timestamp"))
+              .withColumn("_txn_id", F.col("trans_id")))
+        table.merge(df)
+
+    wave([(1, "a", 10, "x", "insert"), (2, "a", None, None, "insert"),
+          (3, "b", 30, "y", "insert")])
+    wave([(1, "a", 11, "x2", "update"), (3, "b", 30, "y", "delete"),
+          (4, "c", 40, None, "insert")])
+
+    def drain(arrow: bool):
+        register_lake_stream(spark)
+        got: list = []
+        q = (spark.readStream.format("lake-changes")
+             .option("path", table.path).option("keys", "trans_id")
+             .option("partitionCol", "event")
+             .option("includePreimages", "true")
+             .option("emitSpan", "true")
+             .option("arrowEmit", "true" if arrow else "false")
+             .load()
+             .writeStream.foreachBatch(
+                 lambda df, b: got.extend(
+                     tuple(r) for r in df.collect()))
+             .option("checkpointLocation",
+                     str(tmp_path / f"ck_{arrow}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return Counter(got)
+
+    arrow, row = drain(True), drain(False)
+    assert arrow == row and sum(arrow.values()) > 0, (arrow, row)

@@ -439,6 +439,18 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         #: cloudpickle into every query start. A hit re-stats the file
         #: so an expired version still raises OffsetExpiredError.
         self._mf_memo: dict = {}
+        #: Arrow-native emission (r10, the r9 verdict's one measured
+        #: scale ceiling): tasks yield ``pyarrow.RecordBatch`` instead
+        #: of per-row tuples — the PySpark 4 Python Data Source
+        #: contract accepts either, and the batch path skips BOTH the
+        #: per-value Python emission loop here AND the worker's
+        #: per-value LocalDataToArrowConversion. ``arrowEmit=false``
+        #: opts back into row emission; any conversion surprise falls
+        #: back to the exact row path for the whole partition (loudly,
+        #: via a driver-visible warning).
+        self.arrow_emit = str(options.get(
+            "arrowemit", options.get("arrowEmit", "true"))
+        ).lower() != "false"
 
     # -- offsets (driver-side) -------------------------------------------
 
@@ -755,14 +767,257 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         of the batch (span-granular, like the offsets) because the
         sidecar events under ``_stream_metrics/`` are best-effort —
         a read-only filesystem downgrades them to log-only, which is
-        not an acceptable delivery channel for a correctness signal."""
+        not an acceptable delivery channel for a correctness signal.
+
+        Emission is Arrow-native by default (r10): the one-sided
+        pandas frames become RecordBatches via per-COLUMN conversion
+        (C speed; the r9 bootstrap ceiling was the per-value Python
+        loop), and the resolved per-row tuples batch through the same
+        typed arrays. The row path remains as the opt-out
+        (``arrowEmit=false``) and the automatic whole-partition
+        fallback when a column defies vectorized conversion."""
         tail = (tuple(int(v) for v in partition.span)
                 + (bool(partition.degraded),)) if self.emit_span \
             else ()
-        for row in self._diff_rows(partition):
+        if not self.arrow_emit:
+            for row in self._diff_rows(partition):
+                yield row + tail
+            return
+        if (not any(fl for _s, fl in partition.old_layers)
+                and not partition.move_new and not partition.move_old
+                and not partition.degraded):
+            # pure-insert task (bootstrap, or a brand-new partition
+            # with move resolution off): no diff exists to compute —
+            # the change rows ARE the live rows of the new stack. A
+            # single-layer (COW) stack streams parquet -> arrow ->
+            # Spark with no pandas and no per-row Python at all; a
+            # layered (MOR) stack or any conversion surprise returns
+            # None and takes the general path below.
+            boot = self._arrow_bootstrap(partition, tail)
+            if boot is not None:
+                yield from boot
+                return
+        frames: list = []
+        rows = list(self._diff_rows(partition, frames_out=frames))
+        if not rows and not frames:
+            return
+        batches = self._arrow_batches(rows, frames, partition, tail)
+        if batches is not None:
+            yield from batches
+            return
+        # fallback: the exact row path (built fully BEFORE any yield,
+        # so a failed conversion can never half-emit a partition)
+        dtypes = {f.name: f.dataType for f in self.change_schema.fields}
+        for row in rows:
             yield row + tail
+        for fr, side, kind in frames:
+            for row in self._emit_one_sided(fr, side, kind, dtypes,
+                                            partition.renames):
+                yield row + tail
 
-    def _diff_rows(self, partition: _PartDiff):
+    # -- Arrow-native emission (r10) --------------------------------------
+
+    def _arrow_batches(self, rows, frames, partition, tail):
+        """All of one task's output as ``pyarrow.RecordBatch`` list —
+        or None when any column defies conversion (the caller then
+        re-emits through the exact row path; building the full list
+        first makes the fallback safe). Schema comes from the same
+        ``to_arrow_schema`` the Spark worker's row path uses, so the
+        arrow types match what row emission would have produced."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        try:
+            self._proc_tz_utc = getattr(self, "_proc_tz_utc", None)
+            if self._proc_tz_utc is None:
+                self._proc_tz_utc = _process_tz_is_utc()
+            pa_schema = to_arrow_schema(self.change_schema)
+            out = []
+            chunk = 65536  # bound per-IPC-message memory
+            for i in range(0, len(rows), chunk):
+                out.append(self._rows_batch(rows[i:i + chunk],
+                                            pa_schema, tail,
+                                            partition.renames))
+            for fr, side, kind in frames:
+                for i in range(0, len(fr), chunk):
+                    out.append(self._frame_batch(
+                        fr.iloc[i:i + chunk], side, kind, pa_schema,
+                        tail, partition.renames))
+            return out
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+                TypeError, ValueError, AssertionError) as exc:
+            _log.warning(
+                "lake-changes: arrow emission failed for partition %r "
+                "(%s); falling back to row emission for this task",
+                partition.part, exc)
+            return None
+
+    def _arrow_bootstrap(self, partition, tail):
+        """RecordBatches for a pure-insert task over a SINGLE-layer
+        stack (the COW bootstrap — the r9 verdict's one measured
+        scale ceiling): each parquet file goes pyarrow -> filter
+        tombstones -> select/rename/cast to the stream schema ->
+        RecordBatch, entirely columnar. No pandas frame, no keyed
+        merge, no per-row emission — the task's cost is the parquet
+        decode plus O(columns) metadata work. Returns None whenever
+        the exact semantics need the general path: a layered MOR
+        stack (keyed fold), a rename that reaches inside a nested
+        type (per-value ``_coerce``), or any cast surprise."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        layers = [(s, fl) for s, fl in partition.new_layers if fl]
+        if len(layers) != 1:
+            return None  # MOR stack: latest-per-key fold required
+        try:
+            self._proc_tz_utc = getattr(self, "_proc_tz_utc", None)
+            if self._proc_tz_utc is None:
+                self._proc_tz_utc = _process_tz_is_utc()
+            pa_schema = to_arrow_schema(self.change_schema)
+            dtypes = {f.name: f.dataType
+                      for f in self.change_schema.fields}
+            fill_col = (partition.fill_col
+                        if partition.fill_col is not None
+                        else self.partition_col)
+            fs, _root = _fs_and_root(self.path)
+            out = []
+            for f in layers[0][1]:
+                t = pq.read_table(f, filesystem=fs)
+                if "_deleted" in t.column_names:
+                    dead = pc.fill_null(
+                        pc.cast(t.column("_deleted"), pa.bool_()), False)
+                    t = t.filter(pc.invert(dead))
+                n = len(t)
+                if n == 0:
+                    continue
+                arrays = []
+                for i, c in enumerate(self.columns):
+                    field = pa_schema.field(i)
+                    st = dtypes[c]
+                    if c == fill_col and partition.part != _ALL:
+                        # hive layout strips the partition column;
+                        # re-derive the typed constant from the token
+                        raw = _decode_token(partition.part)
+                        val = (None if raw is None
+                               else _coerce(raw, st))
+                        arrays.append(pa.array([val] * n,
+                                               type=field.type))
+                        continue
+                    name = _resolve_renamed(c, set(t.column_names),
+                                            partition.renames)
+                    if name is None:
+                        # column younger than this file: nulls
+                        arrays.append(pa.nulls(n, type=field.type))
+                        continue
+                    if (partition.renames
+                            and isinstance(st, (T.StructType,
+                                                T.ArrayType, T.MapType))):
+                        return None  # nested renames: _coerce path
+                    if (_has_timestamp(st)
+                            and not self._proc_tz_utc):
+                        return None  # non-UTC worker: per-value conv
+                    col = t.column(name).combine_chunks()
+                    if col.type != field.type:
+                        col = col.cast(field.type)  # safe cast
+                    arrays.append(col)
+                nd = len(self.columns)
+                arrays.append(pa.array(["insert"] * n,
+                                       type=pa_schema.field(nd).type))
+                for j, tv in enumerate(tail):
+                    arrays.append(pa.array(
+                        [tv] * n, type=pa_schema.field(nd + 1 + j).type))
+                tbl = pa.Table.from_arrays(arrays, schema=pa_schema)
+                out.extend(tbl.to_batches(max_chunksize=65536))
+            return out
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError, TypeError, ValueError,
+                KeyError, AssertionError, OSError) as exc:
+            _log.warning(
+                "lake-changes: columnar bootstrap failed for "
+                "partition %r (%s); taking the general path",
+                partition.part, exc)
+            return None
+
+    def _pa_array(self, vals, field, spark_t):
+        """Typed arrow array from plain-Python values. Timestamp-
+        bearing types run the SAME per-value converter the worker's
+        row path applies (naive datetimes are local time there,
+        ``astimezone(utc)``) so arrow emission cannot shift timestamp
+        semantics."""
+        import pyarrow as pa
+
+        if _has_timestamp(spark_t):
+            from pyspark.sql.conversion import LocalDataToArrowConversion
+
+            conv = LocalDataToArrowConversion._create_converter(spark_t)
+            vals = [conv(v) for v in vals]
+        return pa.array(vals, type=field.type, from_pandas=True)
+
+    def _rows_batch(self, rows, pa_schema, tail, renames):
+        """RecordBatch from resolved per-row tuples (data columns +
+        ``_change_type``; values already _coerce'd plain Python)."""
+        import pyarrow as pa
+
+        n, nd = len(rows), len(self.columns)
+        arrays = []
+        for i, field in enumerate(pa_schema):
+            if i <= nd:  # data columns, then _change_type at nd
+                arrays.append(self._pa_array(
+                    [r[i] for r in rows], field,
+                    self.change_schema[i].dataType))
+            else:
+                arrays.append(pa.array([tail[i - nd - 1]] * n,
+                                       type=field.type))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    def _frame_batch(self, frame, side, kind, pa_schema, tail, renames):
+        """RecordBatch from a one-sided pandas frame — per-COLUMN
+        conversion: scalar columns go pandas -> arrow at C speed with
+        a SAFE cast to the declared type (the cast raises on anything
+        lossy, routing the task to the row fallback); nested and
+        timestamp columns keep the exact per-value ``_coerce``
+        semantics."""
+        import pyarrow as pa
+
+        n = len(frame)
+        dtypes = {f.name: f.dataType for f in self.change_schema.fields}
+        arrays = []
+        for i, c in enumerate(self.columns):
+            field = pa_schema.field(i)
+            st = dtypes[c]
+            series = frame[c] if c in self.keys else frame[f"{c}{side}"]
+            nested = isinstance(
+                st, (T.StructType, T.ArrayType, T.MapType))
+            ts_vector_ok = (isinstance(st, T.TimestampType)
+                            and self._proc_tz_utc
+                            and str(series.dtype).startswith("datetime64"))
+            if (nested or _has_timestamp(st)) and not ts_vector_ok:
+                vals = [_coerce(v, st, renames, c)
+                        for v in series.tolist()]
+                arrays.append(self._pa_array(vals, field, st))
+            else:
+                # pure vector path — for timestamps only when the
+                # process tz is UTC, where naive means the same
+                # instant to the cast and the per-value converter
+                arr = pa.Array.from_pandas(series)
+                if arr.type != field.type:
+                    arr = arr.cast(field.type)  # safe: raises on loss
+                arrays.append(arr)
+        nd = len(self.columns)
+        arrays.append(pa.array([kind] * n, type=pa_schema.field(nd).type))
+        for j, tv in enumerate(tail):
+            arrays.append(pa.array([tv] * n,
+                                   type=pa_schema.field(nd + 1 + j).type))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+
+    def _diff_rows(self, partition: _PartDiff, frames_out: list | None = None):
+        """Per-row change tuples for one partition task. With
+        ``frames_out`` given, the vectorized one-sided frames are
+        APPENDED to it as ``(frame, side, kind)`` instead of being
+        flattened to rows — the Arrow emission path packs them
+        column-at-a-time."""
         import pandas as pd
 
         fill_col = (partition.fill_col if partition.fill_col is not None
@@ -1049,13 +1304,21 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         if singles is not None:
             m_col = singles["_merge"].to_numpy()
             ins = singles[m_col == "right_only"]
-            if len(ins):
-                yield from self._emit_one_sided(
-                    ins, "_new", "insert", dtypes, partition.renames)
             dels = singles[m_col == "left_only"]
-            if len(dels):
-                yield from self._emit_one_sided(
-                    dels, "_old", "delete", dtypes, partition.renames)
+            if frames_out is not None:
+                # arrow path: hand the frames over whole for
+                # column-at-a-time packing
+                if len(ins):
+                    frames_out.append((ins, "_new", "insert"))
+                if len(dels):
+                    frames_out.append((dels, "_old", "delete"))
+            else:
+                if len(ins):
+                    yield from self._emit_one_sided(
+                        ins, "_new", "insert", dtypes, partition.renames)
+                if len(dels):
+                    yield from self._emit_one_sided(
+                        dels, "_old", "delete", dtypes, partition.renames)
 
     def _emit_one_sided(self, frame, side: str, kind: str,
                         dtypes: dict, renames):
@@ -1218,6 +1481,41 @@ def _bounds_overlap(a: dict | None, b: dict | None) -> bool:
         except TypeError:  # cross-type encodings: treat as unknown
             continue
     return True
+
+
+def _process_tz_is_utc() -> bool:
+    """Is this worker process's local timezone plain UTC (both
+    winter and summer)? Then a NAIVE datetime means the same instant
+    to the worker's per-value converter (``astimezone(utc)`` on a
+    naive value reads it as LOCAL time) and to an arrow naive->UTC
+    cast (reads it as UTC wall time) — so timestamp columns can stay
+    on the vectorized path with exact semantics. Non-UTC workers pay
+    the per-value converter instead; correctness over speed."""
+    import datetime as dt
+
+    zero = dt.timedelta(0)
+    try:
+        return (dt.datetime(2026, 1, 15).astimezone().utcoffset() == zero
+                and dt.datetime(2026, 7, 15).astimezone().utcoffset()
+                == zero)
+    except (OSError, OverflowError, ValueError):
+        return False
+
+
+def _has_timestamp(dt) -> bool:
+    """Does this Spark type contain a (tz-aware) TimestampType
+    anywhere? Those values must run the worker's own converter
+    (naive local -> UTC) before arrow packing — plain ``pa.array``
+    would read naive datetimes as UTC wall time instead."""
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_timestamp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_timestamp(dt.keyType) or _has_timestamp(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_timestamp(f.dataType) for f in dt.fields)
+    return False
 
 
 def _eq(a, b):
