@@ -840,3 +840,70 @@ def test_stream_arrow_emission_equals_row_emission(spark, tmp_path):
 
     arrow, row = drain(True), drain(False)
     assert arrow == row and sum(arrow.values()) > 0, (arrow, row)
+
+
+def test_stream_arrow_emission_nested_types(spark, tmp_path):
+    """Arrow emission over NESTED columns (struct + array): those take
+    the per-value ``_coerce`` branch of the batch packer — pin that
+    the packed batches equal the row path's output exactly, across
+    bootstrap inserts, an update that rewrites the nested values, a
+    null struct, and a delete. Guards the fallback boundary too: if
+    the nested conversion ever regresses, the task must fall back to
+    rows and STILL produce this exact multiset."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.sources.lake_stream import (
+        register_lake_stream,
+    )
+
+    table = ParquetLakeTable(spark, str(tmp_path / "nested"),
+                             key_cols=["trans_id"], partition_col=None)
+    R = ("trans_id long, props struct<city:string,score:long>, "
+         "tags array<long>, _op string")
+
+    def wave(rows):
+        table.merge(
+            spark.createDataFrame(rows, R)
+            .withColumn("_op_timestamp",
+                        F.lit("2026-01-01 00:00:00").cast("timestamp"))
+            .withColumn("_txn_id", F.col("trans_id")))
+
+    def drain(arrow: bool):
+        register_lake_stream(spark)
+        got: list = []
+
+        def keyfy(r):
+            p = r["props"]
+            return (r["trans_id"], r["_change_type"],
+                    None if p is None else (p["city"], p["score"]),
+                    None if r["tags"] is None else tuple(r["tags"]))
+
+        q = (spark.readStream.format("lake-changes")
+             .option("path", table.path).option("keys", "trans_id")
+             .option("includePreimages", "true")
+             .option("arrowEmit", "true" if arrow else "false")
+             .load()
+             .writeStream.foreachBatch(
+                 lambda df, b: got.extend(keyfy(r) for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / f"nck_{arrow}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return Counter(got)
+
+    wave([(1, ("ber", 7), [1, 2], "insert"),
+          (2, None, None, "insert"),
+          (3, ("nyc", 9), [], "insert")])
+    boot_a, boot_r = drain(True), drain(False)
+    assert boot_a == boot_r and sum(boot_a.values()) == 3, (boot_a, boot_r)
+    assert (1, "insert", ("ber", 7), (1, 2)) in boot_a
+    assert (2, "insert", None, None) in boot_a
+
+    wave([(1, ("ber", 8), [3], "update"),
+          (3, ("nyc", 9), [], "delete")])
+    inc_a, inc_r = drain(True), drain(False)
+    assert inc_a == inc_r, (inc_a, inc_r)
+    assert (1, "update_postimage", ("ber", 8), (3,)) in inc_a
+    assert (1, "update_preimage", ("ber", 7), (1, 2)) in inc_a
+    assert (3, "delete", ("nyc", 9), ()) in inc_a
