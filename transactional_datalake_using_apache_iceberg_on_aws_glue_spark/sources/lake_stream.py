@@ -844,8 +844,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                         fr.iloc[i:i + chunk], side, kind, pa_schema,
                         tail, partition.renames))
             return out
-        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
-                TypeError, ValueError, AssertionError) as exc:
+        except (pa.ArrowException, TypeError, ValueError,
+                AssertionError) as exc:
             _log.warning(
                 "lake-changes: arrow emission failed for partition %r "
                 "(%s); falling back to row emission for this task",
@@ -931,9 +931,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 tbl = pa.Table.from_arrays(arrays, schema=pa_schema)
                 out.extend(tbl.to_batches(max_chunksize=65536))
             return out
-        except (pa.ArrowInvalid, pa.ArrowTypeError,
-                pa.ArrowNotImplementedError, TypeError, ValueError,
-                KeyError, AssertionError, OSError) as exc:
+        except (pa.ArrowException, TypeError, ValueError, KeyError,
+                AssertionError, OSError) as exc:
             _log.warning(
                 "lake-changes: columnar bootstrap failed for "
                 "partition %r (%s); taking the general path",
