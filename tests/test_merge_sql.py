@@ -1103,3 +1103,71 @@ def test_create_mv_expression_aggregates(spark, tmp_path):
     with pytest.raises(MergeSqlError, match="different definition"):
         r2.sql(stmt.format(ine="IF NOT EXISTS ").replace(
             "amount * (100 - trans_id)", "amount * 3"))
+
+
+def test_create_mv_expression_validation_rejects_before_state(
+        spark, tmp_path):
+    """r10 self-review closures: malformed, nested-aggregate,
+    nondeterministic, and alias-colliding expression aggregates must
+    reject at CREATE time as MergeSqlError with NOTHING stranded — the
+    greedy arg capture previously smuggled `SUM(a) + SUM(b) AS x`
+    through (as arg `a) + SUM(b`) and failed inside the initial fold
+    AFTER MVSPEC.json was written, leaving a corpse that blocked
+    re-CREATE."""
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    r = MergeSqlRunner(spark)
+    r.register("db.t", t)
+    loc = tmp_path / "mvv"
+
+    def create(select):
+        return r.sql(f"CREATE MATERIALIZED VIEW db.mvv USING lake "
+                     f"LOCATION '{loc}' AS SELECT customer_id, "
+                     f"COUNT(*) AS n_rows, {select} "
+                     f"FROM db.t GROUP BY customer_id")
+
+    with pytest.raises(MergeSqlError, match="single parenthesized"):
+        create("SUM(amount) + SUM(trans_id) AS x")
+    with pytest.raises(MergeSqlError, match="nested aggregate"):
+        create("SUM(MIN(amount)) AS m")
+    with pytest.raises(MergeSqlError, match="nondeterministic"):
+        create("SUM(amount * rand()) AS r")
+    with pytest.raises(MergeSqlError, match="invalid MV aggregate"):
+        create("SUM(no_such_col * 2) AS ghost")
+    with pytest.raises(MergeSqlError, match="duplicate column"):
+        create("SUM(amount), SUM(trans_id * 2) AS sum_amount")
+
+    # nothing stranded: the same location accepts a VALID definition
+    roll = create("SUM(amount * 2) AS dbl")
+    got = {x["customer_id"]: x["dbl"]
+           for x in spark.sql("SELECT * FROM lakehouse.mvv").collect()}
+    assert got == {"a": 20, "b": 40}
+    assert roll.read().count() == 2
+
+
+def test_mv_expression_survives_reattach_after_rename(spark, tmp_path):
+    """r10 self-review (the round's own rename-transparency contract
+    applied to expression refs): a rollup instance created AFTER the
+    source renamed an expression-referenced column — an IF NOT EXISTS
+    re-attach, a maintainer restart — must still fold. Pre-fix,
+    _expr_refs intersected tokens with the POST-rename schema, missed
+    the reference, and the fold died UNRESOLVED_COLUMN."""
+    t = _table(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    r = MergeSqlRunner(spark)
+    r.register("db.t", t)
+    stmt = (f"CREATE MATERIALIZED VIEW {{ine}}db.mvr USING lake "
+            f"LOCATION '{tmp_path / 'mvr'}' AS SELECT customer_id, "
+            "COUNT(*) AS n_rows, SUM(amount * 3) AS tripled "
+            "FROM db.t GROUP BY customer_id")
+    r.sql(stmt.format(ine=""))
+
+    t.rename_column("amount", "price")
+    r.sql("INSERT INTO db.t VALUES (3, 'a', 5)")
+
+    # a FRESH runner (new process) re-attaches and must still refresh
+    r2 = MergeSqlRunner(spark)
+    r2.register("db.t", t)
+    r2.sql(stmt.format(ine="IF NOT EXISTS "))
+    r2.sql("REFRESH MATERIALIZED VIEW db.mvr")
+    got = {x["customer_id"]: (x["n_rows"], x["tripled"])
+           for x in spark.sql("SELECT * FROM lakehouse.mvr").collect()}
+    assert got == {"a": (2, 45), "b": (1, 60)}

@@ -460,3 +460,27 @@ def test_streaming_maintainer_degraded_batch_routes_to_fallback(
     assert m.stats["fallback"] >= 1, m.stats  # degraded span rerouted
     assert _got(roll) == _expected_groups(src) == {
         "a": (1, 51), "b": (1, 20), "c": (3, 131)}
+
+
+def test_streaming_maintainer_options_cannot_disable_preimages(
+        spark, tmp_path):
+    """r10 self-review: stream_options are applied BEFORE the
+    non-negotiable reader options, so a caller cannot (accidentally)
+    disable includePreimages/emitSpan — pre-fix,
+    stream_options={'includePreimages': 'false'} won the option race
+    and every update folded as a bare +1 insert, silently inflating
+    n_rows and sums."""
+    src = _mk_table(spark, tmp_path)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    m = StreamingRollupMaintainer(
+        roll, stream_options={"includePreimages": "false",
+                              "emitSpan": "false"})
+    _merge(spark, src, [[1, "a", 10, "insert", "2026-01-01 00:00:00", 1],
+                        [2, "a", 20, "insert", "2026-01-01 00:00:00", 2]])
+    m.drain()
+    _merge(spark, src, [[1, "a", 15, "update", "2026-01-01 00:01:00", 3]])
+    m.drain()
+    assert _got(roll) == _expected_groups(src) == {"a": (2, 35)}
+    assert m.stats["folded"] >= 2 and m.stats["fallback"] == 0, m.stats

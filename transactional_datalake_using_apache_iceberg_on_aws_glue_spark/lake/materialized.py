@@ -136,6 +136,8 @@ class MaterializedRollup:
         #: definite source-column references inside agg_exprs — pinned
         #: lazily against the first visible source schema
         self._expr_refs_cache: set | None = None
+        #: nondeterministic-expression guard ran (once per instance)
+        self._exprs_validated = False
         self.source = source
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
@@ -315,13 +317,19 @@ class MaterializedRollup:
 
     def _expr_refs(self) -> set:
         """Definite source-column references inside ``agg_exprs`` —
-        identifier tokens that name a column of the source schema,
-        pinned the first time a committed schema is visible (so a
-        LATER drop/rename of a referenced column is caught by
-        ``_source_name_map`` exactly like a directly-aggregated
-        column, instead of surfacing as an AnalysisException from
-        inside the fold). Tokens that never match a column (function
-        names, literals) impose nothing."""
+        identifier tokens that name a column of the source schema
+        EITHER directly OR through the rename history (r10 self-review:
+        a rollup instance created AFTER a source rename — an IF NOT
+        EXISTS re-attach, a maintainer restart — must still recognize
+        the expression's config-time name as a reference, or the
+        column is neither selected nor aliased by ``_conform`` and the
+        fold dies unresolved). Pinned the first time a committed
+        schema is visible, so a LATER drop of a referenced column is
+        caught by ``_source_name_map`` exactly like a
+        directly-aggregated column. Tokens that never match a column
+        under any name (function names, literals) impose nothing;
+        a column name inside a string literal is over-captured as a
+        reference — conservative (it only widens the required set)."""
         if not self.agg_exprs:
             return set()
         if self._expr_refs_cache is None:
@@ -333,10 +341,19 @@ class MaterializedRollup:
             from pyspark.sql.types import StructType
 
             names = set(StructType.fromJson(m["schema"]).fieldNames())
+            renames = m.get("renames") or []
             toks: set = set()
             for e in self.agg_exprs.values():
                 toks |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", e))
-            self._expr_refs_cache = toks & names
+
+            def is_ref(t: str) -> bool:
+                name = t
+                if name not in names:
+                    for r in renames:
+                        if r.get("from") == name:
+                            name = r["to"]
+                return name in names
+            self._expr_refs_cache = {t for t in toks if is_ref(t)}
         return self._expr_refs_cache
 
     def _source_cols(self) -> set:
@@ -404,7 +421,29 @@ class MaterializedRollup:
                     f"agg_exprs name {name!r} shadows a source "
                     f"column; pick a fresh alias")
             out = out.withColumn(name, F.expr(e))
+        if self.agg_exprs and not self._exprs_validated:
+            self._assert_exprs_deterministic(out.limit(0))
+            self._exprs_validated = True
         return out
+
+    def _assert_exprs_deterministic(self, probe: DataFrame) -> None:
+        """An incremental fold evaluates each expression TWICE per
+        changed row (the add image and the remove image) across
+        different refreshes — a nondeterministic expression (rand(),
+        current_timestamp(), ...) would therefore subtract a different
+        value than it once added, silently corrupting the rollup.
+        Checked once per instance against the analyzed plan (r10
+        self-review finding)."""
+        for name, e in sorted(self.agg_exprs.items()):
+            analyzed = (probe.select(F.expr(e).alias(name))
+                        ._jdf.queryExecution().analyzed())
+            if not analyzed.expressions().apply(0).deterministic():
+                raise ValueError(
+                    f"agg_exprs[{name!r}] = {e!r} is nondeterministic"
+                    f" — an incremental fold re-evaluates it on add "
+                    f"and remove images across refreshes, so its "
+                    f"aggregate would silently drift; use a "
+                    f"deterministic expression")
 
     def _stored_cols(self) -> list:
         """Non-group columns the rollup table stores, in order."""
@@ -685,18 +724,21 @@ class MaterializedRollup:
     RESCAN_LITERAL_LIMIT = 1000
 
     def _rescan_scope(self, snap: DataFrame, flagged_df: DataFrame,
-                      n_flagged: int) -> DataFrame:
+                      n_flagged: int, _rows: list | None = None) -> DataFrame:
         """The span-head rows belonging to the flagged groups — via a
         collected literal predicate below the limit (predicate
         pushdown into the scan), via a broadcast semi-join above it
         (no driver collect of the flagged set, plan size O(1) in the
         group count; the rollup side is one row per group, always
-        broadcast-sized)."""
+        broadcast-sized). ``_rows`` lets the caller hand in an
+        already-collected flagged set so the literal regime costs one
+        job total."""
         limit = getattr(self, "rescan_literal_limit",
                         self.RESCAN_LITERAL_LIMIT)
         if n_flagged <= limit:
             pred = None
-            for r in flagged_df.collect():
+            for r in (_rows if _rows is not None
+                      else flagged_df.collect()):
                 one = None
                 for g in self.group_cols:
                     e = F.col(g).eqNullSafe(F.lit(r[g]))
@@ -729,11 +771,17 @@ class MaterializedRollup:
         for f in flags:
             cond = F.col(f) if cond is None else (cond | F.col(f))
         flagged_df = env.filter(cond).select(*self.group_cols)
-        n_flagged = flagged_df.count()  # rollup-sized
-        if not n_flagged:
+        # one bounded probe job decides the regime AND doubles as the
+        # literal predicate's row source (r10 self-review: count +
+        # collect was two jobs over the same checkpointed frame)
+        limit = getattr(self, "rescan_literal_limit",
+                        self.RESCAN_LITERAL_LIMIT)
+        probe = flagged_df.limit(limit + 1).collect()
+        if not probe:
             return env.drop(*flags)
         snap = self._conform(self.source.read_data(as_of_version=head))
-        scoped = self._rescan_scope(snap, flagged_df, n_flagged)
+        scoped = self._rescan_scope(snap, flagged_df, len(probe),
+                                    _rows=probe)
         aggs = ([F.min(self._wide(snap, c)).alias(f"_rm_min_{c}")
                  for c in self.min_cols]
                 + [F.max(self._wide(snap, c)).alias(f"_rm_max_{c}")
@@ -981,15 +1029,19 @@ class StreamingRollupMaintainer:
         src = self.rollup.source
         register_lake_stream(src.spark)
         reader = (src.spark.readStream.format("lake-changes")
-                  .option("path", src.path)
-                  .option("keys", ",".join(src.key_cols))
-                  .option("includePreimages", "true")
-                  .option("emitSpan", "true")
                   .option("initial", self.initial))
-        if src.partition_col and src.partition_transform is None:
-            reader = reader.option("partitionCol", src.partition_col)
         for k, v in self.stream_options.items():
             reader = reader.option(k, v)
+        # the non-negotiable options go LAST so no stream_options entry
+        # can override them (r10 self-review: a later .option() wins —
+        # includePreimages=false would make the signed fold count every
+        # update as a bare insert, silently inflating the rollup)
+        reader = (reader.option("path", src.path)
+                  .option("keys", ",".join(src.key_cols))
+                  .option("includePreimages", "true")
+                  .option("emitSpan", "true"))
+        if src.partition_col and src.partition_transform is None:
+            reader = reader.option("partitionCol", src.partition_col)
         return reader.load()
 
     def start(self, trigger_processing_time: str | None = None):

@@ -943,6 +943,31 @@ class MergeSqlRunner:
                             f"{fn}({arg}) needs an explicit alias "
                             "(AS <name>): expression aggregates "
                             "publish under the alias")
+                    # the greedy arg capture backtracks to the LAST
+                    # ')': a malformed item like `SUM(a) + SUM(b) AS
+                    # x` would otherwise smuggle `a) + SUM(b` through
+                    # as an "expression" and fail only inside the
+                    # initial fold, after state was written (r10
+                    # self-review)
+                    depth = 0
+                    for ch in arg:
+                        depth += ch == "("
+                        depth -= ch == ")"
+                        if depth < 0:
+                            break
+                    if depth != 0:
+                        raise MergeSqlError(
+                            f"unsupported MV select item {item!r}: "
+                            "the aggregate argument is not a single "
+                            "parenthesized expression")
+                    if re.search(r"\b(count|sum|avg|min|max|stddev\w*"
+                                 r"|var\w*|first|last|collect_\w+"
+                                 r"|approx_\w+|percentile\w*)\s*\(",
+                                 arg, re.IGNORECASE):
+                        raise MergeSqlError(
+                            f"{fn}({arg}): nested aggregate functions "
+                            "are not incremental — the argument must "
+                            "be a deterministic SCALAR expression")
                     if alias in agg_exprs and agg_exprs[alias] != arg:
                         raise MergeSqlError(
                             f"alias {alias!r} bound to two different "
@@ -977,6 +1002,17 @@ class MergeSqlRunner:
         if not saw_count:
             raise MergeSqlError("MV select must include COUNT(*) "
                                 "(the rollup always maintains n_rows)")
+        # published-name uniqueness across ALL select items (r10
+        # self-review: `SUM(amount), SUM(x*2) AS sum_amount` passed
+        # validation and died at the final CREATE VIEW, after storage
+        # and MVSPEC were committed)
+        published = list(group_cols) + [
+            (cc if cc in agg_exprs else _canon[k](cc)) for k, cc in aggs]
+        dups = sorted({p for p in published if published.count(p) > 1})
+        if dups:
+            raise MergeSqlError(
+                f"MV select items publish duplicate column name(s) "
+                f"{dups}; rename the colliding alias")
         gb = [g.replace("`", "") for g in
               _split_top_level(m.group("gb"))]
         if sorted(gb) != sorted(group_cols):
@@ -1012,6 +1048,18 @@ class MergeSqlRunner:
         roll = MaterializedRollup(
             src_tbl, loc, state_dir, group_cols=gb, sum_cols=sum_cols,
             min_cols=min_cols, max_cols=max_cols, agg_exprs=agg_exprs)
+        if agg_exprs and src_tbl.exists():
+            # analyze the expressions BEFORE any state is written
+            # (spec file, storage): unresolvable or nondeterministic
+            # expressions must reject the statement with nothing
+            # stranded (r10 self-review — the greedy parse previously
+            # deferred failure into the initial fold, leaving an
+            # MVSPEC behind that blocked re-CREATE)
+            try:
+                roll._conform(src_tbl.read_data().limit(0))
+            except Exception as exc:
+                raise MergeSqlError(
+                    f"invalid MV aggregate expression: {exc}") from exc
         if existing is None:
             src_tbl.fs.makedirs(state_dir)
             tmp = spec_file + ".tmp"

@@ -881,10 +881,37 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             fill_col = (partition.fill_col
                         if partition.fill_col is not None
                         else self.partition_col)
+            # schema-level gates, once: these depend on declared
+            # types, not file contents — bail before any IO
+            for c in self.columns:
+                st = dtypes[c]
+                if (partition.renames
+                        and isinstance(st, (T.StructType,
+                                            T.ArrayType, T.MapType))):
+                    return None  # nested renames: _coerce path
+                if _has_timestamp(st) and not self._proc_tz_utc:
+                    return None  # non-UTC worker: per-value conv
             fs, _root = _fs_and_root(self.path)
             out = []
             for f in layers[0][1]:
-                t = pq.read_table(f, filesystem=fs)
+                # column-pruned read: only the emitted columns (under
+                # their per-file physical names) plus the tombstone
+                # flag — lineage columns never decode (r10
+                # self-review: the full-width read paid parquet
+                # decode for columns the batch never carries)
+                names = set(pq.read_schema(f, filesystem=fs).names)
+                resolved = {}
+                read_cols = []
+                for c in self.columns:
+                    if c == fill_col and partition.part != _ALL:
+                        continue  # hive layout: derived from the token
+                    name = _resolve_renamed(c, names, partition.renames)
+                    resolved[c] = name
+                    if name is not None:
+                        read_cols.append(name)
+                if "_deleted" in names:
+                    read_cols.append("_deleted")
+                t = pq.read_table(f, filesystem=fs, columns=read_cols)
                 if "_deleted" in t.column_names:
                     dead = pc.fill_null(
                         pc.cast(t.column("_deleted"), pa.bool_()), False)
@@ -897,7 +924,6 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     field = pa_schema.field(i)
                     st = dtypes[c]
                     if c == fill_col and partition.part != _ALL:
-                        # hive layout strips the partition column;
                         # re-derive the typed constant from the token
                         raw = _decode_token(partition.part)
                         val = (None if raw is None
@@ -905,19 +931,11 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                         arrays.append(pa.array([val] * n,
                                                type=field.type))
                         continue
-                    name = _resolve_renamed(c, set(t.column_names),
-                                            partition.renames)
+                    name = resolved.get(c)
                     if name is None:
                         # column younger than this file: nulls
                         arrays.append(pa.nulls(n, type=field.type))
                         continue
-                    if (partition.renames
-                            and isinstance(st, (T.StructType,
-                                                T.ArrayType, T.MapType))):
-                        return None  # nested renames: _coerce path
-                    if (_has_timestamp(st)
-                            and not self._proc_tz_utc):
-                        return None  # non-UTC worker: per-value conv
                     col = t.column(name).combine_chunks()
                     if col.type != field.type:
                         col = col.cast(field.type)  # safe cast
