@@ -1171,3 +1171,117 @@ def test_mv_expression_survives_reattach_after_rename(spark, tmp_path):
     got = {x["customer_id"]: (x["n_rows"], x["tripled"])
            for x in spark.sql("SELECT * FROM lakehouse.mvr").collect()}
     assert got == {"a": (2, 45), "b": (1, 60)}
+
+
+# -- SELECT time travel (Iceberg/Athena read spellings) ------------------
+
+
+def _amounts(df):
+    return {r["trans_id"]: r["amount"] for r in df.collect()}
+
+
+def test_select_time_travel_version_and_timestamp(spark, runner):
+    """`[FOR] VERSION AS OF` / `[FOR] TIMESTAMP AS OF` resolve through
+    the manifest: Athena runs exactly this syntax against the
+    reference's Iceberg table; plain Spark parses it but cannot
+    execute it without a v2 catalog."""
+    r, t = runner
+    v1 = t.current_version()
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 99 "
+          "WHERE trans_id = 2")
+    v2 = t.current_version()
+    r.sql("DELETE FROM demo.cdc_db.retail_trans WHERE trans_id = 1")
+    v3 = t.current_version()
+
+    sel = "SELECT trans_id, amount FROM demo.cdc_db.retail_trans"
+    # Spark/Iceberg spelling (no FOR)
+    assert _amounts(r.query(f"{sel} VERSION AS OF {v1}")) == {
+        1: 10, 2: 20, 3: 30}
+    # Athena spellings (FOR, SYSTEM_VERSION synonym)
+    assert _amounts(r.query(f"{sel} FOR SYSTEM_VERSION AS OF {v2}")) == {
+        1: 10, 2: 99, 3: 30}
+    # sql() dispatches SELECT to query() and returns the DataFrame
+    assert _amounts(r.sql(f"{sel} FOR VERSION AS OF {v3}")) == {
+        2: 99, 3: 30}
+
+    hist = {h["version"]: h["committed_at_ms"] for h in t.history()}
+    # epoch-millis literal, exactly at v2's commit -> v2
+    assert _amounts(r.query(
+        f"{sel} FOR TIMESTAMP AS OF {hist[v2]}")) == {1: 10, 2: 99, 3: 30}
+    # ISO literal after the head commit -> current state; the three
+    # accepted timestamp shapes all parse
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(
+        (hist[v3] + 5) / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f")
+    assert _amounts(r.query(
+        f"{sel} TIMESTAMP AS OF TIMESTAMP '{iso} UTC'")) == {2: 99, 3: 30}
+    assert _amounts(r.query(
+        f"{sel} FOR SYSTEM_TIME AS OF '{iso.replace(' ', 'T')}+00:00'"
+    )) == {2: 99, 3: 30}
+
+
+def test_select_time_travel_tag_branch_and_composition(spark, runner):
+    r, t = runner
+    t.tag("rel1")
+    t.create_branch("audit")
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 1000 "
+          "WHERE trans_id = 3")
+    vcur = t.current_version()
+    # advance the branch independently of main
+    r.register("audit_t", t.branch("audit"))
+    r.sql("INSERT INTO audit_t VALUES (7, 'z', 70)")
+
+    sel = "SELECT trans_id, amount FROM demo.cdc_db.retail_trans"
+    assert _amounts(r.query(f"{sel} VERSION AS OF 'rel1'")) == {
+        1: 10, 2: 20, 3: 30}
+    # branch head by name, resolved on the MAIN handle (Iceberg
+    # accepts branch names in VERSION AS OF)
+    assert _amounts(r.query(f"{sel} FOR VERSION AS OF 'audit'")) == {
+        1: 10, 2: 20, 3: 30, 7: 70}
+    # main is unaffected by the branch commit
+    assert _amounts(r.query(f"{sel} VERSION AS OF {vcur}")) == {
+        1: 10, 2: 20, 3: 1000}
+    # two pinned reads of the SAME table compose in one statement
+    got = {x["trans_id"]: x["delta"] for x in r.query(f"""
+        SELECT cur.trans_id, cur.amount - old.amount AS delta
+        FROM demo.cdc_db.retail_trans VERSION AS OF {vcur} cur
+        JOIN demo.cdc_db.retail_trans FOR VERSION AS OF 'rel1' old
+          ON cur.trans_id = old.trans_id""").collect()}
+    assert got == {1: 0, 2: 0, 3: 970}
+
+
+def test_select_time_travel_sees_as_of_schema(spark, runner):
+    """A pinned read surfaces the schema AS OF that version — a later
+    rename must not leak backwards (Iceberg field-id semantics)."""
+    r, t = runner
+    v1 = t.current_version()
+    r.sql("ALTER TABLE demo.cdc_db.retail_trans "
+          "RENAME COLUMN amount TO amt")
+    old = r.query(
+        f"SELECT * FROM demo.cdc_db.retail_trans VERSION AS OF {v1}")
+    assert "amount" in old.columns and "amt" not in old.columns
+    assert {x["amount"] for x in old.collect()} == {10, 20, 30}
+    assert "amt" in t.read_data().columns
+
+
+def test_select_time_travel_guards(spark, runner):
+    r, t = runner
+    first_ms = t.history()[0]["committed_at_ms"]
+    sel = "SELECT * FROM demo.cdc_db.retail_trans"
+    with pytest.raises(MergeSqlError, match="no tag or branch"):
+        r.query(f"{sel} VERSION AS OF 'nope'")
+    with pytest.raises(MergeSqlError, match="at or before"):
+        r.query(f"{sel} TIMESTAMP AS OF {first_ms - 60_000}")
+    with pytest.raises(MergeSqlError, match="literal"):
+        r.query(f"{sel} TIMESTAMP AS OF 'not-a-timestamp'")
+    with pytest.raises(MergeSqlError, match="VERSION AS OF 999"):
+        r.query(f"{sel} VERSION AS OF 999")
+    # no-clause SELECT passes straight through
+    assert r.query("SELECT 1 AS one").collect()[0]["one"] == 1
+    # a clause over an UNREGISTERED identifier is left for Spark (it
+    # may target a real v2 catalog) — Spark rejects it, not the runner
+    with pytest.raises(Exception) as ei:
+        r.query("SELECT * FROM range(3) VERSION AS OF 1").collect()
+    assert not isinstance(ei.value, MergeSqlError)

@@ -116,6 +116,12 @@ the grammar)::
     CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv USING lake
         LOCATION '...' AS SELECT g, COUNT(*), SUM(c) FROM t GROUP BY g
     REFRESH MATERIALIZED VIEW mv  /  DROP MATERIALIZED VIEW [IF EXISTS] mv
+    SELECT ... FROM t [FOR] VERSION AS OF <v | 'tag' | 'branch'>
+               ... FROM t [FOR] TIMESTAMP AS OF <'iso-ts' | millis>
+        (``query()``; SYSTEM_VERSION / SYSTEM_TIME accepted — the
+        Iceberg-Spark AND Athena time-travel read spellings, resolved
+        through the manifest and composable with current-state reads
+        in one statement)
 
 each mapping onto the engine's metadata-only evolution commits, the
 write-audit-publish refs, and the compaction/GC machinery — the whole
@@ -166,6 +172,54 @@ _INSERT_RE = re.compile(
     r"\s+(?P<src>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# time-travel clause in a SELECT: `<table> [FOR] VERSION AS OF 3`,
+# `<table> [FOR] TIMESTAMP AS OF <ts>` — both the Spark/Iceberg
+# spelling (no FOR) and the Athena/SQL-standard spelling (FOR, plus
+# the SYSTEM_VERSION / SYSTEM_TIME synonyms). The literal is an
+# integer (snapshot version — or epoch millis for TIMESTAMP), a
+# quoted string (tag/branch name — or an ISO timestamp), or a
+# TIMESTAMP '...' literal.
+_ASOF_RE = re.compile(
+    r"(?P<ident>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)"
+    r"\s+(?:FOR\s+)?(?P<kind>SYSTEM_VERSION|VERSION|SYSTEM_TIME|TIMESTAMP)"
+    r"\s+AS\s+OF\s+"
+    r"(?P<lit>TIMESTAMP\s+'[^']*'|'[^']*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def _asof_ts_ms(lit: str) -> int:
+    """Epoch milliseconds from a TIMESTAMP AS OF literal. Accepted:
+    ``TIMESTAMP '<iso>'``, ``'<iso>'`` (ISO date or datetime; naive
+    means UTC, matching the engine's UTC-session discipline; a
+    trailing ``Z``, `` UTC`` or numeric offset is honored — the forms
+    Athena's FOR TIMESTAMP AS OF takes), or a bare integer (epoch
+    millis, the form Iceberg's snapshot log stores)."""
+    from datetime import datetime, timezone
+
+    s = lit.strip()
+    m = re.match(r"^TIMESTAMP\s+'(?P<t>[^']*)'$", s, re.IGNORECASE)
+    if m:
+        t = m.group("t")
+    elif s.startswith("'") and s.endswith("'"):
+        t = s[1:-1]
+    else:
+        return int(s)  # bare integer: epoch milliseconds
+    t = t.strip()
+    if t.upper().endswith(" UTC"):
+        t = t[:-4].rstrip()
+    if t.upper().endswith("Z"):
+        t = t[:-1] + "+00:00"
+    try:
+        dt = datetime.fromisoformat(t)
+    except ValueError:
+        raise MergeSqlError(
+            f"unsupported TIMESTAMP AS OF literal {lit!r}; use "
+            "'YYYY-MM-DD[ HH:MM:SS[.ffffff]][+HH:MM|Z| UTC]' or epoch "
+            "milliseconds") from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -241,8 +295,13 @@ class MergeSqlRunner:
 
     def sql(self, statement: str) -> None:
         """Parse and execute one DML statement (MERGE INTO, DELETE
-        FROM, UPDATE, or INSERT INTO) against a registered table."""
+        FROM, UPDATE, or INSERT INTO) against a registered table.
+        SELECT / WITH statements delegate to :meth:`query` (time-travel
+        resolution) and return its DataFrame."""
         head = statement.lstrip()[:6].upper()
+        if head.startswith("SELECT") or re.match(r"^\s*WITH\b", statement,
+                                                 re.IGNORECASE):
+            return self.query(statement)
         if head.startswith("DELETE"):
             return self._run_delete(statement)
         if head.startswith("UPDATE"):
@@ -355,6 +414,82 @@ class MergeSqlRunner:
         for extra in parts[1:]:
             batch = batch.unionByName(extra, allowMissingColumns=True)
         table.merge(batch)
+
+    # -- SELECT with time travel (Iceberg/Athena read parity) ------------
+
+    def query(self, statement: str) -> DataFrame:
+        """Run a SELECT (or WITH ... SELECT), resolving Iceberg/Athena
+        time-travel clauses against registered lake tables::
+
+            SELECT ... FROM t VERSION AS OF 3                -- Spark/Iceberg
+            SELECT ... FROM t VERSION AS OF 'tag-or-branch'
+            SELECT ... FROM t TIMESTAMP AS OF '2026-01-01 10:00:00'
+            SELECT ... FROM t FOR TIMESTAMP AS OF TIMESTAMP '...'  -- Athena
+            SELECT ... FROM t FOR SYSTEM_VERSION AS OF 3           -- Athena
+
+        Plain Spark parses this syntax but executes it only against a
+        v2 catalog table (the Iceberg jar this image lacks); Athena
+        gives it to every reference-table reader. Each clause whose
+        table identifier is REGISTERED on this runner is resolved
+        through the engine's manifest time travel (``read_data``
+        as-of semantics: VERSION pins an exact snapshot — or a tag /
+        branch head by name; TIMESTAMP takes the newest snapshot
+        committed at or before the instant), pinned as a temp view,
+        and substituted; everything else in the statement passes to
+        ``spark.sql`` untouched, so pinned and current reads compose
+        in one statement. Clauses over identifiers NOT registered
+        here are left for Spark to resolve (they may target a real v2
+        catalog). Statements with no time-travel clause pass straight
+        through, so ``query`` is a drop-in read entry point.
+
+        Validated-subset caveat: clause detection is textual — a
+        string literal that embeds a registered table name followed
+        by ``VERSION AS OF`` would be rewritten; keep such text out
+        of literals (or read via the DataFrame API)."""
+
+        def _sub(m: re.Match) -> str:
+            ident = m.group("ident")
+            norm = self._norm_ident(ident)
+            if norm not in self._tables:
+                return m.group(0)  # not ours — Spark may resolve it
+            table = self._tables[norm]
+            kind = m.group("kind").upper()
+            lit = m.group("lit").strip()
+            try:
+                if kind in ("VERSION", "SYSTEM_VERSION"):
+                    if re.match(r"^\d+$", lit):
+                        version = int(lit)
+                    else:
+                        name = lit[1:-1].replace("''", "'")
+                        try:
+                            version = table.tag_version(name)
+                        except ValueError:
+                            version = table._read_pointer(
+                                table._ref_file(name))
+                            if version <= 0:
+                                raise MergeSqlError(
+                                    f"VERSION AS OF {lit}: no tag or "
+                                    f"branch named {name!r} on {ident!r}"
+                                ) from None
+                    df = table.read_data(as_of_version=version)
+                    suffix = f"v{version}"
+                else:
+                    ts_ms = _asof_ts_ms(lit)
+                    df = table.read_data(as_of_timestamp_ms=ts_ms)
+                    suffix = f"ts{ts_ms}"
+            except MergeSqlError:
+                raise
+            except ValueError as exc:
+                # expired/never-committed version, pre-first-commit
+                # timestamp — surface as a statement error
+                raise MergeSqlError(
+                    f"{kind} AS OF {lit} on {ident!r}: {exc}") from None
+            safe = re.sub(r"\W+", "_", norm)
+            view = f"__lake_asof_{safe}_{suffix}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self.spark.sql(_ASOF_RE.sub(_sub, statement))
 
     @staticmethod
     def _fast_path_ok(parsed) -> bool:
