@@ -1285,3 +1285,124 @@ def test_select_time_travel_guards(spark, runner):
     with pytest.raises(Exception) as ei:
         r.query("SELECT * FROM range(3) VERSION AS OF 1").collect()
     assert not isinstance(ei.value, MergeSqlError)
+
+
+# -- INSERT OVERWRITE / TRUNCATE (Iceberg overwrite family) ---------------
+
+
+PART_ROWS = "trans_id long, customer_id string, amount int, device string"
+
+
+def _ptable(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "pt"), key_cols=["trans_id"],
+                         partition_col="device")
+    t.create(spark.createDataFrame(
+        [(1, "a", 10, "pc"), (2, "b", 20, "pc"),
+         (3, "c", 30, "mobile"), (4, "d", 40, "mobile")], PART_ROWS))
+    r = MergeSqlRunner(spark)
+    r.register("db.pt", t)
+    return r, t
+
+
+def test_insert_overwrite_static_replaces_whole_table(spark, runner):
+    r, t = runner
+    # static mode explicitly (the engine session defaults to dynamic;
+    # on an unpartitioned table both modes mean whole-table replace —
+    # the second statement proves the dynamic spelling)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        r.sql("INSERT OVERWRITE demo.cdc_db.retail_trans "
+              "VALUES (2, 'b', 99), (5, 'e', 50)")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    assert _state(t) == {2: 99, 5: 50}
+    # snapshot history survives — the pre-overwrite state time-travels
+    old = r.query("SELECT trans_id, amount FROM demo.cdc_db.retail_trans "
+                  f"VERSION AS OF {t.current_version() - 1}")
+    assert _amounts(old) == {1: 10, 2: 20, 3: 30}
+    r.sql("INSERT OVERWRITE demo.cdc_db.retail_trans VALUES (6, 'f', 60)")
+    assert _state(t) == {6: 60}
+
+
+def test_insert_overwrite_dynamic_replaces_touched_partitions(spark, tmp_path):
+    r, t = _ptable(spark, tmp_path)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        r.sql("INSERT OVERWRITE TABLE db.pt "
+              "VALUES (1, 'a', 11, 'pc'), (9, 'z', 90, 'pc')")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    got = {x["trans_id"]: (x["amount"], x["device"])
+           for x in t.read_data().collect()}
+    # pc fully replaced (key 2 gone); mobile untouched
+    assert got == {1: (11, "pc"), 9: (90, "pc"),
+                   3: (30, "mobile"), 4: (40, "mobile")}
+
+
+def test_insert_overwrite_static_partition_clause(spark, tmp_path):
+    r, t = _ptable(spark, tmp_path)
+    # the partition column is injected; the source must not supply it
+    r.sql("INSERT OVERWRITE db.pt PARTITION (device = 'mobile') "
+          "(trans_id, customer_id, amount) VALUES (3, 'c', 33), (7, 'g', 70)")
+    got = {x["trans_id"]: (x["amount"], x["device"])
+           for x in t.read_data().collect()}
+    assert got == {1: (10, "pc"), 2: (20, "pc"),
+                   3: (33, "mobile"), 7: (70, "mobile")}
+    with pytest.raises(MergeSqlError, match="fixed by the PARTITION"):
+        r.sql("INSERT OVERWRITE db.pt PARTITION (device = 'pc') "
+              "(trans_id, customer_id, amount, device) "
+              "VALUES (8, 'h', 80, 'pc')")
+    with pytest.raises(MergeSqlError, match="not the table's"):
+        r.sql("INSERT OVERWRITE db.pt PARTITION (amount = 1) "
+              "(trans_id, customer_id, amount) VALUES (8, 'h', 80)")
+
+
+def test_insert_overwrite_guards(spark, runner, tmp_path):
+    r, t = runner
+    # the PARTITION clause needs an identity-partitioned table
+    with pytest.raises(MergeSqlError, match="unpartitioned"):
+        r.sql("INSERT OVERWRITE demo.cdc_db.retail_trans "
+              "PARTITION (device = 'pc') VALUES (1, 'a')")
+    # ... and dynamic mode over a hidden-transform spec is out of subset
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.transforms import (  # noqa: E501
+        bucket,
+    )
+    ht = ParquetLakeTable(spark, str(tmp_path / "ht"),
+                          key_cols=["trans_id"],
+                          partition_by=bucket("trans_id", n=4))
+    ht.create(spark.createDataFrame([(1, "a", 10)], ROWS))
+    r.register("db.ht", ht)
+    with pytest.raises(MergeSqlError, match="IDENTITY partition column"):
+        r.sql("INSERT OVERWRITE db.ht PARTITION (trans_id = 1) "
+              "VALUES ('a', 1)")
+    # strict mode: WITHIN-batch duplicates reject; stored collisions are
+    # the point of an overwrite and pass
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.merge_sql import (  # noqa: E501
+        DuplicateKeyError,
+    )
+    strict = MergeSqlRunner(spark, on_duplicate="error")
+    strict.register("demo.cdc_db.retail_trans", t)
+    with pytest.raises(DuplicateKeyError, match="repeats key"):
+        strict.sql("INSERT OVERWRITE demo.cdc_db.retail_trans "
+                   "VALUES (7, 'x', 1), (7, 'y', 2)")
+    strict.sql("INSERT OVERWRITE demo.cdc_db.retail_trans "
+               "VALUES (1, 'a', 111)")  # collides with stored key 1: fine
+    assert _state(t) == {1: 111}
+
+
+def test_truncate_table(spark, runner):
+    r, t = runner
+    v = t.current_version()
+    r.sql("TRUNCATE TABLE demo.cdc_db.retail_trans")
+    assert t.read_data().count() == 0
+    # history kept: the pre-truncate snapshot still reads
+    assert _amounts(r.query(
+        "SELECT trans_id, amount FROM demo.cdc_db.retail_trans "
+        f"VERSION AS OF {v}")) == {1: 10, 2: 20, 3: 30}
+    # and the table accepts new DML afterwards
+    r.sql("INSERT INTO demo.cdc_db.retail_trans VALUES (8, 'h', 80)")
+    assert _state(t) == {8: 80}
+    with pytest.raises(MergeSqlError, match="unsupported TRUNCATE"):
+        r.sql("TRUNCATE TABLE demo.cdc_db.retail_trans WHERE 1 = 1")

@@ -79,6 +79,10 @@ surface an Athena/Iceberg user of the reference table has)::
     DELETE FROM <ident> [[AS] t] [WHERE <cond>]
     UPDATE <ident> [[AS] t] SET <col> = <expr> [, ...] [WHERE <cond>]
     INSERT INTO <ident> [(c1, ..., cn)] (VALUES (...), ... | SELECT ...)
+    INSERT OVERWRITE [TABLE] <ident> [PARTITION (p = lit)] [(c1, ...)]
+        (VALUES ... | SELECT ...)   -- static / dynamic overwrite per
+                                    -- spark.sql.sources.partitionOverwriteMode
+    TRUNCATE TABLE <ident>
 
 All three compile onto the same keyed ``table.merge`` one-pass plan:
 
@@ -171,6 +175,17 @@ _INSERT_RE = re.compile(
     r"(?:\s*\((?P<cols>[^)]*)\))?"
     r"\s+(?P<src>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<target>[\w.`]+)"
+    r"(?:\s+PARTITION\s*\((?P<part>[^)]*)\))?"
+    r"(?:\s*\((?P<cols>[^)]*)\))?"
+    r"\s+(?P<src>(?:VALUES|SELECT)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<target>[\w.`]+)\s*;?\s*$",
+    re.IGNORECASE,
 )
 # time-travel clause in a SELECT: `<table> [FOR] VERSION AS OF 3`,
 # `<table> [FOR] TIMESTAMP AS OF <ts>` — both the Spark/Iceberg
@@ -307,7 +322,12 @@ class MergeSqlRunner:
         if head.startswith("UPDATE"):
             return self._run_update(statement)
         if head.startswith("INSERT"):
+            if re.match(r"^\s*INSERT\s+OVERWRITE\b", statement,
+                        re.IGNORECASE):
+                return self._run_insert_overwrite(statement)
             return self._run_insert(statement)
+        if head.startswith("TRUNCA"):
+            return self._run_truncate(statement)
         if head.startswith("ALTER"):
             return self._run_alter(statement)
         if head.startswith("CALL"):
@@ -701,38 +721,8 @@ class MergeSqlRunner:
                 "INSERT INTO <t> [(c1, ...)] VALUES (...) | SELECT ..."
             )
         table = self._resolve(m.group("target"))
-        data_schema = table.read_data().schema
-        declared = data_schema.names
-        if m.group("cols"):
-            cols = [c.replace("`", "").strip()
-                    for c in _split_top_level(m.group("cols"))]
-            lower = {c.lower(): c for c in declared}
-            cols = [lower.get(c.lower(), c) for c in cols]
-            unknown = sorted(set(cols) - set(declared))
-            if unknown:
-                raise MergeSqlError(
-                    f"INSERT column(s) {unknown} not in table columns "
-                    f"{declared}"
-                )
-            missing = sorted(set(declared) - set(cols))
-            if missing:
-                raise MergeSqlError(
-                    f"INSERT must supply every column (keyed full-row "
-                    f"engine); missing {missing}"
-                )
-        else:
-            cols = list(declared)
-        src = self.spark.sql(m.group("src"))
-        if len(src.columns) != len(cols):
-            raise MergeSqlError(
-                f"INSERT source has {len(src.columns)} column(s), "
-                f"expected {len(cols)}"
-            )
-        renamed = src.toDF(*cols)
-        batch = renamed.select(
-            *[F.col(c).cast(data_schema[c].dataType).alias(c)
-              for c in declared]
-        )
+        batch = self._conform_insert_source(
+            table, m.group("cols"), m.group("src"))
         if self.on_duplicate == "error":
             self._reject_duplicate_keys(table, batch)
         # statement-executed-now semantics: without a timestamp the
@@ -743,6 +733,181 @@ class MergeSqlRunner:
             batch = batch.withColumn(
                 OP_TS_COL, F.current_timestamp().cast("timestamp"))
         table.merge(batch.withColumn(OP_COL, F.lit("upsert")))
+
+    def _conform_insert_source(self, table: ParquetLakeTable,
+                               cols_text: str | None, src_sql: str,
+                               inject: dict | None = None) -> DataFrame:
+        """Evaluate an INSERT source (VALUES literal or any Spark
+        SELECT), conform it positionally to the declared column list,
+        and cast to the declared types. ``inject`` maps columns the
+        source must NOT supply to constant values (the static
+        PARTITION clause of INSERT OVERWRITE)."""
+        inject = inject or {}
+        data_schema = table.read_data().schema
+        declared = data_schema.names
+        supplied = [c for c in declared if c not in inject]
+        if cols_text:
+            cols = [c.replace("`", "").strip()
+                    for c in _split_top_level(cols_text)]
+            lower = {c.lower(): c for c in declared}
+            cols = [lower.get(c.lower(), c) for c in cols]
+            unknown = sorted(set(cols) - set(declared))
+            if unknown:
+                raise MergeSqlError(
+                    f"INSERT column(s) {unknown} not in table columns "
+                    f"{declared}"
+                )
+            clash = sorted(set(cols) & set(inject))
+            if clash:
+                raise MergeSqlError(
+                    f"INSERT column(s) {clash} are fixed by the "
+                    "PARTITION clause; the source must not supply them")
+            missing = sorted(set(supplied) - set(cols))
+            if missing:
+                raise MergeSqlError(
+                    f"INSERT must supply every column (keyed full-row "
+                    f"engine); missing {missing}"
+                )
+        else:
+            cols = list(supplied)
+        src = self.spark.sql(src_sql)
+        if len(src.columns) != len(cols):
+            raise MergeSqlError(
+                f"INSERT source has {len(src.columns)} column(s), "
+                f"expected {len(cols)}"
+            )
+        renamed = src.toDF(*cols)
+        return renamed.select(
+            *[(F.lit(inject[c]) if c in inject else F.col(c))
+              .cast(data_schema[c].dataType).alias(c)
+              for c in declared]
+        )
+
+    def _run_insert_overwrite(self, statement: str) -> None:
+        """``INSERT OVERWRITE [TABLE] t [PARTITION (p = lit)] [(cols)]
+        VALUES ... | SELECT ...`` — Iceberg's overwrite family, compiled
+        onto the keyed merge plan (source rows merge as upserts; rows
+        in the replaced SCOPE whose key the source does not carry merge
+        as deletes — one anti-join, the same shape as MERGE's NOT
+        MATCHED BY SOURCE). The scope is:
+
+        - ``PARTITION (p = lit)``: that partition, statically — the
+          partition column is injected as the literal and the source
+          must not supply it (Spark's static-overwrite contract);
+        - otherwise, ``spark.sql.sources.partitionOverwriteMode``
+          decides, exactly like Spark over Iceberg: ``static``
+          (default) replaces the WHOLE table, ``dynamic`` replaces
+          only the partitions the source has rows for.
+
+        Dynamic mode over an UNPARTITIONED table replaces the whole
+        table (it is the one partition touched — Spark's own
+        semantics; NB the engine's session builder defaults the conf
+        to dynamic). Dynamic mode over a partitioned table and the
+        PARTITION clause need an IDENTITY partition column — a
+        hidden-transform spec would need the transform applied
+        source-side; out of this subset (loud error). Keyed
+        divergence, same as INSERT's: a source key that currently
+        lives OUTSIDE the replaced scope is upserted (moved), not
+        duplicated."""
+        m = _INSERT_OVERWRITE_RE.match(statement)
+        if not m:
+            raise MergeSqlError(
+                "unsupported INSERT OVERWRITE; expected INSERT OVERWRITE "
+                "[TABLE] <t> [PARTITION (p = <lit>)] [(c1, ...)] "
+                "VALUES (...) | SELECT ..."
+            )
+        table = self._resolve(m.group("target"))
+        pcol = table.partition_col
+
+        def _need_identity(what: str) -> None:
+            if pcol is None:
+                raise MergeSqlError(
+                    f"{what} needs a partitioned table; "
+                    f"{m.group('target')!r} is unpartitioned")
+            if table.partition_transform is not None:
+                raise MergeSqlError(
+                    f"{what} needs an IDENTITY partition column; "
+                    f"{m.group('target')!r} partitions by a hidden "
+                    "transform — overwrite the whole table (static "
+                    "mode) or express the replacement with MERGE")
+
+        inject: dict = {}
+        if m.group("part"):
+            _need_identity("INSERT OVERWRITE PARTITION")
+            pm = re.match(r"^\s*([\w`]+)\s*=\s*(.+?)\s*$", m.group("part"),
+                          re.DOTALL)
+            if not pm:
+                raise MergeSqlError(
+                    "PARTITION clause must be a single "
+                    "<partition-col> = <literal>")
+            name = pm.group(1).replace("`", "")
+            if name.lower() != pcol.lower():
+                raise MergeSqlError(
+                    f"PARTITION column {name!r} is not the table's "
+                    f"partition column {pcol!r}")
+            inject[pcol] = self._call_value(pm.group(2))
+        batch = self._conform_insert_source(
+            table, m.group("cols"), m.group("src"), inject=inject)
+        if self.on_duplicate == "error":
+            self._reject_batch_duplicates(table, batch)
+
+        state = self._dml_state(table)
+        if inject:
+            scope = state.filter(
+                F.col(pcol).cast("string") == str(inject[pcol]))
+        elif str(self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode",
+                "static")).lower() == "dynamic" and pcol is not None:
+            # unpartitioned + dynamic falls through to the whole-table
+            # replace — the table IS the one partition touched, Spark's
+            # own dynamic-overwrite semantics (the engine's session
+            # builder defaults this conf to dynamic)
+            _need_identity("dynamic INSERT OVERWRITE")
+            scope = state.join(F.broadcast(batch.select(pcol).distinct()),
+                               on=pcol, how="left_semi")
+        else:
+            scope = state  # static, no PARTITION clause: whole table
+        gone = scope.join(batch.select(*table.key_cols).distinct(),
+                          on=list(table.key_cols), how="left_anti"
+                          ).withColumn(OP_COL, F.lit("delete"))
+        if table.store_lineage:
+            # statement-executed-now semantics (same hazard class as
+            # INSERT: a null-timestamp image loses the late-data guard)
+            batch = batch.withColumn(
+                OP_TS_COL, F.current_timestamp().cast("timestamp"))
+        table.merge(batch.withColumn(OP_COL, F.lit("upsert"))
+                    .unionByName(gone, allowMissingColumns=True))
+
+    def _run_truncate(self, statement: str) -> None:
+        """``TRUNCATE TABLE t`` — every live row merges as a delete
+        (Iceberg's TRUNCATE: data removed, history and schema kept;
+        prior snapshots stay time-travelable until expire)."""
+        m = _TRUNCATE_RE.match(statement)
+        if not m:
+            raise MergeSqlError(
+                "unsupported TRUNCATE; expected TRUNCATE TABLE <t>")
+        table = self._resolve(m.group("target"))
+        table.merge(self._dml_state(table)
+                    .withColumn(OP_COL, F.lit("delete")))
+
+    def _reject_batch_duplicates(self, table: ParquetLakeTable,
+                                 batch: DataFrame) -> None:
+        """Strict-mode gate for OVERWRITE: only WITHIN-batch duplicate
+        keys are violations (collision with stored rows is the point
+        of an overwrite), unlike INSERT's gate which also rejects
+        stored collisions."""
+        keys = table.key_cols
+        bad = (batch.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(5).collect())
+        if bad:
+            shown = [tuple(r[k] for k in keys) for r in bad]
+            raise DuplicateKeyError(
+                f"INSERT OVERWRITE source repeats key(s) {shown}"
+                f"{'...' if len(shown) == 5 else ''} on "
+                f"{'/'.join(keys)} (on_duplicate='error'; a keyed "
+                "engine cannot represent the duplicate rows — "
+                "deduplicate the source or run with "
+                "on_duplicate='upsert' for latest-wins)")
 
     def _reject_duplicate_keys(self, table: ParquetLakeTable,
                                batch: DataFrame) -> None:
