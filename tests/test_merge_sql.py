@@ -1339,6 +1339,18 @@ def test_insert_overwrite_dynamic_replaces_touched_partitions(spark, tmp_path):
     # pc fully replaced (key 2 gone); mobile untouched
     assert got == {1: (11, "pc"), 9: (90, "pc"),
                    3: (30, "mobile"), 4: (40, "mobile")}
+    # the NULL partition is replaceable too (null-safe partition match)
+    r.sql("INSERT INTO db.pt VALUES (5, 'n', 50, NULL), (6, 'n', 60, NULL)")
+    prior2 = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        r.sql("INSERT OVERWRITE db.pt VALUES (5, 'n', 55, NULL)")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior2)
+    got = {x["trans_id"]: (x["amount"], x["device"])
+           for x in t.read_data().collect()}
+    assert got == {1: (11, "pc"), 9: (90, "pc"), 3: (30, "mobile"),
+                   4: (40, "mobile"), 5: (55, None)}
 
 
 def test_insert_overwrite_static_partition_clause(spark, tmp_path):

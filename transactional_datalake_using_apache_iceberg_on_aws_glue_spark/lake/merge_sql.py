@@ -863,8 +863,15 @@ class MergeSqlRunner:
             # own dynamic-overwrite semantics (the engine's session
             # builder defaults this conf to dynamic)
             _need_identity("dynamic INSERT OVERWRITE")
-            scope = state.join(F.broadcast(batch.select(pcol).distinct()),
-                               on=pcol, how="left_semi")
+            # null-safe partition match: a source row in the NULL
+            # partition replaces the stored NULL partition, exactly
+            # like any other value (a plain equi-join would silently
+            # never match it)
+            touched = batch.select(F.col(pcol).alias("__ow_p")).distinct()
+            scope = state.join(
+                F.broadcast(touched),
+                on=F.col(pcol).eqNullSafe(F.col("__ow_p")),
+                how="left_semi")
         else:
             scope = state  # static, no PARTITION clause: whole table
         gone = scope.join(batch.select(*table.key_cols).distinct(),
