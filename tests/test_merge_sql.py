@@ -108,7 +108,7 @@ def test_merge_sql_rejects_out_of_subset(spark, runner):
               "ON s.trans_id = t.trans_id "
               "WHEN MATCHED AND t.amount > 5 THEN DELETE")
     with pytest.raises(MergeSqlError, match="unsupported statement"):
-        r.sql("TRUNCATE TABLE demo.cdc_db.retail_trans")
+        r.sql("VACUUM demo.cdc_db.retail_trans")
 
 
 def test_merge_sql_snapshots_and_idempotent_replay(spark, runner):
@@ -1131,16 +1131,28 @@ def test_create_mv_expression_validation_rejects_before_state(
         create("SUM(MIN(amount)) AS m")
     with pytest.raises(MergeSqlError, match="nondeterministic"):
         create("SUM(amount * rand()) AS r")
+    # refresh-variable expressions are deterministic=True to Spark
+    # (query-constant) but vary BETWEEN refreshes — the remove image
+    # would subtract a different value than the add image added
+    with pytest.raises(MergeSqlError, match="refresh-variable"):
+        create("SUM(amount * unix_timestamp()) AS ut")
+    with pytest.raises(MergeSqlError, match="refresh-variable"):
+        create("SUM(amount + datediff(current_date(), "
+               "date'2020-01-01')) AS cd")
     with pytest.raises(MergeSqlError, match="invalid MV aggregate"):
         create("SUM(no_such_col * 2) AS ghost")
     with pytest.raises(MergeSqlError, match="duplicate column"):
         create("SUM(amount), SUM(trans_id * 2) AS sum_amount")
 
-    # nothing stranded: the same location accepts a VALID definition
-    roll = create("SUM(amount * 2) AS dbl")
-    got = {x["customer_id"]: x["dbl"]
+    # nothing stranded: the same location accepts a VALID definition —
+    # including quoted ')' and 'min(' text, which is DATA the
+    # structural scans must not trip on (they scan literal-masked text)
+    roll = create("SUM(amount * 2) AS dbl, "
+                  "SUM(instr(customer_id, ')') + amount) AS parens, "
+                  "SUM(length('min(') + amount) AS litlen")
+    got = {x["customer_id"]: (x["dbl"], x["parens"], x["litlen"])
            for x in spark.sql("SELECT * FROM lakehouse.mvv").collect()}
-    assert got == {"a": 20, "b": 40}
+    assert got == {"a": (20, 10, 14), "b": (40, 20, 24)}
     assert roll.read().count() == 2
 
 
@@ -1418,3 +1430,60 @@ def test_truncate_table(spark, runner):
     assert _state(t) == {8: 80}
     with pytest.raises(MergeSqlError, match="unsupported TRUNCATE"):
         r.sql("TRUNCATE TABLE demo.cdc_db.retail_trans WHERE 1 = 1")
+
+
+def test_insert_overwrite_partition_scope_is_typed(spark, tmp_path):
+    """reviewer finding (r10): the replaced scope must compare TYPED
+    values, not string renderings — on an int partition column,
+    PARTITION (p = '01') lands the batch in partition 1 (CAST('01' AS
+    INT)) and must replace partition 1's stored rows; the old
+    cast-to-string compare ('1' != '01') matched nothing and silently
+    appended instead of replacing."""
+    t = ParquetLakeTable(spark, str(tmp_path / "it"), key_cols=["k"],
+                         partition_col="p")
+    t.create(spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 2, 30)], "k long, p int, amount int"))
+    r = MergeSqlRunner(spark)
+    r.register("db.it", t)
+    r.sql("INSERT OVERWRITE db.it PARTITION (p = '01') (k, amount) "
+          "VALUES (1, 11), (9, 90)")
+    got = {x["k"]: (x["p"], x["amount"]) for x in t.read_data().collect()}
+    assert got == {1: (1, 11), 9: (1, 90), 3: (2, 30)}, got
+
+
+def test_select_time_travel_view_cache_is_bounded(spark, runner):
+    """reviewer finding (r10): pinned __lake_asof_* temp views are an
+    LRU capped per runner — a long-lived runner pinning ever-new
+    versions must not grow the session catalog unboundedly. Evicting
+    a view is safe for DataFrames already returned (plans resolve the
+    view at analysis time)."""
+    r, t = runner
+    # earlier tests in a shared session may have pinned views for
+    # their own (same-named) tables — clear so the count is ours
+    for x in spark.catalog.listTables():
+        if x.name.startswith("__lake_asof_"):
+            spark.catalog.dropTempView(x.name)
+    r._asof_view_cap = 2
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 1 WHERE trans_id = 1")
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 2 WHERE trans_id = 1")
+    sel = "SELECT trans_id, amount FROM demo.cdc_db.retail_trans"
+    dfs = [r.query(f"{sel} VERSION AS OF {v}")
+           for v in range(1, t.current_version() + 1)]
+    live = [x.name for x in spark.catalog.listTables()
+            if x.name.startswith("__lake_asof_")]
+    assert len(live) <= 2, live
+    # every returned DataFrame still collects, including evicted pins
+    assert [_amounts(d)[1] for d in dfs] == [10, 1, 2]
+
+
+def test_insert_select_can_time_travel(spark, runner):
+    """INSERT's source runs through query(): restoring a prior
+    version's rows is one statement."""
+    r, t = runner
+    v1 = t.current_version()
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 0")
+    assert _state(t) == {1: 0, 2: 0, 3: 0}
+    r.sql("INSERT INTO demo.cdc_db.retail_trans "
+          "SELECT * FROM demo.cdc_db.retail_trans "
+          f"VERSION AS OF {v1}")
+    assert _state(t) == {1: 10, 2: 20, 3: 30}

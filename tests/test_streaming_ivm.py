@@ -484,3 +484,23 @@ def test_streaming_maintainer_options_cannot_disable_preimages(
     m.drain()
     assert _got(roll) == _expected_groups(src) == {"a": (2, 35)}
     assert m.stats["folded"] >= 2 and m.stats["fallback"] == 0, m.stats
+
+
+def test_streaming_maintainer_rejects_move_resolution_opt_out(
+        spark, tmp_path):
+    """reviewer finding (r10): moveCheckLimit=0 is the stream's
+    documented KEYED-consumer opt-out — move resolution off, the
+    degraded flag NOT raised, and a wrong-partition tombstone emitted
+    by nobody. A signed fold would treat such spans as exact and
+    silently corrupt, so the maintainer must refuse the option at
+    construction; a small POSITIVE cap stays allowed (capped batches
+    raise _span_degraded and route to the exact polling fallback)."""
+    src = _mk_table(spark, tmp_path)
+    roll = MaterializedRollup(
+        src, str(tmp_path / "roll"), str(tmp_path / "ck"),
+        group_cols=["event"], sum_cols=["amount"])
+    with pytest.raises(ValueError, match="moveCheckLimit"):
+        StreamingRollupMaintainer(roll, stream_options={"moveCheckLimit": "0"})
+    with pytest.raises(ValueError, match="moveCheckLimit"):
+        StreamingRollupMaintainer(roll, stream_options={"movechecklimit": -1})
+    StreamingRollupMaintainer(roll, stream_options={"moveCheckLimit": "1"})

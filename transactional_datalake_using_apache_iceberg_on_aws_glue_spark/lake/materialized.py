@@ -434,12 +434,38 @@ class MaterializedRollup:
         value than it once added, silently corrupting the rollup.
         Checked once per instance against the analyzed plan (r10
         self-review finding)."""
+        # Spark marks time/session-dependent expressions
+        # (current_timestamp(), now(), current_date(),
+        # unix_timestamp() with no args, current_database(), ...)
+        # deterministic=True: they are query-constant. A fold is NOT
+        # one query — the remove image evaluates at a later refresh
+        # than the add image it must cancel — so those drift exactly
+        # like rand(). Denylist their analyzed-plan nodes (verified:
+        # every no-arg time function desugars to one of these).
+        _refresh_variable = {
+            "CurrentTimestamp", "Now", "CurrentDate", "LocalTimestamp",
+            "CurrentTimeZone", "CurrentBatchTimestamp", "CurrentDatabase",
+            "CurrentCatalog", "CurrentUser", "SparkVersion",
+        }
         for name, e in sorted(self.agg_exprs.items()):
             analyzed = (probe.select(F.expr(e).alias(name))
                         ._jdf.queryExecution().analyzed())
-            if not analyzed.expressions().apply(0).deterministic():
+            exprs = analyzed.expressions()
+            bad = None
+            stack = [exprs.apply(i) for i in range(exprs.size())]
+            while stack and bad is None:
+                node = stack.pop()
+                cls = node.getClass().getSimpleName()
+                if cls in _refresh_variable:
+                    bad = f"refresh-variable ({cls})"
+                elif not node.deterministic():
+                    bad = f"nondeterministic ({cls})"
+                else:
+                    ch = node.children()
+                    stack.extend(ch.apply(i) for i in range(ch.size()))
+            if bad is not None:
                 raise ValueError(
-                    f"agg_exprs[{name!r}] = {e!r} is nondeterministic"
+                    f"agg_exprs[{name!r}] = {e!r} is {bad}"
                     f" — an incremental fold re-evaluates it on add "
                     f"and remove images across refreshes, so its "
                     f"aggregate would silently drift; use a "
@@ -1005,6 +1031,21 @@ class StreamingRollupMaintainer:
         #: ``includePreimages``/``emitSpan`` stay non-negotiable —
         #: the fold is wrong without them
         self.stream_options = dict(stream_options or {})
+        mcl = next((v for k, v in self.stream_options.items()
+                    if str(k).lower() == "movechecklimit"), None)
+        if mcl is not None and int(mcl) <= 0:
+            # moveCheckLimit=0 is the stream's documented KEYED-consumer
+            # opt-out: move resolution off, degraded flag NOT raised,
+            # and a wrong-partition tombstone emitted by nobody. A
+            # signed fold is not keyed — it would fold such spans as
+            # exact and silently corrupt (the _span_degraded routing
+            # this class relies on never fires).
+            raise ValueError(
+                "StreamingRollupMaintainer cannot run with "
+                f"moveCheckLimit={mcl}: disabling move resolution "
+                "suppresses the _span_degraded flag the signed fold "
+                "routes on; use a positive cap (capped batches fall "
+                "back to the exact polling refresh) or the default")
         feed_dir = os.path.dirname(rollup._intent_file)
         self.stream_checkpoint = stream_checkpoint or os.path.join(
             feed_dir, "stream_ck")

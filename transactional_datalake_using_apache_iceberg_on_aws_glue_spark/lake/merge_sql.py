@@ -299,6 +299,13 @@ class MergeSqlRunner:
         self.on_duplicate = on_duplicate
         self._tables: dict[str, ParquetLakeTable] = {}
         self._mvs: dict = {}  # ident -> MaterializedRollup
+        #: LRU of the __lake_asof_* temp views query() pins, capped so
+        #: a long-lived runner pinning ever-new versions cannot grow
+        #: the session catalog unboundedly. Dropping an evicted view
+        #: is safe for DataFrames query() already returned — their
+        #: plans resolved the view at analysis time.
+        self._asof_views: dict[str, None] = {}
+        self._asof_view_cap = 64
 
     def register(self, identifier: str, table: ParquetLakeTable) -> None:
         """Map a (possibly multi-part) SQL identifier to a lake table."""
@@ -507,8 +514,18 @@ class MergeSqlRunner:
             safe = re.sub(r"\W+", "_", norm)
             view = f"__lake_asof_{safe}_{suffix}"
             df.createOrReplaceTempView(view)
+            self._asof_views.pop(view, None)
+            self._asof_views[view] = None  # most-recently-used last
+            fresh.add(view)
+            while len(self._asof_views) > self._asof_view_cap:
+                old = next(iter(self._asof_views))
+                if old in fresh:  # never evict this statement's pins
+                    break
+                del self._asof_views[old]
+                self.spark.catalog.dropTempView(old)
             return view
 
+        fresh: set = set()
         return self.spark.sql(_ASOF_RE.sub(_sub, statement))
 
     @staticmethod
@@ -770,7 +787,12 @@ class MergeSqlRunner:
                 )
         else:
             cols = list(supplied)
-        src = self.spark.sql(src_sql)
+        # through query(), not spark.sql: an INSERT source may pin a
+        # time-travel read (INSERT INTO t SELECT * FROM t VERSION AS
+        # OF 3 — the restore-a-version flow)
+        src = self.query(src_sql) if re.match(
+            r"^\s*SELECT\b", src_sql, re.IGNORECASE) \
+            else self.spark.sql(src_sql)
         if len(src.columns) != len(cols):
             raise MergeSqlError(
                 f"INSERT source has {len(src.columns)} column(s), "
@@ -853,8 +875,14 @@ class MergeSqlRunner:
 
         state = self._dml_state(table)
         if inject:
+            # typed comparison, not string renderings: the batch rows
+            # land under CAST(lit AS declared-type) (conform above), so
+            # the replaced scope must match under the SAME cast — an
+            # int partition with PARTITION (p = '01') replaces
+            # partition 1, and cast('1' as string)='01' never would
+            dt = table.read_data().schema[pcol].dataType
             scope = state.filter(
-                F.col(pcol).cast("string") == str(inject[pcol]))
+                F.col(pcol).eqNullSafe(F.lit(inject[pcol]).cast(dt)))
         elif str(self.spark.conf.get(
                 "spark.sql.sources.partitionOverwriteMode",
                 "static")).lower() == "dynamic" and pcol is not None:
@@ -1256,8 +1284,15 @@ class MergeSqlRunner:
                     # as an "expression" and fail only inside the
                     # initial fold, after state was written (r10
                     # self-review)
+                    # scan with string literals MASKED (the _strip_alias
+                    # odd/even split): a quoted ')' or a quoted
+                    # 'min(' is data, not structure — the raw-text
+                    # scan falsely rejected SUM(instr(note, ')'))
+                    masked = "'".join(
+                        seg if i % 2 == 0 else ""
+                        for i, seg in enumerate(arg.split("'")))
                     depth = 0
-                    for ch in arg:
+                    for ch in masked:
                         depth += ch == "("
                         depth -= ch == ")"
                         if depth < 0:
@@ -1270,7 +1305,7 @@ class MergeSqlRunner:
                     if re.search(r"\b(count|sum|avg|min|max|stddev\w*"
                                  r"|var\w*|first|last|collect_\w+"
                                  r"|approx_\w+|percentile\w*)\s*\(",
-                                 arg, re.IGNORECASE):
+                                 masked, re.IGNORECASE):
                         raise MergeSqlError(
                             f"{fn}({arg}): nested aggregate functions "
                             "are not incremental — the argument must "

@@ -320,24 +320,32 @@ def lake_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey + {_NEW}, 'insert', o_orderstatus, {_CENTS_SQL} + 7
     FROM orders WHERE o_orderkey % 30 = 2
     """,
-    doc="Time travel + incremental changelog in one tagged union: "
-        "read_data(as_of_version=1) must equal the plain orders "
-        "projection (Iceberg VERSION AS OF parity; tagged "
-        "'time_travel_v1'), and read_changes(1, 2) must reproduce the "
-        "DML wave exactly (insert/update_postimage/delete tagged rows; "
-        "Iceberg create_changelog_view parity) — both value-hashed "
-        "against pure SQL over orders. (Registry consolidation r4: "
-        "former lake_time_travel_v1 + lake_changelog_v1_v2, same "
-        "fixture table, merged to make room for TPC-H q11/q12/q16/q20 "
-        "under the driver's 50-row window.)",
+    doc="Time travel + incremental changelog in one tagged union: the "
+        "version-1 read must equal the plain orders projection "
+        "(Iceberg VERSION AS OF parity; tagged 'time_travel_v1'), and "
+        "read_changes(1, 2) must reproduce the DML wave exactly "
+        "(insert/update_postimage/delete tagged rows; Iceberg "
+        "create_changelog_view parity) — both value-hashed against "
+        "pure SQL over orders. r10: the time-travel branch runs "
+        "THROUGH THE SQL SPELLING — MergeSqlRunner.query('... FROM t "
+        "VERSION AS OF 1') (merge_sql.py), the statement an "
+        "Athena/Iceberg-Spark user types — so the SQL time-travel "
+        "surface sits under the value hash, not just the DataFrame "
+        "API. (Registry consolidation r4: former lake_time_travel_v1 "
+        "+ lake_changelog_v1_v2, same fixture table, merged to make "
+        "room for TPC-H q11/q12/q16/q20 under the driver's 50-row "
+        "window.)",
     tags=("cdc", "lake", "time-travel", "changelog"),
 )
 def lake_time_travel_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lake.merge_sql import MergeSqlRunner
+
     t = _lake(spark, sf_dir, "cow")
-    v1 = t.read_data(as_of_version=1).select(
-        "trans_id", F.lit("time_travel_v1").alias("_change_type"),
-        "event", "amount_cents",
-    )
+    runner = MergeSqlRunner(spark)
+    runner.register("lakehouse.orders_cdc_tt", t)
+    v1 = runner.query(
+        "SELECT trans_id, 'time_travel_v1' AS _change_type, event, "
+        "amount_cents FROM lakehouse.orders_cdc_tt VERSION AS OF 1")
     return v1.unionByName(t.read_changes(1, 2).select(
         "trans_id", "_change_type", "event", "amount_cents"
     ))
