@@ -1487,3 +1487,45 @@ def test_insert_select_can_time_travel(spark, runner):
           "SELECT * FROM demo.cdc_db.retail_trans "
           f"VERSION AS OF {v1}")
     assert _state(t) == {1: 10, 2: 20, 3: 30}
+
+
+def test_merge_using_subquery_source(spark, runner):
+    """MERGE USING (SELECT ...) s — the subquery evaluates through
+    query(), so it composes with time travel: restoring a prior
+    version via MERGE is one statement."""
+    r, t = runner
+    spark.createDataFrame(
+        [(2, "b", 99), (4, "d", 40), (5, "e", 1)], ROWS
+    ).createOrReplaceTempView("stage")
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING (SELECT * FROM stage WHERE customer_id <> 'e') s
+        ON s.trans_id = t.trans_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    assert _state(t) == {1: 10, 2: 99, 3: 30, 4: 40}
+    v = t.current_version()
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 0")
+    # restore-a-version MERGE: the subquery pins VERSION AS OF
+    r.sql(f"""MERGE INTO demo.cdc_db.retail_trans t
+        USING (SELECT * FROM demo.cdc_db.retail_trans
+               VERSION AS OF {v}) s
+        ON s.trans_id = t.trans_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    assert _state(t) == {1: 10, 2: 99, 3: 30, 4: 40}
+    # a quoted ')' inside the subquery is data, not structure
+    r.sql("""MERGE INTO demo.cdc_db.retail_trans t
+        USING (SELECT trans_id, concat(customer_id, ')(') AS customer_id,
+                      amount + 1 AS amount
+               FROM stage WHERE customer_id = 'e') s
+        ON s.trans_id = t.trans_id
+        WHEN NOT MATCHED THEN INSERT *""")
+    assert _state(t)[5] == 2
+    with pytest.raises(MergeSqlError, match="unbalanced"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t "
+              "USING (SELECT * FROM stage s ON s.trans_id = t.trans_id "
+              "WHEN MATCHED THEN DELETE")
+    with pytest.raises(MergeSqlError, match="subquery"):
+        r.sql("MERGE INTO demo.cdc_db.retail_trans t "
+              "USING (DELETE FROM stage) s ON s.trans_id = t.trans_id "
+              "WHEN MATCHED THEN DELETE")

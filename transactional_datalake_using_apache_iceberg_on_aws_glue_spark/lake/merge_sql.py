@@ -22,7 +22,7 @@ verbatim, jar or no jar.
 Supported grammar (a deliberate, validated subset — anything else
 raises with a pointer to what IS supported)::
 
-    MERGE INTO <ident> [AS] t USING <view> [AS] s
+    MERGE INTO <ident> [AS] t USING <view>|(SELECT ...) [AS] s
     ON s.<k> = t.<k> [AND s.<k2> = t.<k2> ...]
     [WHEN MATCHED [AND <src-cond>] THEN DELETE]
     [WHEN MATCHED [AND <src-cond>] THEN UPDATE SET *]
@@ -347,13 +347,14 @@ class MergeSqlRunner:
             return self._run_refresh_mv(statement)
         if head.startswith("CREATE"):
             return self._run_create(statement)
+        statement = self._inline_merge_source(statement)
         m = _MERGE_RE.match(statement)
         if not m:
             raise MergeSqlError(
                 "unsupported statement; expected MERGE INTO <t> t USING "
-                "<s> s ON ... WHEN [NOT] MATCHED [AND cond] THEN "
-                "DELETE | UPDATE SET * | INSERT * — or DELETE FROM / "
-                "UPDATE ... SET / INSERT INTO / ALTER TABLE"
+                "<s>|(SELECT ...) s ON ... WHEN [NOT] MATCHED [AND cond] "
+                "THEN DELETE | UPDATE SET * | INSERT * — or DELETE FROM "
+                "/ UPDATE ... SET / INSERT INTO / ALTER TABLE"
             )
         # MERGE may target a not-yet-created table (first merge creates)
         table = self._resolve(m.group("target"), require_exists=False)
@@ -441,6 +442,46 @@ class MergeSqlRunner:
         for extra in parts[1:]:
             batch = batch.unionByName(extra, allowMissingColumns=True)
         table.merge(batch)
+
+    def _inline_merge_source(self, statement: str) -> str:
+        """``MERGE INTO t t USING (SELECT ...) s`` — evaluate the
+        subquery source through :meth:`query` (so it may itself pin a
+        time-travel read: ``USING (SELECT * FROM t VERSION AS OF 3)``
+        is the restore-a-version MERGE) and substitute a temp view,
+        leaving the named-view grammar untouched. The matching close
+        paren is found with the house literal-aware depth scan."""
+        m = re.match(
+            r"(?is)^(?P<head>\s*MERGE\s+INTO\s+[\w.`]+\s+(?:AS\s+)?\w+"
+            r"\s+USING\s*)\((?P<rest>.+)$",
+            statement)
+        if not m:
+            return statement
+        rest = m.group("rest")
+        depth, in_str, end = 1, False, -1
+        for i, ch in enumerate(rest):
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+        if end < 0:
+            raise MergeSqlError(
+                "unbalanced parentheses in MERGE USING (subquery)")
+        sub = rest[:end].strip()
+        if not re.match(r"(?is)^(SELECT|WITH|VALUES)\b", sub):
+            raise MergeSqlError(
+                f"MERGE USING (...) expects a SELECT/VALUES subquery, "
+                f"got {sub[:40]!r}")
+        self._merge_src_n = getattr(self, "_merge_src_n", 0) + 1
+        view = f"__merge_src_{self._merge_src_n}"
+        (self.query(sub) if not sub.upper().startswith("VALUES")
+         else self.spark.sql(sub)).createOrReplaceTempView(view)
+        return m.group("head") + view + rest[end + 1:]
 
     # -- SELECT with time travel (Iceberg/Athena read parity) ------------
 
