@@ -1529,3 +1529,42 @@ def test_merge_using_subquery_source(spark, runner):
         r.sql("MERGE INTO demo.cdc_db.retail_trans t "
               "USING (DELETE FROM stage) s ON s.trans_id = t.trans_id "
               "WHEN MATCHED THEN DELETE")
+
+
+def test_select_metadata_tables(spark, runner):
+    """Iceberg metadata-table addressing in SQL: t.history /
+    t.snapshots / t.refs / t.files / t.partitions, the last two with
+    an optional VERSION AS OF pin (version-scoped kinds)."""
+    r, t = runner
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 1 WHERE trans_id = 1")
+    t.tag("rel")
+    hist = r.query("SELECT version, operation FROM "
+                   "demo.cdc_db.retail_trans.history ORDER BY version")
+    assert [x["version"] for x in hist.collect()] == \
+        [h["version"] for h in t.history()]
+    refs = {x["name"]: x["kind"] for x in r.query(
+        "SELECT name, kind FROM demo.cdc_db.retail_trans.refs").collect()}
+    assert refs.get("rel") == "tag" and "main" in refs
+    # version-pinned files equal the DataFrame API at the same pin
+    n_v1 = r.query("SELECT * FROM demo.cdc_db.retail_trans.files "
+                   "VERSION AS OF 1").count()
+    n_head = r.query(
+        "SELECT * FROM demo.cdc_db.retail_trans.files").count()
+    assert n_v1 == t.metadata("files", 1).count() >= 1
+    assert n_head == t.metadata("files").count() >= 1
+    # metadata joins compose with data-table time travel in one
+    # statement (the audit query shape)
+    joined = r.query(
+        "SELECT s.version, COUNT(d.trans_id) AS n FROM "
+        "demo.cdc_db.retail_trans.snapshots s "
+        "CROSS JOIN demo.cdc_db.retail_trans VERSION AS OF 1 d "
+        "GROUP BY s.version")
+    assert all(x["n"] == 3 for x in joined.collect())
+    # guards: table-global kinds reject a version pin; unregistered
+    # identifiers pass through to Spark
+    with pytest.raises(MergeSqlError, match="table-global"):
+        r.query("SELECT * FROM demo.cdc_db.retail_trans.history "
+                "VERSION AS OF 1")
+    with pytest.raises(Exception) as ei:
+        r.query("SELECT * FROM nope.files").collect()
+    assert not isinstance(ei.value, MergeSqlError)

@@ -122,6 +122,9 @@ the grammar)::
     REFRESH MATERIALIZED VIEW mv  /  DROP MATERIALIZED VIEW [IF EXISTS] mv
     SELECT ... FROM t [FOR] VERSION AS OF <v | 'tag' | 'branch'>
                ... FROM t [FOR] TIMESTAMP AS OF <'iso-ts' | millis>
+               ... FROM t.history|snapshots|refs|files|partitions
+                   (metadata tables; files/partitions take an optional
+                   VERSION AS OF pin)
         (``query()``; SYSTEM_VERSION / SYSTEM_TIME accepted — the
         Iceberg-Spark AND Athena time-travel read spellings, resolved
         through the manifest and composable with current-state reads
@@ -199,6 +202,18 @@ _ASOF_RE = re.compile(
     r"\s+(?:FOR\s+)?(?P<kind>SYSTEM_VERSION|VERSION|SYSTEM_TIME|TIMESTAMP)"
     r"\s+AS\s+OF\s+"
     r"(?P<lit>TIMESTAMP\s+'[^']*'|'[^']*'|\d+)",
+    re.IGNORECASE,
+)
+# Iceberg metadata-table addressing in a SELECT: `<table>.history`,
+# `<table>.snapshots`, `<table>.files`, `<table>.partitions`,
+# `<table>.refs` — with an optional VERSION AS OF pin for the two
+# version-scoped kinds (files/partitions)
+_META_RE = re.compile(
+    r"(?<![\w.`])"
+    r"(?P<ident>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)"
+    r"\.(?P<kind>snapshots|files|partitions|refs|history)\b"
+    r"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+"
+    r"(?P<v>\d+))?",
     re.IGNORECASE,
 )
 
@@ -494,6 +509,8 @@ class MergeSqlRunner:
             SELECT ... FROM t TIMESTAMP AS OF '2026-01-01 10:00:00'
             SELECT ... FROM t FOR TIMESTAMP AS OF TIMESTAMP '...'  -- Athena
             SELECT ... FROM t FOR SYSTEM_VERSION AS OF 3           -- Athena
+            SELECT ... FROM t.history | t.snapshots | t.refs       -- metadata
+            SELECT ... FROM t.files | t.partitions [VERSION AS OF v]
 
         Plain Spark parses this syntax but executes it only against a
         v2 catalog table (the Iceberg jar this image lacks); Athena
@@ -555,19 +572,51 @@ class MergeSqlRunner:
             safe = re.sub(r"\W+", "_", norm)
             view = f"__lake_asof_{safe}_{suffix}"
             df.createOrReplaceTempView(view)
-            self._asof_views.pop(view, None)
-            self._asof_views[view] = None  # most-recently-used last
-            fresh.add(view)
-            while len(self._asof_views) > self._asof_view_cap:
-                old = next(iter(self._asof_views))
-                if old in fresh:  # never evict this statement's pins
-                    break
-                del self._asof_views[old]
-                self.spark.catalog.dropTempView(old)
+            self._track_asof_view(view, fresh)
+            return view
+
+        def _sub_meta(m: re.Match) -> str:
+            ident = m.group("ident")
+            norm = self._norm_ident(ident)
+            if norm not in self._tables:
+                return m.group(0)  # not ours — a column ref, or Spark's
+            table = self._tables[norm]
+            kind = m.group("kind").lower()
+            v = m.group("v")
+            if v is not None and kind not in ("files", "partitions"):
+                raise MergeSqlError(
+                    f"{ident}.{kind} is table-global; VERSION AS OF "
+                    "applies to .files / .partitions only")
+            try:
+                df = table.metadata(kind, None if v is None else int(v))
+            except ValueError as exc:
+                raise MergeSqlError(
+                    f"{ident}.{kind} VERSION AS OF {v}: {exc}") from None
+            safe = re.sub(r"\W+", "_", norm)
+            view = f"__lake_meta_{safe}_{kind}" + (
+                "" if v is None else f"_v{v}")
+            df.createOrReplaceTempView(view)
+            self._track_asof_view(view, fresh)
             return view
 
         fresh: set = set()
-        return self.spark.sql(_ASOF_RE.sub(_sub, statement))
+        return self.spark.sql(
+            _ASOF_RE.sub(_sub, _META_RE.sub(_sub_meta, statement)))
+
+    def _track_asof_view(self, view: str, fresh: set) -> None:
+        """LRU bookkeeping for query()'s pinned temp views: cap the
+        session-catalog footprint, never evicting a view pinned by the
+        statement being rewritten (evicted views stay safe for
+        already-returned DataFrames — plans resolve at analysis)."""
+        self._asof_views.pop(view, None)
+        self._asof_views[view] = None  # most-recently-used last
+        fresh.add(view)
+        while len(self._asof_views) > self._asof_view_cap:
+            old = next(iter(self._asof_views))
+            if old in fresh:  # never evict this statement's pins
+                break
+            del self._asof_views[old]
+            self.spark.catalog.dropTempView(old)
 
     @staticmethod
     def _fast_path_ok(parsed) -> bool:
