@@ -1568,3 +1568,83 @@ def test_select_metadata_tables(spark, runner):
     with pytest.raises(Exception) as ei:
         r.query("SELECT * FROM nope.files").collect()
     assert not isinstance(ei.value, MergeSqlError)
+
+
+def test_query_rewrites_are_literal_and_context_safe(spark, runner):
+    """reviewer findings (r10, second wave): the textual rewrites scan
+    a literal-masked twin of the statement, so string literals that
+    mention a registered table plus VERSION AS OF / .files are DATA;
+    and metadata refs require FROM/JOIN context, so a qualified
+    column named like a metadata kind is never hijacked."""
+    r, t = runner
+    lit = "demo.cdc_db.retail_trans VERSION AS OF 3"
+    row = r.query(f"SELECT '{lit}' AS note").collect()[0]
+    assert row["note"] == lit
+    lit2 = "demo.cdc_db.retail_trans.files"
+    row2 = r.query(f"SELECT '{lit2}' AS note").collect()[0]
+    assert row2["note"] == lit2
+    # a table whose COLUMN is named 'history', registered under a
+    # single-part name: the select-list qualified ref must survive
+    h = ParquetLakeTable(spark, str(spark.conf.get("spark.local.dir",
+                                                   "/tmp")) + "/__h_tt",
+                         key_cols=["id"], partition_col=None)
+    import shutil
+    shutil.rmtree(h.path, ignore_errors=True)
+    h.create(spark.createDataFrame([(1, "old")], "id long, history string"))
+    r.register("ordersx", h)
+    got = r.query("SELECT ordersx.history FROM ordersx").collect()
+    assert [x["history"] for x in got] == ["old"]
+    # ...and the implicit qualifier survives a time-travel rewrite too
+    q = r.query("SELECT retail_trans.amount "
+                "FROM demo.cdc_db.retail_trans VERSION AS OF 1 "
+                "WHERE retail_trans.trans_id = 1").collect()
+    assert [x["amount"] for x in q] == [10]
+    shutil.rmtree(h.path, ignore_errors=True)
+
+
+def test_insert_overwrite_rejects_uncastable_partition_literal(
+        spark, tmp_path):
+    """reviewer finding: an uncastable PARTITION literal casts to
+    NULL and would silently target (and DELETE) the stored NULL
+    partition on a typo — reject before any side effect."""
+    t = ParquetLakeTable(spark, str(tmp_path / "nt"), key_cols=["k"],
+                         partition_col="p")
+    t.create(spark.createDataFrame(
+        [(1, 1, 10), (2, None, 20)], "k long, p int, amount int"))
+    r = MergeSqlRunner(spark)
+    r.register("db.nt", t)
+    with pytest.raises(MergeSqlError, match="does not cast"):
+        r.sql("INSERT OVERWRITE db.nt PARTITION (p = 'x1') (k, amount) "
+              "VALUES (9, 90)")
+    got = {x["k"]: x["amount"] for x in t.read_data().collect()}
+    assert got == {1: 10, 2: 20}  # NULL partition untouched
+
+
+def test_merge_subquery_double_quoted_paren_and_view_reuse(spark, runner):
+    r, t = runner
+    spark.createDataFrame([(5, ")", 50)], ROWS).createOrReplaceTempView(
+        "stage2")
+    stmt = ('MERGE INTO demo.cdc_db.retail_trans t '
+            'USING (SELECT * FROM stage2 WHERE customer_id = ")") s '
+            'ON s.trans_id = t.trans_id '
+            'WHEN NOT MATCHED THEN INSERT *')
+    r.sql(stmt)
+    assert _state(t)[5] == 50
+    # content-addressed: replaying the same statement reuses ONE view
+    r.sql(stmt)
+    views = [x.name for x in spark.catalog.listTables()
+             if x.name.startswith("__merge_src_")]
+    assert len(views) == len(set(views)) and len(
+        [v for v in views if v.endswith(views[0].split("_")[-1])]) == 1
+
+
+def test_metadata_tables_quoted_ref_pin(spark, runner):
+    r, t = runner
+    t.tag("m1")
+    r.sql("UPDATE demo.cdc_db.retail_trans SET amount = 5 WHERE trans_id = 2")
+    n_tag = r.query("SELECT * FROM demo.cdc_db.retail_trans.files "
+                    "VERSION AS OF 'm1'").count()
+    assert n_tag == t.metadata("files", t.tag_version("m1")).count()
+    with pytest.raises(MergeSqlError, match="table-global"):
+        r.query("SELECT * FROM demo.cdc_db.retail_trans.history "
+                "VERSION AS OF 'm1'")

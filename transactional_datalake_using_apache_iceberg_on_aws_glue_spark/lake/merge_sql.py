@@ -204,18 +204,108 @@ _ASOF_RE = re.compile(
     r"(?P<lit>TIMESTAMP\s+'[^']*'|'[^']*'|\d+)",
     re.IGNORECASE,
 )
-# Iceberg metadata-table addressing in a SELECT: `<table>.history`,
-# `<table>.snapshots`, `<table>.files`, `<table>.partitions`,
-# `<table>.refs` — with an optional VERSION AS OF pin for the two
-# version-scoped kinds (files/partitions)
+# Iceberg metadata-table addressing in a SELECT: `FROM <table>.history`
+# etc. — the FROM/JOIN context is REQUIRED so a qualified column
+# reference (`SELECT t.history FROM ...`) is never hijacked; with an
+# optional VERSION AS OF pin for the two version-scoped kinds
+# (files/partitions)
 _META_RE = re.compile(
-    r"(?<![\w.`])"
+    r"(?P<ctx>\b(?:FROM|JOIN)\s+)"
     r"(?P<ident>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)"
     r"\.(?P<kind>snapshots|files|partitions|refs|history)\b"
     r"(?:\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)\s+AS\s+OF\s+"
-    r"(?P<v>\d+))?",
+    r"(?P<v>'[^']*'|\d+))?",
     re.IGNORECASE,
 )
+# plain FROM/JOIN reference to a REGISTERED table with no time-travel
+# or metadata clause: resolved to a pinned current-version view, so a
+# runner-registered table is SQL-queryable by its name with no
+# separate register_sql step (and each statement reads ONE snapshot —
+# per-statement snapshot isolation). Runs LAST: time-travel/metadata
+# clauses were already substituted, so whatever still follows
+# FROM/JOIN here is a plain reference.
+_PLAIN_RE = re.compile(
+    r"(?P<ctx>\b(?:FROM|JOIN)\s+)"
+    r"(?P<ident>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)",
+    re.IGNORECASE,
+)
+
+
+def _mask_strings(text: str) -> str:
+    """Copy of ``text`` with the CONTENTS of string literals blanked
+    to spaces (quotes kept, length preserved) so the rewrite regexes
+    see SQL structure, never data — a literal mentioning a table name
+    plus ``VERSION AS OF`` (or ``.files``) must not be rewritten.
+    Handles single- and double-quoted strings and backslash escapes;
+    SQL's doubled-quote escape degrades safely (close+reopen).
+    Length preservation means match spans on the masked text index
+    straight into the original."""
+    out = list(text)
+    q = None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if q is None:
+            if ch in "'\"":
+                q = ch
+        elif ch == "\\" and i + 1 < len(text):
+            out[i] = out[i + 1] = " "
+            i += 2
+            continue
+        elif ch == q:
+            q = None
+        else:
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
+def _sub_spans(regex: re.Pattern, statement: str, masked: str, repl):
+    """``regex.sub`` driven by matches on the MASKED text but emitting
+    slices of the ORIGINAL: ``repl(m, orig, tail)`` gets the masked
+    match, an ``orig(group)`` accessor returning the original text at
+    that group's span (quoted literals arrive unmasked), and the
+    masked text FOLLOWING the match (alias lookahead)."""
+    out, pos = [], 0
+    for m in regex.finditer(masked):
+        def orig(group, _m=m):
+            s, e = _m.span(group)
+            return statement[s:e]
+
+        out.append(statement[pos:m.start()])
+        out.append(repl(m, orig, masked[m.end():]))
+        pos = m.end()
+    out.append(statement[pos:])
+    return "".join(out)
+
+
+#: tokens that may legally FOLLOW a relation with no alias between —
+#: if the next token is one of these (or punctuation/EOF), the
+#: original reference had NO alias, so the substituted view gets the
+#: original name's last segment as one (SQL's implicit qualifier:
+#: ``SELECT t.c FROM db.t`` must keep resolving after the rewrite)
+_POST_RELATION_KEYWORDS = frozenset({
+    "WHERE", "ON", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+    "INTERSECT", "EXCEPT", "MINUS", "JOIN", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "NATURAL", "ANTI", "SEMI", "USING", "WHEN",
+    "TABLESAMPLE", "PIVOT", "UNPIVOT", "LATERAL", "WINDOW",
+    "DISTRIBUTE", "SORT", "CLUSTER", "THEN",
+})
+
+
+def _implicit_alias(ident: str, tail: str) -> str:
+    """`` <last-segment>`` when the rewritten reference needs the
+    original name re-attached as an alias, else the empty string
+    (an explicit alias — ``AS x`` or a bare identifier — follows)."""
+    m = re.match(r"\s*(`[^`]+`|\w+)", tail)
+    tok = m.group(1) if m else ""
+    if tok and tok.upper() != "AS" \
+            and tok.upper() not in _POST_RELATION_KEYWORDS:
+        return ""  # explicit alias follows
+    if tok.upper() == "AS":
+        return ""
+    last = ident.replace("`", "").split(".")[-1]
+    return f" {last}"
 
 
 def _asof_ts_ms(lit: str) -> int:
@@ -422,7 +512,13 @@ class MergeSqlRunner:
             parsed.append((kind, not_matched, cond_text,
                            self._src_condition(c.group("cond"), salias, talias)))
 
-        src = self.spark.table(m.group("source"))
+        src_norm = self._norm_ident(m.group("source"))
+        if src_norm in self._tables:
+            # lake-to-lake MERGE by registered name (the USING side
+            # reads the source table's CURRENT live rows)
+            src = self._tables[src_norm].read_data()
+        else:
+            src = self.spark.table(m.group("source"))
         parts = []
         if parsed:
             routed = (self._fast_path_batch(src, parsed)
@@ -472,18 +568,17 @@ class MergeSqlRunner:
         if not m:
             return statement
         rest = m.group("rest")
-        depth, in_str, end = 1, False, -1
-        for i, ch in enumerate(rest):
-            if ch == "'":
-                in_str = not in_str
-            elif not in_str:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        end = i
-                        break
+        depth, end = 1, -1
+        # scan the literal-masked twin: a quoted ')' — single- OR
+        # double-quoted, backslash escapes included — is data
+        for i, ch in enumerate(_mask_strings(rest)):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
         if end < 0:
             raise MergeSqlError(
                 "unbalanced parentheses in MERGE USING (subquery)")
@@ -492,10 +587,17 @@ class MergeSqlRunner:
             raise MergeSqlError(
                 f"MERGE USING (...) expects a SELECT/VALUES subquery, "
                 f"got {sub[:40]!r}")
-        self._merge_src_n = getattr(self, "_merge_src_n", 0) + 1
-        view = f"__merge_src_{self._merge_src_n}"
+        import hashlib
+
+        # content-addressed (same subquery text -> same view, no
+        # unbounded counter) + runner-scoped (two live runners may
+        # resolve the same text against different registrations);
+        # rides the same LRU cap as the asof/meta pins
+        digest = hashlib.sha1(sub.encode()).hexdigest()[:10]
+        view = f"__merge_src_{id(self):x}_{digest}"
         (self.query(sub) if not sub.upper().startswith("VALUES")
          else self.spark.sql(sub)).createOrReplaceTempView(view)
+        self._track_asof_view(view, {view})
         return m.group("head") + view + rest[end + 1:]
 
     # -- SELECT with time travel (Iceberg/Athena read parity) ------------
@@ -511,6 +613,14 @@ class MergeSqlRunner:
             SELECT ... FROM t FOR SYSTEM_VERSION AS OF 3           -- Athena
             SELECT ... FROM t.history | t.snapshots | t.refs       -- metadata
             SELECT ... FROM t.files | t.partitions [VERSION AS OF v]
+            SELECT ... FROM t          -- plain ref: pinned CURRENT version
+
+        A plain FROM/JOIN reference to a registered table resolves to
+        a view pinned at the table's current version — registered
+        tables are queryable by name with no separate ``register_sql``
+        step, and one statement reads ONE snapshot (per-statement
+        snapshot isolation, matching what the manifest gives the
+        DataFrame path).
 
         Plain Spark parses this syntax but executes it only against a
         v2 catalog table (the Iceberg jar this image lacks); Athena
@@ -527,35 +637,30 @@ class MergeSqlRunner:
         catalog). Statements with no time-travel clause pass straight
         through, so ``query`` is a drop-in read entry point.
 
-        Validated-subset caveat: clause detection is textual — a
-        string literal that embeds a registered table name followed
-        by ``VERSION AS OF`` would be rewritten; keep such text out
-        of literals (or read via the DataFrame API)."""
+        Validated-subset caveats: clause detection is textual but
+        STRING-LITERAL-SAFE — both rewrites scan a literal-masked
+        twin of the statement (``_mask_strings``), so a literal that
+        merely mentions a table name plus ``VERSION AS OF`` or
+        ``.files`` is never touched; metadata refs additionally
+        require FROM/JOIN context, so a qualified COLUMN named
+        ``history``/``files`` is never hijacked. Metadata refs in a
+        legacy comma-separated FROM list are outside the subset."""
 
-        def _sub(m: re.Match) -> str:
+        def _sub(m: re.Match, orig, tail) -> str:
             ident = m.group("ident")
             norm = self._norm_ident(ident)
             if norm not in self._tables:
-                return m.group(0)  # not ours — Spark may resolve it
+                return orig(0)  # not ours — Spark may resolve it
             table = self._tables[norm]
             kind = m.group("kind").upper()
-            lit = m.group("lit").strip()
+            lit = orig("lit").strip()
             try:
                 if kind in ("VERSION", "SYSTEM_VERSION"):
                     if re.match(r"^\d+$", lit):
                         version = int(lit)
                     else:
-                        name = lit[1:-1].replace("''", "'")
-                        try:
-                            version = table.tag_version(name)
-                        except ValueError:
-                            version = table._read_pointer(
-                                table._ref_file(name))
-                            if version <= 0:
-                                raise MergeSqlError(
-                                    f"VERSION AS OF {lit}: no tag or "
-                                    f"branch named {name!r} on {ident!r}"
-                                ) from None
+                        version = self._resolve_ref_version(
+                            table, lit, ident)
                     df = table.read_data(as_of_version=version)
                     suffix = f"v{version}"
                 else:
@@ -573,20 +678,23 @@ class MergeSqlRunner:
             view = f"__lake_asof_{safe}_{suffix}"
             df.createOrReplaceTempView(view)
             self._track_asof_view(view, fresh)
-            return view
+            return view + _implicit_alias(ident, tail)
 
-        def _sub_meta(m: re.Match) -> str:
+        def _sub_meta(m: re.Match, orig, tail) -> str:
             ident = m.group("ident")
             norm = self._norm_ident(ident)
             if norm not in self._tables:
-                return m.group(0)  # not ours — a column ref, or Spark's
+                return orig(0)  # not ours — Spark's to resolve
             table = self._tables[norm]
             kind = m.group("kind").lower()
-            v = m.group("v")
+            v = None if m.group("v") is None else orig("v").strip()
             if v is not None and kind not in ("files", "partitions"):
                 raise MergeSqlError(
                     f"{ident}.{kind} is table-global; VERSION AS OF "
                     "applies to .files / .partitions only")
+            if v is not None and v.startswith("'"):
+                # quoted ref: resolve the tag/branch head to a version
+                v = str(self._resolve_ref_version(table, v, ident))
             try:
                 df = table.metadata(kind, None if v is None else int(v))
             except ValueError as exc:
@@ -597,11 +705,50 @@ class MergeSqlRunner:
                 "" if v is None else f"_v{v}")
             df.createOrReplaceTempView(view)
             self._track_asof_view(view, fresh)
-            return view
+            return orig("ctx") + view + _implicit_alias(
+                f"{ident}.{kind}", tail)
+
+        def _sub_plain(m: re.Match, orig, tail) -> str:
+            ident = m.group("ident")
+            norm = self._norm_ident(ident)
+            if norm not in self._tables:
+                return orig(0)  # Spark's to resolve (views, catalog)
+            table = self._tables[norm]
+            mref = table._manifest()
+            if mref is None:
+                return orig(0)  # no committed snapshot: let Spark err
+            version = mref["version"]
+            safe = re.sub(r"\W+", "_", norm)
+            view = f"__lake_cur_{safe}_v{version}"
+            table.read_data(as_of_version=version)\
+                .createOrReplaceTempView(view)
+            self._track_asof_view(view, fresh)
+            return orig("ctx") + view + _implicit_alias(ident, tail)
 
         fresh: set = set()
-        return self.spark.sql(
-            _ASOF_RE.sub(_sub, _META_RE.sub(_sub_meta, statement)))
+        rewritten = statement
+        for regex, sub in ((_META_RE, _sub_meta), (_ASOF_RE, _sub),
+                           (_PLAIN_RE, _sub_plain)):
+            rewritten = _sub_spans(regex, rewritten,
+                                   _mask_strings(rewritten), sub)
+        return self.spark.sql(rewritten)
+
+    @staticmethod
+    def _resolve_ref_version(table: ParquetLakeTable, lit: str,
+                             ident: str) -> int:
+        """Version pinned by a QUOTED ref literal: a tag first, then a
+        branch head (Iceberg resolves VERSION AS OF names against the
+        shared refs namespace)."""
+        name = lit.strip()[1:-1].replace("''", "'")
+        try:
+            return table.tag_version(name)
+        except ValueError:
+            version = table._read_pointer(table._ref_file(name))
+            if version <= 0:
+                raise MergeSqlError(
+                    f"VERSION AS OF {lit}: no tag or branch named "
+                    f"{name!r} on {ident!r}") from None
+            return version
 
     def _track_asof_view(self, view: str, fresh: set) -> None:
         """LRU bookkeeping for query()'s pinned temp views: cap the
@@ -969,8 +1116,21 @@ class MergeSqlRunner:
             # land under CAST(lit AS declared-type) (conform above), so
             # the replaced scope must match under the SAME cast — an
             # int partition with PARTITION (p = '01') replaces
-            # partition 1, and cast('1' as string)='01' never would
-            dt = table.read_data().schema[pcol].dataType
+            # partition 1, and cast('1' as string)='01' never would.
+            # The conformed batch already carries the declared type.
+            dt = batch.schema[pcol].dataType
+            try:  # ANSI mode raises on a malformed cast; non-ANSI nulls
+                probe = self.spark.range(1).select(
+                    F.lit(inject[pcol]).cast(dt).alias("v")).first()["v"]
+            except Exception:
+                probe = None
+            if probe is None:
+                # an uncastable literal would otherwise target the
+                # NULL partition and DELETE its rows on a typo
+                raise MergeSqlError(
+                    f"PARTITION ({pcol} = {inject[pcol]!r}) does not "
+                    f"cast to the partition column's type "
+                    f"{dt.simpleString()}")
             scope = state.filter(
                 F.col(pcol).eqNullSafe(F.lit(inject[pcol]).cast(dt)))
         elif str(self.spark.conf.get(
