@@ -1033,7 +1033,15 @@ class StreamingRollupMaintainer:
         self.stream_options = dict(stream_options or {})
         mcl = next((v for k, v in self.stream_options.items()
                     if str(k).lower() == "movechecklimit"), None)
-        if mcl is not None and int(mcl) <= 0:
+        if mcl is not None:
+            try:  # r10 advisor: a non-numeric value must get the
+                mcl = int(mcl)  # descriptive error, not a bare int()
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "StreamingRollupMaintainer: stream option "
+                    f"moveCheckLimit must be an integer, got {mcl!r}"
+                ) from None
+        if mcl is not None and mcl <= 0:
             # moveCheckLimit=0 is the stream's documented KEYED-consumer
             # opt-out: move resolution off, degraded flag NOT raised,
             # and a wrong-partition tombstone emitted by nobody. A
