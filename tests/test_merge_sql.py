@@ -1882,3 +1882,31 @@ def test_describe_partitioned_with_transform(spark, tmp_path):
     names = [x["col_name"] for x in d]
     assert "# Partition Information" in names
     assert t.partition_col in names
+
+
+def test_pinned_view_reuse_isolation_and_healing(spark, runner):
+    """r11: version-pinned temp views are REUSED across statements
+    (no manifest re-resolve for an unchanged table) — but snapshot
+    isolation still advances with every commit, and an externally
+    dropped view heals by re-registering instead of failing."""
+    r, t = runner
+    sel = "SELECT COUNT(*) AS n FROM demo.cdc_db.retail_trans"
+    assert r.query(sel).collect()[0]["n"] == 3
+    assert r.query(sel).collect()[0]["n"] == 3  # reuse path
+    # a commit must advance the per-statement pin
+    r.sql("INSERT INTO demo.cdc_db.retail_trans VALUES (9, 'z', 90)")
+    assert r.query(sel).collect()[0]["n"] == 4
+    # VERSION AS OF reuse: same pin name, still correct after commits
+    v1 = 1
+    asof = f"{sel} VERSION AS OF {v1}"
+    assert r.query(asof).collect()[0]["n"] == 3
+    r.sql("INSERT INTO demo.cdc_db.retail_trans VALUES (10, 'w', 100)")
+    assert r.query(asof).collect()[0]["n"] == 3  # pinned, reused
+    assert r.query(sel).collect()[0]["n"] == 5
+    # external drop of every pin (a second runner's LRU could do
+    # this): the next statement re-registers instead of erroring
+    for v in [x.name for x in spark.catalog.listTables()
+              if x.name.startswith("__lake_")]:
+        spark.catalog.dropTempView(v)
+    assert r.query(sel).collect()[0]["n"] == 5
+    assert r.query(asof).collect()[0]["n"] == 3

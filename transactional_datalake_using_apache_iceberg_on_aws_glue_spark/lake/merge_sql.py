@@ -862,6 +862,7 @@ class MergeSqlRunner:
             table = self._tables[norm]
             kind = m.group("kind").upper()
             lit = orig("lit").strip()
+            safe = re.sub(r"\W+", "_", norm)
             try:
                 if kind in ("VERSION", "SYSTEM_VERSION"):
                     if re.match(r"^\d+$", lit):
@@ -869,12 +870,22 @@ class MergeSqlRunner:
                     else:
                         version = self._resolve_ref_version(
                             table, lit, ident)
+                    # a version-suffixed view's content is immutable —
+                    # reuse a live pin instead of re-resolving the
+                    # manifest (r11; refs were already resolved to the
+                    # version above, so a moved branch head never
+                    # reuses a stale pin)
+                    view = f"__lake_asof_{safe}_v{version}"
+                    if self._reuse_view(view, fresh):
+                        return view + _implicit_alias(ident, tail)
                     df = table.read_data(as_of_version=version)
-                    suffix = f"v{version}"
                 else:
+                    # timestamp pins are NOT reusable by name: a
+                    # future-dated literal resolves to head-at-query-
+                    # time, which a later commit changes
                     ts_ms = _asof_ts_ms(lit)
+                    view = f"__lake_asof_{safe}_ts{ts_ms}"
                     df = table.read_data(as_of_timestamp_ms=ts_ms)
-                    suffix = f"ts{ts_ms}"
             except MergeSqlError:
                 raise
             except ValueError as exc:
@@ -882,8 +893,6 @@ class MergeSqlRunner:
                 # timestamp — surface as a statement error
                 raise MergeSqlError(
                     f"{kind} AS OF {lit} on {ident!r}: {exc}") from None
-            safe = re.sub(r"\W+", "_", norm)
-            view = f"__lake_asof_{safe}_{suffix}"
             df.createOrReplaceTempView(view)
             self._track_asof_view(view, fresh)
             return view + _implicit_alias(ident, tail)
@@ -937,14 +946,20 @@ class MergeSqlRunner:
             if v is not None and v.startswith("'"):
                 # quoted ref: resolve the tag/branch head to a version
                 v = str(self._resolve_ref_version(table, v, ident))
+            safe = re.sub(r"\W+", "_", norm)
+            view = f"__lake_meta_{safe}_{kind}" + (
+                "" if v is None else f"_v{v}")
+            # version-PINNED metadata (files/partitions AS OF v) is
+            # immutable — reuse a live pin; version-free kinds track
+            # the current table and must re-register every statement
+            if v is not None and self._reuse_view(view, fresh):
+                return orig("ctx") + view + _implicit_alias(
+                    f"{ident}.{kind}", tail)
             try:
                 df = table.metadata(kind, None if v is None else int(v))
             except ValueError as exc:
                 raise MergeSqlError(
                     f"{ident}.{kind} VERSION AS OF {v}: {exc}") from None
-            safe = re.sub(r"\W+", "_", norm)
-            view = f"__lake_meta_{safe}_{kind}" + (
-                "" if v is None else f"_v{v}")
             df.createOrReplaceTempView(view)
             self._track_asof_view(view, fresh)
             return orig("ctx") + view + _implicit_alias(
@@ -964,9 +979,15 @@ class MergeSqlRunner:
             version = mref["version"]
             safe = re.sub(r"\W+", "_", norm)
             view = f"__lake_cur_{safe}_v{version}"
-            table.read_data(as_of_version=version)\
-                .createOrReplaceTempView(view)
-            self._track_asof_view(view, fresh)
+            # same-version pins are immutable: repeated statements over
+            # an unchanged table reuse the live view instead of
+            # re-resolving the snapshot (r11; the version in the name
+            # came from THIS statement's manifest read, so isolation
+            # still advances with every commit)
+            if not self._reuse_view(view, fresh):
+                table.read_data(as_of_version=version)\
+                    .createOrReplaceTempView(view)
+                self._track_asof_view(view, fresh)
             return orig("ctx") + view + _implicit_alias(ident, tail)
 
         fresh: set = set()
@@ -995,6 +1016,27 @@ class MergeSqlRunner:
                     f"VERSION AS OF {lit}: no tag or branch named "
                     f"{name!r} on {ident!r}") from None
             return version
+
+    def _reuse_view(self, view: str, fresh: set) -> bool:
+        """True when ``view`` — a VERSION-PINNED temp view name (the
+        version/timestamp is part of the name, so same name = same
+        content) — is still live in the LRU: the rewrite then reuses
+        it instead of re-resolving the manifest and re-registering
+        (r11, the r10 verdict's statement-time manifest re-read note).
+        Views whose content depends on the CURRENT version under a
+        version-free name (``t.history``, unpinned ``t.files``) must
+        never come through here."""
+        if view not in self._asof_views:
+            return False
+        # view names are session-global: a SECOND runner registering
+        # the same table name shares them, and its LRU may have
+        # evicted ours — verify liveness (driver-side catalog lookup,
+        # no manifest IO) and re-register on a miss
+        if not self.spark.catalog.tableExists(view):
+            self._asof_views.pop(view, None)
+            return False
+        self._track_asof_view(view, fresh)  # refresh LRU position
+        return True
 
     def _track_asof_view(self, view: str, fresh: set) -> None:
         """LRU bookkeeping for query()'s pinned temp views: cap the
