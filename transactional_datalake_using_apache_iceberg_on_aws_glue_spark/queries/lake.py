@@ -270,22 +270,28 @@ _CTAS_CACHE: dict = {}
     "lake_ctas_clone_read",
     oracle=f"""
     SELECT o_orderstatus AS event,
-           COUNT(*) AS n_v1,
+           COUNT(*) AS n_join,
            CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents_v1,
            1 AS one
-    FROM orders GROUP BY o_orderstatus
+    FROM orders WHERE o_orderkey % 20 <> 1
+    GROUP BY o_orderstatus
     """,
     doc="The r11 SQL surface under one value hash: CREATE TABLE ... AS "
         "SELECT * FROM src VERSION AS OF 1 clones the pre-wave-2 "
         "snapshot into a new lake table (CTAS + time travel in one "
         "statement, judge item #4), which is then read back through a "
-        "statement exercising BOTH r11 resolution fixes — a CTE named "
-        "exactly like a registered single-part table (must resolve to "
-        "the CTE: the r10 judge's silent-wrong-results defect) inside "
-        "a legacy comma-separated FROM list (judge item #5). Any "
-        "regression in CTAS conformance, snapshot pinning, CTE "
-        "precedence, or comma-list rewriting breaks the hash against "
-        "pure SQL over orders.",
+        "statement exercising BOTH r11 resolution fixes — a legacy "
+        "comma-separated FROM list equi-joining the clone (v1 image) "
+        "against the CURRENT source state (judge item #5: both comma "
+        "relations are registered lake refs; wave 2's deletes thin "
+        "the join, so a wrong pin changes the counts), plus a CTE "
+        "named exactly like a registered single-part table read via "
+        "a scalar subquery (must resolve to the CTE: the r10 judge's "
+        "silent-wrong-results defect — the lake table there would "
+        "make the scalar subquery multi-row and fail loudly, or "
+        "change 'one'). Any regression in CTAS conformance, snapshot "
+        "pinning, CTE precedence, or comma-list rewriting breaks the "
+        "hash against pure SQL over orders.",
     tags=("cdc", "lake", "sql"),
 )
 def lake_ctas_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,15 +310,18 @@ def lake_ctas_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"TBLPROPERTIES ('key_cols'='trans_id') "
             f"AS SELECT * FROM ctas.src VERSION AS OF 1")
         # the discriminator: a SINGLE-part registration named exactly
-        # like the CTE below — CTE precedence must win or the read
-        # cross-joins the whole clone against itself
+        # like the CTE below — CTE precedence must win or the scalar
+        # subquery reads the whole clone (multi-row, loud) instead of
+        # the CTE's one row
         runner.register("clone", runner._tables["ctas.clone"])
         _CTAS_CACHE[sf_dir] = runner
     return runner.query(
         "WITH clone AS (SELECT 1 AS one) "
-        "SELECT c.event AS event, COUNT(*) AS n_v1, "
-        "SUM(c.amount_cents) AS cents_v1, MAX(x.one) AS one "
-        "FROM ctas.clone c, clone x "
+        "SELECT c.event AS event, COUNT(*) AS n_join, "
+        "SUM(c.amount_cents) AS cents_v1, "
+        "MAX((SELECT one FROM clone)) AS one "
+        "FROM ctas.clone c, ctas.src s "
+        "WHERE c.trans_id = s.trans_id "
         "GROUP BY c.event")
 
 
