@@ -256,6 +256,44 @@ def _run_soak(spark, tmp_path, seed, on_check=None, n_stmts=210,
     ddl = [ddl_add_column, ddl_rename_column, ddl_drop_column,
            ddl_widen_column, ddl_partition, ddl_partition, ddl_refs]
 
+    #: r11 read-surface probes ride each periodic check on their OWN
+    #: rng so the main statement sequence (and every rider test built
+    #: on it) stays byte-identical to the seeded history
+    prng = random.Random(seed + 1)
+
+    def read_probe(i):
+        cols = ["trans_id"] + model.cols()
+        choice = prng.randrange(4)
+        if choice == 0:
+            # CTE precedence holds whatever the evolved schema is
+            got = r.query("WITH t AS (SELECT 42 AS x) "
+                          "SELECT MAX(x) AS x FROM t").collect()
+            assert got[0]["x"] == 42, f"CTE shadowed at stmt {i}"
+        elif choice == 1:
+            shown = {(x["namespace"], x["tableName"])
+                     for x in r.sql("SHOW TABLES").collect()}
+            assert ("", "t") in shown, shown
+            desc = {x["col_name"] for x in r.sql("DESCRIBE t").collect()}
+            assert set(cols) <= desc, (
+                f"DESCRIBE missing evolved columns at stmt {i}: "
+                f"{sorted(set(cols) - desc)}")
+        elif choice == 2:
+            # comma-list self-join over the plain registered ref
+            n = r.query(
+                "SELECT COUNT(*) AS n FROM t a, t b "
+                "WHERE a.trans_id = b.trans_id").collect()[0]["n"]
+            assert n == len(model.rows), (n, len(model.rows), i)
+        else:
+            # CTAS clone of the evolved table equals the model
+            name = f"ctas_probe_{i}"
+            r.sql(f"CREATE TABLE {name} USING lake LOCATION "
+                  f"'{tmp_path / name}' "
+                  f"TBLPROPERTIES ('key_cols'='trans_id') "
+                  f"AS SELECT * FROM t")
+            got = {row["trans_id"]: {c: row[c] for c in model.cols()}
+                   for row in r.query(f"SELECT * FROM {name}").collect()}
+            assert got == model.rows, f"CTAS clone diverged at stmt {i}"
+
     def check(i):
         cols = ["trans_id"] + model.cols()
         got = {row["trans_id"]: {c: row[c] for c in cols[1:]}
@@ -268,6 +306,7 @@ def _run_soak(spark, tmp_path, seed, on_check=None, n_stmts=210,
         dupes = (t.read_data().groupBy("trans_id").count()
                  .filter("count > 1").count())
         assert dupes == 0, f"duplicate keys after statement {i}"
+        read_probe(i)
 
     for i in range(n_stmts):
         (rng.choice(ddl) if rng.random() < 0.25 else rng.choice(dml))(i)

@@ -1910,3 +1910,82 @@ def test_pinned_view_reuse_isolation_and_healing(spark, runner):
         spark.catalog.dropTempView(v)
     assert r.query(sel).collect()[0]["n"] == 5
     assert r.query(asof).collect()[0]["n"] == 3
+
+
+def test_from_values_tuple_commas_not_hijacked(spark, runner):
+    """`FROM VALUES (..), (..)` tuple separators are depth-0 FROM-list
+    commas, but the next token is a paren, never an identifier — the
+    comma rewrite must leave them (and the statement) alone."""
+    r, t = runner
+    got = r.query(
+        "SELECT v.a FROM VALUES (1, 2), (3, 4) AS v(a, b) "
+        "ORDER BY v.a").collect()
+    assert [x["a"] for x in got] == [1, 3]
+    # ...and a comma-list mixing VALUES with a registered ref rewrites
+    # only the ref
+    n = r.query(
+        "SELECT COUNT(*) AS n FROM VALUES (1), (2) AS v(x), "
+        "demo.cdc_db.retail_trans").collect()[0]["n"]
+    assert n == 6  # 2 x 3 cross product
+
+
+def test_registered_table_named_maintenance_still_resolves(
+        spark, runner):
+    """A registered TWO-part table whose last segment is literally
+    'maintenance' is not hijacked by the MV-stats metadata kind: the
+    meta pass declines (no MV registered) and the plain pass pins the
+    lake table."""
+    r, t = runner
+    r.register("t.maintenance", t)
+    got = r.query("SELECT COUNT(*) AS n FROM t.maintenance").collect()
+    assert got[0]["n"] == 3
+
+
+def test_explain_show_partitions_show_create(spark, runner, tmp_path):
+    """r11: EXPLAIN explains the REWRITTEN statement (the executed
+    plan, not the pre-rewrite text); SHOW PARTITIONS serves from the
+    manifest; SHOW CREATE TABLE round-trips through the runner's own
+    CREATE TABLE grammar."""
+    r, t = runner
+    plan = r.sql("EXPLAIN SELECT COUNT(*) AS n "
+                 "FROM demo.cdc_db.retail_trans").collect()[0]["plan"]
+    assert "snap-" in plan  # the pinned lake scan IS the executed plan
+    plan = r.sql(
+        "EXPLAIN EXTENDED SELECT * FROM demo.cdc_db.retail_trans "
+        "VERSION AS OF 1").collect()[0]["plan"]
+    assert "__lake_asof_" in plan  # parsed plan shows the rewrite
+    plan = r.sql(
+        "EXPLAIN FORMATTED SELECT * FROM demo.cdc_db.retail_trans "
+        "VERSION AS OF 1").collect()[0]["plan"]
+    assert "Scan parquet" in plan or "snap-" in plan
+
+    with pytest.raises(MergeSqlError, match="not partitioned"):
+        r.sql("SHOW PARTITIONS demo.cdc_db.retail_trans")
+    pt = ParquetLakeTable(spark, str(tmp_path / "sp"), key_cols=["k"],
+                          partition_col="p")
+    pt.create(spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "a", 3)],
+        "k long, p string, v int"))
+    r.register("db.sp", pt)
+    got = [x["partition"] for x in r.sql("SHOW PARTITIONS db.sp").collect()]
+    assert got == ["p=a", "p=b"]
+
+    ddl = r.sql("SHOW CREATE TABLE db.sp").collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (p)" in ddl and "'key_cols'='k'" in ddl
+    # the emitted DDL parses through the runner's own CREATE TABLE
+    # grammar (fresh location = recreate the shape)
+    ddl2 = ddl.replace(str(tmp_path / "sp"), str(tmp_path / "sp2"))
+    ddl2 = ddl2.replace("CREATE TABLE db.sp", "CREATE TABLE db.sp2")
+    clone = r.sql(ddl2)
+    assert clone.partition_col == "p" and clone.key_cols == ["k"]
+
+    # transform spelling round-trips too
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.transforms import (
+        bucket,
+    )
+    bt = ParquetLakeTable(spark, str(tmp_path / "bt"), key_cols=["k"],
+                          partition_by=bucket("k", 8))
+    bt.create(spark.createDataFrame([(1, 10)], "k long, v int"))
+    r.register("db.bt", bt)
+    bddl = r.sql("SHOW CREATE TABLE db.bt").collect()[0]["createtab_stmt"]
+    assert "bucket(8, k)" in bddl

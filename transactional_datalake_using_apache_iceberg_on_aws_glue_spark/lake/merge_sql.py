@@ -118,6 +118,10 @@ the grammar)::
     SHOW TABLES [IN db] [LIKE 'pat']  /  DESC[RIBE] [EXTENDED] t
         (registry-served — the reference's own existence probe,
         spark_sql_merge_into_iceberg.py:91, as SQL)
+    SHOW PARTITIONS t        (manifest-served, no file listing)
+    SHOW CREATE TABLE t      (round-trips through this grammar)
+    EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] SELECT ...
+        (explains the REWRITTEN statement — the executed plan)
     ALTER TABLE t ADD|RENAME|DROP COLUMN ... / ALTER COLUMN ... TYPE ...
     ALTER TABLE t ADD|DROP|REPLACE PARTITION FIELD <spec>
     ALTER TABLE t CREATE|DROP BRANCH|TAG <name>
@@ -619,6 +623,8 @@ class MergeSqlRunner:
             return self._run_show(statement)
         if head.startswith("DESC"):
             return self._run_describe(statement)
+        if head.startswith("EXPLAI"):
+            return self._run_explain(statement)
         if head.startswith("ALTER"):
             return self._run_alter(statement)
         if head.startswith("CALL"):
@@ -833,7 +839,13 @@ class MergeSqlRunner:
         registered name colliding with an out-of-scope inner CTE
         alias fails loudly in Spark rather than silently rebinding —
         qualify the reference to disambiguate."""
+        return self.spark.sql(self._rewrite(statement))
 
+    def _rewrite(self, statement: str) -> str:
+        """The text-level resolution behind :meth:`query` (and
+        ``EXPLAIN``): returns the statement with every registered-ref
+        / time-travel / metadata clause substituted by a pinned temp
+        view, leaving everything else for Spark."""
         masked0 = _mask_strings(statement)
         cte_names = _collect_cte_names(masked0)
         from_commas: set = set()
@@ -998,7 +1010,7 @@ class MergeSqlRunner:
             from_commas.clear()
             from_commas.update(_from_comma_positions(masked))
             rewritten = _sub_spans(regex, rewritten, masked, sub)
-        return self.spark.sql(rewritten)
+        return rewritten
 
     @staticmethod
     def _resolve_ref_version(table: ParquetLakeTable, lit: str,
@@ -1775,6 +1787,28 @@ class MergeSqlRunner:
 
     # -- SHOW TABLES / DESCRIBE (registry-served catalog surface) --------
 
+    def _run_explain(self, statement: str) -> DataFrame:
+        """``EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] <SELECT ...>``
+        — the inner statement runs through the same rewrites
+        :meth:`query` applies (time travel, metadata tables,
+        registered refs, CTE precedence), then Spark explains the
+        REWRITTEN text: the plan a user inspects is the plan the
+        engine executes, in Spark's own output shape (one ``plan``
+        string column)."""
+        m = re.match(
+            r"^\s*EXPLAIN\s+"
+            r"(?P<mode>(?:EXTENDED|FORMATTED|CODEGEN|COST)\s+)?"
+            r"(?P<inner>(?:SELECT|WITH)\b.+?)\s*;?\s*$",
+            statement, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise MergeSqlError(
+                "unsupported EXPLAIN; expected EXPLAIN [EXTENDED|"
+                "FORMATTED|CODEGEN|COST] SELECT ...")
+        mode = (m.group("mode") or "").strip()
+        return self.spark.sql(
+            f"EXPLAIN {mode + ' ' if mode else ''}"
+            f"{self._rewrite(m.group('inner'))}")
+
     def _run_show(self, statement: str) -> DataFrame:
         """``SHOW TABLES [IN|FROM <db>] [LIKE '<pat>']`` answered from
         THIS RUNNER'S registry — no Spark catalog involved (the
@@ -1784,7 +1818,24 @@ class MergeSqlRunner:
         Output schema matches Spark's: (namespace, tableName,
         isTemporary). ``IN db`` matches the namespace exactly or by
         trailing segment(s) (``IN cdc_db`` finds ``demo.cdc_db.t``);
-        LIKE takes Spark's ``*`` wildcard / ``|`` alternation."""
+        LIKE takes Spark's ``*`` wildcard / ``|`` alternation.
+
+        ``SHOW PARTITIONS <t>`` and ``SHOW CREATE TABLE <t>`` are
+        served too: partitions from the manifest-built metadata table
+        (one ``<col>=<value>`` row per stored partition, Spark's
+        output shape), the DDL reconstructed from the manifest schema
+        + spec + registration (round-trips through this runner's own
+        CREATE TABLE grammar)."""
+        pm = re.match(
+            r"^\s*SHOW\s+PARTITIONS\s+(?P<target>[\w.`]+)\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if pm:
+            return self._run_show_partitions(pm)
+        cm = re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<target>[\w.`]+)\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if cm:
+            return self._run_show_create(cm)
         m = re.match(
             r"^\s*SHOW\s+TABLES"
             r"(?:\s+(?:IN|FROM)\s+(?P<db>[\w.`]+))?"
@@ -1793,7 +1844,8 @@ class MergeSqlRunner:
         if not m:
             raise MergeSqlError(
                 "unsupported SHOW; expected SHOW TABLES [IN <db>] "
-                "[LIKE '<pattern>']")
+                "[LIKE '<pattern>'], SHOW PARTITIONS <t>, or "
+                "SHOW CREATE TABLE <t>")
         db = None if m.group("db") is None else \
             self._norm_ident(m.group("db"))
         pat = None
@@ -1819,6 +1871,63 @@ class MergeSqlRunner:
             T.StructField("namespace", T.StringType(), False),
             T.StructField("tableName", T.StringType(), False),
             T.StructField("isTemporary", T.BooleanType(), False)]))
+
+    @staticmethod
+    def _spec_spelling(table: ParquetLakeTable) -> str | None:
+        """The PARTITIONED BY spelling of the table's current spec —
+        the same grammar :meth:`_parse_spec` consumes (identity column
+        or Iceberg transform call), so SHOW CREATE TABLE round-trips
+        through this runner's own CREATE TABLE."""
+        tr = table.partition_transform
+        if tr is not None:
+            kind = type(tr).__name__.lstrip("_").lower()
+            if kind == "bucket":
+                return f"bucket({tr.n}, {tr.source_col})"
+            if kind == "truncate":
+                return f"truncate({tr.width}, {tr.source_col})"
+            return f"{kind}({tr.source_col})"
+        return table.partition_col
+
+    def _run_show_partitions(self, m: re.Match) -> DataFrame:
+        """``SHOW PARTITIONS <t>`` — one ``<col>=<value>`` row per
+        stored partition (Spark's output shape), served from the
+        manifest-built ``partitions`` metadata table: no file listing,
+        no job proportional to data."""
+        table = self._resolve(m.group("target"))
+        if table.partition_col is None:
+            raise MergeSqlError(
+                f"SHOW PARTITIONS: table {m.group('target')!r} is not "
+                "partitioned")
+        pcol = table.partition_col
+        return (table.metadata("partitions")
+                .select(F.concat(F.lit(f"{pcol}="), F.col("partition"))
+                        .alias("partition"))
+                .orderBy("partition"))
+
+    def _run_show_create(self, m: re.Match) -> DataFrame:
+        """``SHOW CREATE TABLE <t>`` — the DDL reconstructed from the
+        manifest schema + current spec + handle options, in this
+        runner's own CREATE TABLE grammar (re-running the returned
+        statement on a fresh location recreates the table shape)."""
+        table = self._resolve(m.group("target"))
+        ident = self._norm_ident(m.group("target"))
+        schema = table.read_data().schema
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in schema.fields)
+        spec = self._spec_spelling(table)
+        ddl = (f"CREATE TABLE {ident} ({cols}) USING lake "
+               f"LOCATION '{table.path}'")
+        if spec is not None:
+            ddl += f" PARTITIONED BY ({spec})"
+        ddl += (f" TBLPROPERTIES ("
+                f"'key_cols'='{','.join(table.key_cols)}', "
+                f"'merge_mode'='{table.merge_mode}')")
+        from pyspark.sql import types as T
+
+        return self.spark.createDataFrame(
+            [(ddl,)], T.StructType(
+                [T.StructField("createtab_stmt", T.StringType(),
+                               False)]))
 
     def _run_describe(self, statement: str) -> DataFrame:
         """``DESC[RIBE] [TABLE] [EXTENDED] <ident>`` served from the
