@@ -907,7 +907,6 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         frame chunk that defies vectorized conversion salvages
         through the exact per-value converters, so fallback
         granularity is the chunk, not the task."""
-        import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
         try:
