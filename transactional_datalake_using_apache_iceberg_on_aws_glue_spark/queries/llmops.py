@@ -45,24 +45,16 @@ def _index_location(sf_dir: str) -> str:
 def ensure_vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
     """Build-if-absent the persisted ANN index — the WRITE-TIME step.
     Call this from setup (bench warmup, test fixtures, ingest hooks);
-    the ANN queries themselves only probe. Concurrent builders race via
-    build-to-tempdir + atomic rename; losers discard their build."""
-    import os
-    import shutil
-
-    final = _index_location(sf_dir)
-    idx = VectorIndex(spark, final, planes=8, n_cells=16)
+    the ANN queries themselves only probe. Concurrent builders are safe
+    without any local-FS rename dance (r12): each build lands in its
+    own generation directory and VectorIndex publishes it with an
+    atomic-visibility pointer swap in meta.json — losers' generations
+    become orphans reclaimed by VectorIndex.vacuum()."""
+    idx = VectorIndex(spark, _index_location(sf_dir), planes=8, n_cells=16)
     if idx.exists():
         return idx
-    tmp = f"{final}.build-{os.getpid()}"
-    builder = VectorIndex(spark, tmp, planes=8, n_cells=16)
     emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
-    builder.build(emb.filter(F.col("vec_id") != 0))
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    idx.build(emb.filter(F.col("vec_id") != 0))
     return idx
 
 

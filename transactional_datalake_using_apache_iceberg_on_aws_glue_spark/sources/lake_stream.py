@@ -194,7 +194,9 @@ def move_cap_events(path: str) -> list:
 
 
 def _fs_and_root(path: str):
-    """Resolve the table path to ``(pyarrow.fs.FileSystem, root)``.
+    """Resolve the table path to ``(pyarrow.fs.FileSystem, root)`` —
+    shared grammar in :mod:`..fsutil` since r12 (the vector index
+    needed the identical resolution; one definition, two callers).
 
     - ``subtree:<base>!<rel>`` — chroot wrapper over the local FS;
       paths handed to the fs are RELATIVE to ``base``, so any stray
@@ -203,14 +205,9 @@ def _fs_and_root(path: str):
     - ``scheme://...`` — whatever ``FileSystem.from_uri`` supports;
     - anything else — the local filesystem.
     """
-    from pyarrow import fs as pafs
+    from ..fsutil import fs_and_root
 
-    if path.startswith("subtree:"):
-        base, _, rel = path[len("subtree:"):].partition("!")
-        return pafs.SubTreeFileSystem(base, pafs.LocalFileSystem()), rel
-    if "://" in path:
-        return pafs.FileSystem.from_uri(path)
-    return pafs.LocalFileSystem(), path
+    return fs_and_root(path)
 
 
 def _read_text(path: str, *parts: str) -> str:
