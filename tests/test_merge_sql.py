@@ -431,8 +431,10 @@ def test_alter_table_partition_field(spark, tmp_path):
 
 def test_alter_table_guards(spark, runner):
     r, _ = runner
+    # SET TBLPROPERTIES became a real statement in r12 — the guard now
+    # pins a clause that stays out of subset
     with pytest.raises(MergeSqlError, match="unsupported ALTER TABLE clause"):
-        r.sql("ALTER TABLE demo.cdc_db.retail_trans SET TBLPROPERTIES ('a'='b')")
+        r.sql("ALTER TABLE demo.cdc_db.retail_trans SET LOCATION '/elsewhere'")
     with pytest.raises(ValueError, match="already exists"):
         r.sql("ALTER TABLE demo.cdc_db.retail_trans ADD COLUMN amount int")
 
@@ -1910,6 +1912,39 @@ def test_pinned_view_reuse_isolation_and_healing(spark, runner):
         spark.catalog.dropTempView(v)
     assert r.query(sel).collect()[0]["n"] == 5
     assert r.query(asof).collect()[0]["n"] == 3
+
+
+def test_pinned_view_rebinding_no_crosstalk(spark, tmp_path):
+    """advisor r12 (medium): pins are keyed by (identifier, version)
+    in the view NAME, and version numbers collide trivially (every
+    table starts at v1) — rebinding an identifier to a DIFFERENT table
+    (same runner via register(), or a second runner in the same Spark
+    session) must not reuse the first table's still-live pin. The fix
+    keys the name by the storage path too."""
+    a = ParquetLakeTable(spark, str(tmp_path / "a"), key_cols=["k"],
+                         partition_col=None)
+    a.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    b = ParquetLakeTable(spark, str(tmp_path / "b"), key_cols=["k"],
+                         partition_col=None)
+    b.create(spark.createDataFrame([(1, "b"), (2, "b")], "k long, v string"))
+
+    r = MergeSqlRunner(spark)
+    r.register("reb", a)
+    sel = "SELECT COUNT(*) AS n FROM reb"
+    assert r.query(sel).collect()[0]["n"] == 1  # pins a@v1
+    r.register("reb", b)  # REBIND: same ident, same version number
+    assert r.query(sel).collect()[0]["n"] == 2  # must read b, not a's pin
+    # VERSION AS OF pin, cross-runner: both tables are at v1
+    r2 = MergeSqlRunner(spark)
+    r2.register("reb", a)
+    asof = "SELECT COUNT(*) AS n FROM reb VERSION AS OF 1"
+    assert r.query(asof).collect()[0]["n"] == 2   # b@v1 via r
+    assert r2.query(asof).collect()[0]["n"] == 1  # a@v1 via r2
+    # metadata pin with an explicit version: same collision shape —
+    # each runner's reb.files must describe ITS table's rows
+    q = "SELECT SUM(record_count) AS n FROM reb.files VERSION AS OF 1"
+    assert r.query(q).collect()[0]["n"] == 2   # b's file stats
+    assert r2.query(q).collect()[0]["n"] == 1  # a's file stats
 
 
 def test_from_values_tuple_commas_not_hijacked(spark, runner):

@@ -211,7 +211,14 @@ class MaterializedRollup:
                "last_batch_id": None, "last_route": None,
                "cursor": None, "updated_at_ms": None}
         if self.fs.exists(f):
-            out.update(json.loads(self.fs.read_text(f)))
+            # sidecar WRITES are best-effort by policy; READS match:
+            # a torn/corrupt sidecar (non-atomic replace on some
+            # remote fs implementations) degrades to zeroed counters
+            # instead of failing the SQL route (advisor r12)
+            try:
+                out.update(json.loads(self.fs.read_text(f)))
+            except (ValueError, OSError):
+                pass
         return out
 
     # -- maintenance -----------------------------------------------------
@@ -1097,9 +1104,17 @@ class StreamingRollupMaintainer:
         self._stats_file = os.path.join(feed_dir, MAINT_STATS_FILE)
         self._lifetime = {"folded": 0, "fallback": 0, "skipped": 0}
         if rollup.fs.exists(self._stats_file):
-            persisted = json.loads(rollup.fs.read_text(self._stats_file))
-            for k in self._lifetime:
-                self._lifetime[k] = int(persisted.get(k, 0))
+            # best-effort like the writes: a torn sidecar must not
+            # fail maintainer CONSTRUCTION — counters restart at zero
+            # and the next batch rewrites a whole document (advisor
+            # r12; 'observability must never fail the stream')
+            try:
+                persisted = json.loads(
+                    rollup.fs.read_text(self._stats_file))
+                for k in self._lifetime:
+                    self._lifetime[k] = int(persisted.get(k, 0))
+            except (ValueError, TypeError, OSError):
+                pass
 
     def _record(self, route: str, batch_id: int) -> None:
         """Count one batch on ``route`` (session + lifetime) and

@@ -119,20 +119,28 @@ the grammar)::
         (registry-served — the reference's own existence probe,
         spark_sql_merge_into_iceberg.py:91, as SQL)
     SHOW PARTITIONS t        (manifest-served, no file listing)
-    SHOW CREATE TABLE t      (round-trips through this grammar)
+    SHOW CREATE TABLE t      (round-trips through this grammar,
+                              persisted TBLPROPERTIES included)
+    SHOW TBLPROPERTIES t [('key')]   (persisted map + intrinsics)
     EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] SELECT ...
         (explains the REWRITTEN statement — the executed plan)
     ALTER TABLE t ADD|RENAME|DROP COLUMN ... / ALTER COLUMN ... TYPE ...
     ALTER TABLE t ADD|DROP|REPLACE PARTITION FIELD <spec>
+    ALTER TABLE t SET|UNSET TBLPROPERTIES (...)   (metadata commits)
     ALTER TABLE t CREATE|DROP BRANCH|TAG <name>
     CALL [cat.]system.expire_snapshots | rollback_to_snapshot |
          rewrite_data_files | fast_forward | remove_orphan_files |
-         compute_table_stats | create_changelog_view (...)
+         rewrite_manifests | compute_table_stats |
+         create_changelog_view (...)
     CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv USING lake
         LOCATION '...' AS SELECT g, COUNT(*), SUM(c) FROM t GROUP BY g
     REFRESH MATERIALIZED VIEW mv  /  DROP MATERIALIZED VIEW [IF EXISTS] mv
     SELECT ... FROM t [FOR] VERSION AS OF <v | 'tag' | 'branch'>
-               ... FROM t [FOR] TIMESTAMP AS OF <'iso-ts' | millis>
+               ... FROM t [FOR] TIMESTAMP AS OF <'iso-ts' | int>
+                   (bare integers >= 1e12 read as epoch MILLIS,
+                    smaller as epoch SECONDS — crossover 2001-09-09;
+                    pre-2001 epoch-millis literals must be spelled as
+                    an ISO timestamp instead)
                ... FROM t.history|snapshots|refs|files|partitions
                    (metadata tables; files/partitions take an optional
                    VERSION AS OF pin)
@@ -874,7 +882,7 @@ class MergeSqlRunner:
             table = self._tables[norm]
             kind = m.group("kind").upper()
             lit = orig("lit").strip()
-            safe = re.sub(r"\W+", "_", norm)
+            safe = self._safe_name(norm, table)
             try:
                 if kind in ("VERSION", "SYSTEM_VERSION"):
                     if re.match(r"^\d+$", lit):
@@ -958,7 +966,7 @@ class MergeSqlRunner:
             if v is not None and v.startswith("'"):
                 # quoted ref: resolve the tag/branch head to a version
                 v = str(self._resolve_ref_version(table, v, ident))
-            safe = re.sub(r"\W+", "_", norm)
+            safe = self._safe_name(norm, table)
             view = f"__lake_meta_{safe}_{kind}" + (
                 "" if v is None else f"_v{v}")
             # version-PINNED metadata (files/partitions AS OF v) is
@@ -989,7 +997,7 @@ class MergeSqlRunner:
             if mref is None:
                 return orig(0)  # no committed snapshot: let Spark err
             version = mref["version"]
-            safe = re.sub(r"\W+", "_", norm)
+            safe = self._safe_name(norm, table)
             view = f"__lake_cur_{safe}_v{version}"
             # same-version pins are immutable: repeated statements over
             # an unchanged table reuse the live view instead of
@@ -1028,6 +1036,23 @@ class MergeSqlRunner:
                     f"VERSION AS OF {lit}: no tag or branch named "
                     f"{name!r} on {ident!r}") from None
             return version
+
+    @staticmethod
+    def _safe_name(norm: str, table: ParquetLakeTable) -> str:
+        """Identifier slug + table-identity token for pinned temp view
+        names. Pins are keyed by (identifier, version) IN THE NAME, but
+        ``register()`` may REBIND an identifier to a DIFFERENT table
+        whose version numbers collide trivially (every table starts at
+        v1) — without the token, the r11 reuse path would serve the old
+        table's still-live view for the new binding (advisor r12,
+        medium). A short hash of the storage path makes the pin's name
+        track the table it actually reads; two runners binding the same
+        name to the SAME path still share pins, which is the intended
+        cross-runner reuse."""
+        import hashlib
+
+        tok = hashlib.md5(str(table.path).encode()).hexdigest()[:8]
+        return re.sub(r"\W+", "_", norm) + "_" + tok
 
     def _reuse_view(self, view: str, fresh: set) -> bool:
         """True when ``view`` — a VERSION-PINNED temp view name (the
@@ -1536,6 +1561,8 @@ class MergeSqlRunner:
             ALTER TABLE t ADD PARTITION FIELD <spec>
             ALTER TABLE t DROP PARTITION FIELD <spec>
             ALTER TABLE t REPLACE PARTITION FIELD <old> WITH <spec>
+            ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)
+            ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)
 
         ``<spec>`` is a column name (identity) or a transform call:
         ``days(ts)``, ``months(ts)``, ``hours(ts)``, ``bucket(16, id)``,
@@ -1550,6 +1577,32 @@ class MergeSqlRunner:
         table = self._resolve(m.group("target"))
         rest = re.sub(r"\s+", " ", m.group("rest")).strip()
 
+        mm = re.match(r"^SET\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*$",
+                      rest, re.IGNORECASE | re.DOTALL)
+        if mm:
+            try:
+                table.set_properties(self._parse_props(mm.group("props")))
+            except ValueError as exc:
+                raise MergeSqlError(str(exc)) from None
+            return
+        mm = re.match(r"^UNSET\s+TBLPROPERTIES\s*"
+                      r"(?P<ife>IF\s+EXISTS\s+)?\((?P<keys>.+)\)\s*$",
+                      rest, re.IGNORECASE | re.DOTALL)
+        if mm:
+            keys = []
+            for piece in _split_top_level(mm.group("keys")):
+                km = re.match(r"^'([^']+)'$", piece.strip())
+                if not km:
+                    raise MergeSqlError(
+                        f"bad UNSET TBLPROPERTIES key {piece!r}; "
+                        "expected a quoted list: ('k1', 'k2')")
+                keys.append(km.group(1).lower())
+            try:
+                table.unset_properties(keys,
+                                       if_exists=bool(mm.group("ife")))
+            except ValueError as exc:
+                raise MergeSqlError(str(exc)) from None
+            return
         mm = re.match(r"^ADD\s+COLUMNS?\s+\(?\s*(?P<name>\w+)\s+"
                       r"(?P<type>[\w<>,() ]+?)\s*\)?$", rest, re.IGNORECASE)
         if mm:
@@ -1728,12 +1781,56 @@ class MergeSqlRunner:
         merge_mode = props.get("merge_mode", "cow")
         table = ParquetLakeTable(
             self.spark, m.group("loc"), key_cols=keys,
-            merge_mode=merge_mode, **kwargs,
+            merge_mode=merge_mode, properties=props, **kwargs,
         )
         if table._manifest() is None:
             # declared-schema commit: empty snapshot pinning the schema
             table.create(self.spark.createDataFrame([], schema))
+        else:
+            # location already committed: this is a RE-ATTACH — the
+            # committed table's recorded config wins over the
+            # statement's (advisor r12)
+            table = self._reattach_validated(table, props,
+                                             m.group("target"), kwargs)
         self.register(ident, table)
+        return table
+
+    def _reattach_validated(self, table: ParquetLakeTable, props: dict,
+                            disp: str, kwargs: dict) -> ParquetLakeTable:
+        """CREATE/CTAS over a location that already holds a committed
+        table re-attaches it. The handle must take the COMMITTED
+        table's recorded key_cols/merge_mode, not this statement's
+        TBLPROPERTIES (advisor r12: a mismatched statement silently
+        misconfigured the handle — wrong merge keys corrupt the next
+        MERGE). Statement properties that EXPLICITLY conflict with the
+        recorded config error; statements that omit them adopt it.
+        Pre-r12 manifests record no properties — the statement's
+        config stands, as before."""
+        persisted = (table._manifest() or {}).get("properties")
+        if not persisted:
+            return table
+        p_keys = [k.strip() for k in
+                  persisted.get("key_cols", "").split(",") if k.strip()]
+        p_mode = persisted.get("merge_mode", "cow")
+        stated = props.get("key_cols", props.get("primary_key"))
+        if stated is not None:
+            stated_keys = [k.strip() for k in stated.split(",")]
+            if p_keys and stated_keys != p_keys:
+                raise MergeSqlError(
+                    f"cannot re-attach {disp!r}: statement declares "
+                    f"key_cols={stated_keys} but the committed table "
+                    f"recorded {p_keys}")
+        if "merge_mode" in props and props["merge_mode"] != p_mode:
+            raise MergeSqlError(
+                f"cannot re-attach {disp!r}: statement declares "
+                f"merge_mode={props['merge_mode']!r} but the committed "
+                f"table recorded {p_mode!r}")
+        if (p_keys and table.key_cols != p_keys) \
+                or table.merge_mode != p_mode:
+            table = ParquetLakeTable(
+                self.spark, table.path,
+                key_cols=p_keys or table.key_cols,
+                merge_mode=p_mode, **kwargs)
         return table
 
     def _run_ctas(self, m: re.Match) -> ParquetLakeTable:
@@ -1762,16 +1859,22 @@ class MergeSqlRunner:
             kwargs["partition_col"] = None
         table = ParquetLakeTable(
             self.spark, m.group("loc"), key_cols=keys,
-            merge_mode=props.get("merge_mode", "cow"), **kwargs,
+            merge_mode=props.get("merge_mode", "cow"), properties=props,
+            **kwargs,
         )
         if table._manifest() is not None:
             # location already holds a committed table: CTAS must not
-            # silently merge into it (IF NOT EXISTS re-attaches)
+            # silently merge into it (IF NOT EXISTS re-attaches under
+            # the COMMITTED config, erroring on explicit conflicts —
+            # the AS SELECT source is ignored, Spark's CTAS IF NOT
+            # EXISTS skip semantics)
             if not m.group("ine"):
                 raise MergeSqlError(
                     f"CTAS location {m.group('loc')!r} already holds a "
                     "committed table; use IF NOT EXISTS to re-attach "
                     "or INSERT INTO to add rows")
+            table = self._reattach_validated(table, props,
+                                             m.group("target"), kwargs)
             self.register(ident, table)
             return table
         table.create(self.spark.createDataFrame([], df.schema))
@@ -1836,6 +1939,12 @@ class MergeSqlRunner:
             statement, re.IGNORECASE)
         if cm:
             return self._run_show_create(cm)
+        tm = re.match(
+            r"^\s*SHOW\s+TBLPROPERTIES\s+(?P<target>[\w.`]+)"
+            r"(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if tm:
+            return self._run_show_tblproperties(tm)
         m = re.match(
             r"^\s*SHOW\s+TABLES"
             r"(?:\s+(?:IN|FROM)\s+(?P<db>[\w.`]+))?"
@@ -1844,7 +1953,8 @@ class MergeSqlRunner:
         if not m:
             raise MergeSqlError(
                 "unsupported SHOW; expected SHOW TABLES [IN <db>] "
-                "[LIKE '<pattern>'], SHOW PARTITIONS <t>, or "
+                "[LIKE '<pattern>'], SHOW PARTITIONS <t>, "
+                "SHOW TBLPROPERTIES <t> [('key')], or "
                 "SHOW CREATE TABLE <t>")
         db = None if m.group("db") is None else \
             self._norm_ident(m.group("db"))
@@ -1904,6 +2014,36 @@ class MergeSqlRunner:
                         .alias("partition"))
                 .orderBy("partition"))
 
+    def _run_show_tblproperties(self, m: re.Match) -> DataFrame:
+        """``SHOW TBLPROPERTIES <t> [('key')]`` — the persisted
+        property map (user keys + the engine intrinsics recorded at
+        create). Output shape matches Spark's: (key, value) rows
+        sorted by key, or a single (value) row for the keyed form.
+        A missing key errors (documented divergence from Spark, which
+        returns a does-not-have-property MESSAGE as the value — an
+        error is machine-checkable; the message row is not)."""
+        from pyspark.sql import types as T
+
+        table = self._resolve(m.group("target"))
+        try:
+            props = table.properties()
+        except ValueError as exc:
+            raise MergeSqlError(
+                f"SHOW TBLPROPERTIES {m.group('target')}: {exc}"
+            ) from None
+        if m.group("key") is not None:
+            k = m.group("key").lower()
+            if k not in props:
+                raise MergeSqlError(
+                    f"table {m.group('target')!r} has no property {k!r}")
+            return self.spark.createDataFrame(
+                [(props[k],)], T.StructType(
+                    [T.StructField("value", T.StringType(), False)]))
+        return self.spark.createDataFrame(
+            sorted(props.items()), T.StructType(
+                [T.StructField("key", T.StringType(), False),
+                 T.StructField("value", T.StringType(), False)]))
+
     def _run_show_create(self, m: re.Match) -> DataFrame:
         """``SHOW CREATE TABLE <t>`` — the DDL reconstructed from the
         manifest schema + current spec + handle options, in this
@@ -1919,9 +2059,15 @@ class MergeSqlRunner:
                f"LOCATION '{table.path}'")
         if spec is not None:
             ddl += f" PARTITIONED BY ({spec})"
-        ddl += (f" TBLPROPERTIES ("
-                f"'key_cols'='{','.join(table.key_cols)}', "
-                f"'merge_mode'='{table.merge_mode}')")
+        # persisted map (r12) — user properties round-trip through the
+        # emitted DDL; legacy tables fall back to handle intrinsics
+        try:
+            props = table.properties()
+        except ValueError:
+            props = {"key_cols": ",".join(table.key_cols),
+                     "merge_mode": table.merge_mode}
+        ddl += " TBLPROPERTIES (" + ", ".join(
+            f"'{k}'='{v}'" for k, v in sorted(props.items())) + ")"
         from pyspark.sql import types as T
 
         return self.spark.createDataFrame(
@@ -1978,6 +2124,14 @@ class MergeSqlRunner:
                      ("Merge Mode", table.merge_mode, None),
                      ("Current Version",
                       "" if mf is None else str(mf["version"]), None)]
+            user_props = {
+                k: v for k, v in ((mf or {}).get("properties")
+                                  or {}).items()
+                if k not in ("key_cols", "merge_mode")}
+            if user_props:  # Spark's [k=v, ...] spelling
+                rows.append(("Table Properties", "[" + ", ".join(
+                    f"{k}={v}" for k, v in sorted(user_props.items()))
+                    + "]", None))
         from pyspark.sql import types as T
 
         return self.spark.createDataFrame(rows, T.StructType([
@@ -2317,6 +2471,7 @@ class MergeSqlRunner:
                  [, sort_order => 'zorder(c1, c2)'])
             CALL system.fast_forward('t', 'branch')
             CALL system.remove_orphan_files(table => 't')
+            CALL system.rewrite_manifests(table => 't')
 
         Positional or ``name => value`` arguments; the table argument
         resolves through the registry like every DML target. Returns
@@ -2378,6 +2533,12 @@ class MergeSqlRunner:
         elif proc == "remove_orphan_files":
             # orphan sweep only: protect every live snapshot
             run = lambda: table.expire_snapshots(keep_last=10 ** 9)  # noqa: E731
+        elif proc == "rewrite_manifests":
+            # compact the manifest itself (r12): force inline per-file
+            # stats out into content-addressed statsext sidecars so the
+            # per-commit manifest rewrite stays O(batch) on tables
+            # grown through many small commits
+            run = lambda: table.rewrite_manifests()  # noqa: E731
         elif proc == "compute_table_stats":
             cols = arg("columns", 1)
             col_list = (None if cols is None else
@@ -2416,8 +2577,8 @@ class MergeSqlRunner:
             raise MergeSqlError(
                 f"unknown procedure {proc!r}; supported: expire_snapshots, "
                 "rollback_to_snapshot, rewrite_data_files, fast_forward, "
-                "remove_orphan_files, compute_table_stats, "
-                "create_changelog_view"
+                "remove_orphan_files, rewrite_manifests, "
+                "compute_table_stats, create_changelog_view"
             )
         if named:
             raise MergeSqlError(

@@ -164,6 +164,14 @@ def _spec_load(d: dict) -> tuple[str | None, Transform | None]:
 #: inline in the manifest
 _STATS_FILE_KEYS = ("files", "file_rows", "file_sizes")
 
+#: table properties the ENGINE owns: recorded in the manifest at
+#: create time from constructor config, consulted on re-attach
+#: (CTAS/CREATE over an existing location validates against them),
+#: and rejected by set/unset_properties — changing the merge key or
+#: write mode through a property write would desynchronize every open
+#: handle (Iceberg reserves its engine properties the same way)
+RESERVED_PROPERTIES = ("key_cols", "merge_mode")
+
 #: sentinel distinguishing "caller passed no pruning set" from
 #: "caller determined the span is unprunable (None)" in
 #: ``read_changes(_prune=...)`` — plain None is a meaningful value
@@ -406,6 +414,7 @@ class ParquetLakeTable:
         ref: str = "main",
         orphan_grace_ms: int = 86_400_000,
         stats_ext_threshold: int | None = 262_144,
+        properties: dict | None = None,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
@@ -456,6 +465,13 @@ class ParquetLakeTable:
         #: millions of files (r8). Readers handle both forms
         #: regardless of this handle's setting.
         self.stats_ext_threshold = stats_ext_threshold
+        #: user table properties seeded at CREATE time (persisted in
+        #: the manifest from the first commit; RESERVED_PROPERTIES are
+        #: intrinsic config recorded by the engine itself and are
+        #: silently dropped here — they come from the constructor args)
+        self.extra_properties = {
+            k: str(v) for k, v in (properties or {}).items()
+            if k not in RESERVED_PROPERTIES}
         #: sidecar blobs are immutable + content-addressed: memoize
         #: loads per handle
         self._statsext_cache: dict = {}
@@ -688,7 +704,8 @@ class ParquetLakeTable:
                 slice_specs: dict | None = None,
                 delta_stats: dict | None = None,
                 delta_files: dict | None = None,
-                table_stats: dict | None = None) -> int:
+                table_stats: dict | None = None,
+                properties: dict | None = None) -> int:
         """Publish a new version. The EXCLUSIVE CREATE of the version
         manifest is the atomic claim (O_CREAT|O_EXCL locally,
         conditional PUT on an object store): two racing writers both
@@ -749,6 +766,12 @@ class ParquetLakeTable:
             # table-level NDV stats (compute_stats) ride along until
             # recomputed — consumers see computed_at_version staleness
             table_stats = (prev or {}).get("table_stats")
+        if properties is None:
+            # table properties (r12): set once at create / by
+            # set_properties commits, carried forward verbatim by
+            # every other commit (pre-r12 manifests carry None and
+            # properties() synthesizes intrinsics from the handle)
+            properties = (prev or {}).get("properties")
         # Iceberg-style record accounting in the commit summary (r6):
         # total-records across base footer counts + outstanding delta
         # observations, set only when every referenced entry carries a
@@ -798,6 +821,7 @@ class ParquetLakeTable:
             "delta_stats": delta_stats,
             "delta_files": delta_files,
             "table_stats": table_stats,
+            "properties": properties,
         }
         new_v = base_version + 1
         while True:
@@ -1706,10 +1730,14 @@ class ParquetLakeTable:
         data = self._with_lineage(df)  # also derives the partition transform column
         snap = self._next_dirname("snap")
         written = self._write_files(data, snap)
+        props = {"key_cols": ",".join(self.key_cols),
+                 "merge_mode": self.merge_mode}
+        props.update(self.extra_properties)
         self._commit(
             base_v, "create", {v: snap for v in written}, [], data.schema,
             summary={"partitions": len(written)},
             stats=self._collect_key_stats(snap, written),
+            properties=props,
         )
 
     def hidden_partition_cols(self) -> list[str]:
@@ -1860,6 +1888,107 @@ class ParquetLakeTable:
         current manifest (None when never analyzed). Pure metadata."""
         m = self._manifest()
         return None if m is None else m.get("table_stats")
+
+    # -- table properties (r12: SHOW/ALTER TBLPROPERTIES parity) ---------
+
+    def properties(self) -> dict:
+        """The table's persisted property map (Iceberg table
+        properties): user keys set at create / by
+        :meth:`set_properties`, plus the engine-owned intrinsics
+        (``key_cols``, ``merge_mode``) recorded at create time.
+        Pre-r12 manifests carry no map — intrinsics synthesize from
+        THIS handle's config, and the first ``set_properties`` commit
+        persists them. Raises when the table has never committed."""
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        props = m.get("properties")
+        if props is None:
+            props = {"key_cols": ",".join(self.key_cols),
+                     "merge_mode": self.merge_mode}
+            props.update(self.extra_properties)
+        return dict(props)
+
+    def set_properties(self, props: dict) -> int:
+        """``ALTER TABLE ... SET TBLPROPERTIES`` — merge ``props`` into
+        the persisted map by a metadata-only commit. Engine-owned keys
+        (:data:`RESERVED_PROPERTIES`) are rejected: the merge key /
+        write mode cannot be changed by a property write (it would
+        desynchronize every open handle). Returns the new version."""
+        bad = sorted(set(props) & set(RESERVED_PROPERTIES))
+        if bad:
+            raise ValueError(
+                f"propert{'ies' if len(bad) > 1 else 'y'} {bad} "
+                "are engine-owned (set at CREATE TABLE; immutable)")
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        merged = self.properties()
+        merged.update({k: str(v) for k, v in props.items()})
+        return self._commit(
+            m["version"], "set-properties", m["base"], m["deltas"],
+            T.StructType.fromJson(m["schema"]),
+            summary={"set": sorted(props)},
+            stats=m.get("stats", {}), properties=merged,
+        )
+
+    def unset_properties(self, keys: Sequence[str],
+                         if_exists: bool = False) -> int:
+        """``ALTER TABLE ... UNSET TBLPROPERTIES`` — drop keys by a
+        metadata-only commit; missing keys error unless ``if_exists``
+        (Spark's semantics). Engine-owned keys are rejected."""
+        keys = list(keys)
+        bad = sorted(set(keys) & set(RESERVED_PROPERTIES))
+        if bad:
+            raise ValueError(
+                f"propert{'ies' if len(bad) > 1 else 'y'} {bad} "
+                "are engine-owned and cannot be unset")
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        merged = self.properties()
+        missing = sorted(k for k in keys if k not in merged)
+        if missing and not if_exists:
+            raise ValueError(
+                f"table has no propert{'ies' if len(missing) > 1 else 'y'}"
+                f" {missing} (use IF EXISTS to ignore)")
+        for k in keys:
+            merged.pop(k, None)
+        return self._commit(
+            m["version"], "unset-properties", m["base"], m["deltas"],
+            T.StructType.fromJson(m["schema"]),
+            summary={"unset": sorted(keys)},
+            stats=m.get("stats", {}), properties=merged,
+        )
+
+    def rewrite_manifests(self) -> dict:
+        """Iceberg ``CALL system.rewrite_manifests`` parity, applied to
+        this engine's manifest shape: force every partition entry's
+        inline FILE-level stats triple out into the content-addressed
+        ``_versions/statsext/`` sidecars (threshold 0 — commits only
+        externalize above ``stats_ext_threshold``, so a table grown
+        through many small commits can carry megabytes of inline file
+        stats that every future manifest rewrite re-serializes). The
+        slimmed manifest commits as a metadata-only version; a no-op
+        (everything already external or stat-less) commits nothing.
+        Returns ``{"externalized_entries": n, "version": v}``."""
+        m = self._manifest()
+        if m is None:
+            raise ValueError("table has no committed versions")
+        before = m.get("stats") or {}
+        inline = [p for p, e in before.items()
+                  if e and e.get("files") and "files_ext" not in e]
+        if not inline:
+            return {"externalized_entries": 0, "version": m["version"]}
+        slimmed = _externalize_stats(self.fs, self._versions_path(),
+                                     before, 0)
+        v = self._commit(
+            m["version"], "rewrite-manifests", m["base"], m["deltas"],
+            T.StructType.fromJson(m["schema"]),
+            summary={"externalized_entries": len(inline)},
+            stats=slimmed,
+        )
+        return {"externalized_entries": len(inline), "version": v}
 
     # -- partition-spec evolution -------------------------------------------
 

@@ -299,8 +299,14 @@ def lake_ctas_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _lake(spark, sf_dir, "cow")
     runner = _CTAS_CACHE.get(sf_dir)
-    if runner is None or not os.path.isdir(
-            runner._tables["ctas.clone"].path):
+    # validity: the clone dir must exist, AND the cached runner must
+    # still point at THIS _lake() build (a regenerated dataset rebuilds
+    # the source at a new tempdir) and THIS SparkSession (advisor r12:
+    # the cached runner pinned the first call's session)
+    if (runner is None or not os.path.isdir(
+            runner._tables["ctas.clone"].path)
+            or runner._tables["ctas.src"].path != src.path
+            or runner.spark is not spark):
         runner = MergeSqlRunner(spark)
         runner.register("ctas.src", src)
         base = tempfile.mkdtemp(prefix="lake_query_ctas_")
