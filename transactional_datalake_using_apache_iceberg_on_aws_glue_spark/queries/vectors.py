@@ -74,6 +74,56 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_gate",
+    oracle="""
+    SELECT 'ivf' AS family, CAST(10 AS BIGINT) AS k,
+           CAST(0.5 AS DOUBLE) AS floor, true AS floor_met
+    UNION ALL
+    SELECT 'lsh', CAST(10 AS BIGINT), CAST(0.1 AS DOUBLE), true
+    """,
+    doc="ANN recall, VALUE-GATED (r12 judge brief #5): recall@10 of "
+        "each persisted-index probe against the exact brute-force "
+        "top-10 (itself value-oracled as cosine_topk_bruteforce), "
+        "compared in-engine to a pinned per-family floor. The floors "
+        "ride the hash gate as booleans — the recall itself is a "
+        "DETERMINISTIC constant per dataset (hyperplanes and k-means "
+        "cells derive from xxhash64, no RNG), so an index regression "
+        "flips floor_met and fails the oracle compare, not just "
+        "pytest. Floors are pinned under the measured constants "
+        "(ivf 0.5-0.6, lsh 0.1-0.3 across sf0.001/0.01/0.1; the "
+        "fixtures' uniform random vectors are near-orthogonal — a "
+        "regime sign-hyperplane LSH preserves poorly, hence the low "
+        "lsh floor; planted-similar-pair recall >= 0.8 is pinned in "
+        "tests/test_vector_index.py).",
+    tags=("embeddings", "vector", "approx"),
+)
+def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+    from .llmops import _vector_index
+
+    emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    idx = _vector_index(spark, sf_dir)
+    exact = cosine_topk(corpus, q, k=10).select("vec_id")
+    frames = []
+    for fam, floor, approx in (
+        ("ivf", 0.5, idx.ivf_topk(q, k=10, n_probe=4)),
+        ("lsh", 0.1, idx.lsh_topk(q, k=10, hamming_radius=1)),
+    ):
+        hits = approx.join(exact, "vec_id", "left_semi")
+        frames.append(hits.agg(F.count("*").alias("n_hit")).select(
+            F.lit(fam).alias("family"),
+            F.lit(10).cast("long").alias("k"),
+            F.lit(float(floor)).alias("floor"),
+            (F.col("n_hit") / F.lit(10.0) >= F.lit(float(floor)))
+            .alias("floor_met"),
+        ))
+    return frames[0].unionByName(frames[1])
+
+
+@register(
     "knn_per_label_centroid",
     oracle="""
     WITH cell AS (
