@@ -21,7 +21,10 @@ BENIGN_BNLJ = {"approx_sketch_report", "cosine_topk_bruteforce",
                "ngram_jaccard_pairs",
                # 1-row scalar total broadcast-joined against per-part
                # sums (the scalar-subquery shape; commented in code)
-               "q11_important_parts"}
+               "q11_important_parts",
+               # r12: recall gate — the same broadcast 1-row
+               # query-vector pattern (exact + both ANN probes)
+               "ann_recall_gate"}
 
 
 def main() -> int:

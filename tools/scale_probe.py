@@ -36,6 +36,39 @@ from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.session impor
 AMP = int(os.environ.get("SCALE_PROBE_AMP", "16"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: r12 judge brief #3 — the read-surface probe: the five most
+#: expensive registry entries (BENCH_r11 ranking) timed at
+#: sf0.01 -> sf0.1 -> a GENERATED ~sf1 (QUERY_AMP x sf0.1), so
+#: "survives 100x" is measured for the analytic suite too, not argued
+QUERY_AMP = int(os.environ.get("SCALE_PROBE_QUERY_AMP", "10"))
+QUERIES = [
+    "approx_sketch_report",
+    "winnowing_fingerprints",
+    "q5_local_supplier_volume",
+    "q2_min_cost_supplier",
+    "q21_exclusive_return_supplier",
+]
+
+#: entity-key shifts per replica: every foreign key moves by the SAME
+#: span as its dimension's primary key, so each replica joins only
+#: within itself — join fan-outs and per-key group sizes are preserved
+#: and the result is amp independent copies of the sf0.1 universe
+#: (nation/region and their keys stay fixed: they are the bounded
+#: dimensions a larger SF does not grow)
+_SPAN_KEY = {"orders": "o_orderkey", "customer": "c_custkey",
+             "supplier": "s_suppkey", "part": "p_partkey",
+             "documents": "doc_id", "embeddings": "vec_id"}
+_SHIFTS = {
+    "lineitem": [("l_orderkey", "orders"), ("l_suppkey", "supplier"),
+                 ("l_partkey", "part")],
+    "orders": [("o_orderkey", "orders"), ("o_custkey", "customer")],
+    "customer": [("c_custkey", "customer")],
+    "supplier": [("s_suppkey", "supplier")],
+    "part": [("p_partkey", "part")],
+    "documents": [("doc_id", "documents")],
+    "embeddings": [("vec_id", "embeddings")],
+}
+
 
 def envelopes(df, op, ts):
     return df.select(
@@ -171,31 +204,112 @@ def localized(spark, src_dir: str) -> dict:
     return {k: round(v, 3) for k, v in t.items()}
 
 
+def amplified_db(spark, amp: int) -> str:
+    """A full analytic-table directory at ~amp x sf0.1, readable by
+    the unchanged registry builders (same ``<table>.parquet`` names):
+    amp shifted replicas of every entity table, dims copied fixed."""
+    out = tempfile.mkdtemp(prefix=f"scale_probe_db_{amp}_")
+    spans = {t: load_table(spark, SF_DIR, t)
+             .agg(F.max(_SPAN_KEY[t])).first()[0] + 1
+             for t in _SPAN_KEY}
+    for t, shifts in _SHIFTS.items():
+        df = load_table(spark, SF_DIR, t)
+        if amp > 1:
+            df = df.withColumn("_rep", F.explode(F.array(
+                *[F.lit(i) for i in range(amp)])))
+            for col, dim in shifts:
+                df = df.withColumn(
+                    col, F.col(col) + F.col("_rep") * F.lit(spans[dim]))
+            df = df.drop("_rep")
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    for t in ("nation", "region"):
+        load_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def query_probe(spark) -> dict:
+    """Wall-time scaling exponents for the most expensive ANALYTIC
+    registry entries (r12 brief #3). exponent =
+    log(t_amp / t_sf0.1) / log(QUERY_AMP); ~1.0 = linear in data,
+    <1 = fixed overhead amortizing away, >1.1 = superlinear (flag).
+    The ANN index build for approx_sketch_report is write-time setup
+    (ensure_vector_index) and runs untimed, exactly as in bench.py."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries import (
+        load_all,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.queries.llmops import (
+        ensure_vector_index,
+    )
+
+    registry = load_all()
+    amp_dir = amplified_db(spark, QUERY_AMP)
+    tiers = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SF_DIR),
+             (f"amp{QUERY_AMP}", amp_dir)]
+    times: dict = {}
+    try:
+        for label, d in tiers:
+            ensure_vector_index(spark, d)
+            for q in QUERIES:
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    registry[q].builder(spark, d).write.format(
+                        "noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+                samples.sort()
+                times.setdefault(q, {})[label] = round(samples[1], 3)
+    finally:
+        shutil.rmtree(amp_dir, ignore_errors=True)
+    exps = {
+        q: round(math.log(t[f"amp{QUERY_AMP}"] / t["sf0.1"])
+                 / math.log(QUERY_AMP), 3)
+        for q, t in times.items() if t["sf0.1"] > 0
+    }
+    return {"amp": QUERY_AMP, "t": times, "exponent": exps}
+
+
 def main() -> None:
+    """SCALE_PROBE_PART=cdc|queries|all (default all) — sections merge
+    into tools/scale_probe_result.json so either can refresh alone."""
+    part = os.environ.get("SCALE_PROBE_PART", "all")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scale_probe_result.json")
+    out: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.loads(f.read())
+    out["aux"] = "scale_probe"
+    out["cpus"] = os.cpu_count()
+    out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     spark = build_session(app_name="scale_probe",
                           extra_conf={"spark.ui.showConsoleProgress": "false"})
     srcs = {}
     try:
-        srcs[1] = amplified(spark, 1)
-        srcs[AMP] = amplified(spark, AMP)
-        small = scenario(spark, srcs[1])
-        big = scenario(spark, srcs[AMP])
-        small.update(localized(spark, srcs[1]))
-        big.update(localized(spark, srcs[AMP]))
-        exps = {}
-        for k in small:
-            if k == "rows":
-                continue
-            if small[k] > 0 and big[k] > 0:
-                exps[k] = round(math.log(big[k] / small[k]) / math.log(AMP), 3)
-        out = {"aux": "scale_probe", "amp": AMP, "sf": SF_DIR,
-               "cpus": os.cpu_count(),
-               "loadavg": [round(x, 2) for x in os.getloadavg()],
-               "t_1x": small, "t_amp": big, "exponent": exps}
+        if part in ("all", "cdc"):
+            srcs[1] = amplified(spark, 1)
+            srcs[AMP] = amplified(spark, AMP)
+            small = scenario(spark, srcs[1])
+            big = scenario(spark, srcs[AMP])
+            small.update(localized(spark, srcs[1]))
+            big.update(localized(spark, srcs[AMP]))
+            exps = {}
+            for k in small:
+                if k == "rows":
+                    continue
+                if small[k] > 0 and big[k] > 0:
+                    exps[k] = round(
+                        math.log(big[k] / small[k]) / math.log(AMP), 3)
+            out.update({"amp": AMP, "sf": SF_DIR,
+                        "t_1x": small, "t_amp": big, "exponent": exps})
+        if part in ("all", "queries"):
+            out["queries"] = query_probe(spark)
     finally:
         for d in srcs.values():
             shutil.rmtree(d, ignore_errors=True)
         spark.stop()
+    with open(out_path, "w") as f:
+        f.write(json.dumps(out) + "\n")
     print(json.dumps(out), flush=True)
 
 
