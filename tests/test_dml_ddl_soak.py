@@ -263,7 +263,7 @@ def _run_soak(spark, tmp_path, seed, on_check=None, n_stmts=210,
 
     def read_probe(i):
         cols = ["trans_id"] + model.cols()
-        choice = prng.randrange(4)
+        choice = prng.randrange(5)
         if choice == 0:
             # CTE precedence holds whatever the evolved schema is
             got = r.query("WITH t AS (SELECT 42 AS x) "
@@ -283,7 +283,7 @@ def _run_soak(spark, tmp_path, seed, on_check=None, n_stmts=210,
                 "SELECT COUNT(*) AS n FROM t a, t b "
                 "WHERE a.trans_id = b.trans_id").collect()[0]["n"]
             assert n == len(model.rows), (n, len(model.rows), i)
-        else:
+        elif choice == 3:
             # CTAS clone of the evolved table equals the model
             name = f"ctas_probe_{i}"
             r.sql(f"CREATE TABLE {name} USING lake LOCATION "
@@ -293,6 +293,27 @@ def _run_soak(spark, tmp_path, seed, on_check=None, n_stmts=210,
             got = {row["trans_id"]: {c: row[c] for c in model.cols()}
                    for row in r.query(f"SELECT * FROM {name}").collect()}
             assert got == model.rows, f"CTAS clone diverged at stmt {i}"
+        else:
+            # r12 TBLPROPERTIES lifecycle on a SCRATCH table — never
+            # on t: the SET/UNSET metadata commits would perturb the
+            # seeded version history the rider soaks replay
+            name = "props_probe"
+            if not state.get("props_probe"):
+                r.sql(f"CREATE TABLE {name} (trans_id bigint, v string)"
+                      f" USING lake LOCATION '{tmp_path / name}' "
+                      f"TBLPROPERTIES ('key_cols'='trans_id')")
+                state["props_probe"] = True
+            r.sql(f"ALTER TABLE {name} SET TBLPROPERTIES "
+                  f"('probe'='{i}')")
+            got = r.sql(f"SHOW TBLPROPERTIES {name} ('probe')").collect()
+            assert [x["value"] for x in got] == [str(i)], (i, got)
+            ddl_txt = r.sql(f"SHOW CREATE TABLE {name}") \
+                .collect()[0]["createtab_stmt"]
+            assert f"'probe'='{i}'" in ddl_txt, ddl_txt
+            r.sql(f"ALTER TABLE {name} UNSET TBLPROPERTIES ('probe')")
+            keys = {x["key"] for x in
+                    r.sql(f"SHOW TBLPROPERTIES {name}").collect()}
+            assert "probe" not in keys and "key_cols" in keys, keys
 
     def check(i):
         cols = ["trans_id"] + model.cols()

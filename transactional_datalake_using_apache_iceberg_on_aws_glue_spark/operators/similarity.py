@@ -62,12 +62,19 @@ def _plane_component(plane: int, dim_index: Column) -> Column:
     return (h % F.lit(2_000_001)).cast("double") / F.lit(1_000_000.0)
 
 
-def hyperplane_bucket(vec: Column, planes: int = 16) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 16,
+                      plane_offset: int = 0) -> Column:
     """Sign-of-projection LSH signature packed into a long.
 
     Each plane's projection = sum_i vec[i] * plane[plane, i], computed
     with one zip over (value, index) pairs per plane — all JVM-side.
-    """
+
+    ``plane_offset`` selects a DISJOINT plane family (planes
+    ``offset .. offset+planes-1``) — the multi-table LSH
+    (OR-amplification) primitive: table t hashes with offset
+    ``t * planes``, so its signature is independent of table 0's.
+    Offset 0 is byte-identical to the historical single-table
+    signature (persisted indexes keep probing unchanged)."""
     indexed = F.zip_with(
         vec, F.sequence(F.lit(0), F.size(vec) - 1), lambda v, i: F.struct(
             v.cast("double").alias("v"), i.alias("i")
@@ -81,7 +88,8 @@ def hyperplane_bucket(vec: Column, planes: int = 16) -> Column:
 
     bucket = None
     for p in range(planes):
-        proj = F.aggregate(indexed, F.lit(0.0), _proj_lambda(p))
+        proj = F.aggregate(indexed, F.lit(0.0),
+                           _proj_lambda(plane_offset + p))
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, p)
         bucket = term if bucket is None else bucket.bitwiseXOR(term)

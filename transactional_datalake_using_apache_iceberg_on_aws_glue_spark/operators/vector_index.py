@@ -56,6 +56,15 @@ corpus; incremental appends land in their (cell, bucket) partitions via
 the same ``partitionBy`` write with ``mode="append"``
 (``VectorIndex.append``), centroids held fixed until the next full
 ``build`` — IVF indexes degrade gracefully under a stale quantizer.
+
+Multi-table LSH (r12): ``lsh_tables=L`` persists L-1 EXTRA
+bucket-partitioned trees (``gen-*/lsh1..lshL-1``), each hashing the
+corpus with a disjoint hyperplane family; ``lsh_topk`` unions every
+table's hamming-ball candidates (dedup on id) before the exact-cosine
+re-rank — the classic OR-amplification recall/storage trade (L x LSH
+storage, miss probability exponential in L). Table 0 stays fused in
+the main ``data`` tree, so IVF probes never pay the replication and
+``lsh_tables=1`` is byte-identical to the pre-r12 layout.
 """
 
 from __future__ import annotations
@@ -100,7 +109,8 @@ class VectorIndex:
 
     def __init__(self, spark: SparkSession, path: str,
                  planes: int = 8, n_cells: int = 16, kmeans_iters: int = 2,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 lsh_tables: int = 1) -> None:
         self.spark = spark
         self.path = path
         self.planes = planes
@@ -108,6 +118,17 @@ class VectorIndex:
         self.kmeans_iters = kmeans_iters
         self.vec_col = vec_col
         self.id_col = id_col
+        #: multi-table LSH (OR-amplification, r12): table t hashes the
+        #: corpus with the DISJOINT plane family t*planes..(t+1)*planes-1
+        #: and persists its own `lshT/` bucket-partitioned tree; probes
+        #: union the hamming-ball candidates of every table before the
+        #: exact-cosine re-rank. Classic recall/storage trade: L tables
+        #: cost L x the LSH storage and ~L x the probe's candidate scan,
+        #: and miss probability decays exponentially in L. Table 0
+        #: lives fused in the main `data` tree (its signature is the
+        #: historical one), so lsh_tables=1 is byte-identical to pre-r12
+        #: and IVF probes never pay the replication.
+        self.lsh_tables = max(1, int(lsh_tables))
         self._fs, self._root = fs_and_root(path)
         self._spark_root = spark_url(path)
         self._meta: dict | None = None  # pins this handle's generation
@@ -178,9 +199,21 @@ class VectorIndex:
         )
         centroids.write.mode("overwrite").parquet(
             posixpath.join(self._spark_root, gen, "centroids"))
+        for t in range(1, self.lsh_tables):
+            extra = emb.withColumn(
+                "_bucket", hyperplane_bucket(F.col(self.vec_col),
+                                             self.planes,
+                                             plane_offset=t * self.planes))
+            (
+                extra.repartition("_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(posixpath.join(self._spark_root, gen, f"lsh{t}"))
+            )
         meta = {
             "planes": self.planes, "n_cells": self.n_cells,
             "vec_col": self.vec_col, "id_col": self.id_col,
+            "lsh_tables": self.lsh_tables,
             "gen": gen,
         }
         write_text_atomic(self._fs, posixpath.join(self._root, _META),
@@ -204,6 +237,17 @@ class VectorIndex:
             .partitionBy("_cell", "_bucket")
             .parquet(self._data_path)
         )
+        for t in range(1, self._meta_lsh_tables()):
+            extra = emb.withColumn(
+                "_bucket", hyperplane_bucket(F.col(self.vec_col),
+                                             self.planes,
+                                             plane_offset=t * self.planes))
+            (
+                extra.write.mode("append")
+                .partitionBy("_bucket")
+                .parquet(posixpath.join(self._spark_root,
+                                        self._rel(f"lsh{t}")))
+            )
 
     def vacuum(self) -> list[str]:
         """Delete generation directories the CURRENT pointer no longer
@@ -239,9 +283,16 @@ class VectorIndex:
 
     # -- probes --------------------------------------------------------
 
-    def _query_bucket(self, query: DataFrame) -> int:
+    def _meta_lsh_tables(self) -> int:
+        """Table count of the PERSISTED index (meta wins over the
+        handle's constructor arg — probes must follow the layout that
+        was actually built; pre-r12 metas read as 1)."""
+        return int(self._load_meta().get("lsh_tables", 1))
+
+    def _query_bucket(self, query: DataFrame, plane_offset: int = 0) -> int:
         row = query.select(
-            hyperplane_bucket(F.col("qv"), self.planes).alias("b")
+            hyperplane_bucket(F.col("qv"), self.planes,
+                              plane_offset=plane_offset).alias("b")
         ).collect()
         return int(row[0]["b"])
 
@@ -276,6 +327,28 @@ class VectorIndex:
                 if buckets is not None and int(bname[8:]) not in buckets:
                     continue
                 leaves.append(posixpath.join(data_rel, cname, bname))
+        return leaves
+
+    def _bucket_leaf_dirs(self, tree: str,
+                          buckets: set[int] | None) -> list[str]:
+        """One-level ``_bucket=*`` enumeration for an extra LSH table's
+        tree (``lsh1``, ``lsh2``, ...) — same pyarrow.fs metadata
+        listing as :meth:`_leaf_dirs`, root-relative paths returned."""
+        from pyarrow import fs as pafs
+
+        tree_rel = self._rel(tree)
+        tree_abs = posixpath.join(self._root, tree_rel)
+        leaves = []
+        top = self._fs.get_file_info(
+            pafs.FileSelector(tree_abs, allow_not_found=True))
+        for binfo in sorted(top, key=lambda i: i.path):
+            bname = posixpath.basename(binfo.path.rstrip("/"))
+            if (binfo.type != pafs.FileType.Directory
+                    or not bname.startswith("_bucket=")):
+                continue
+            if buckets is not None and int(bname[8:]) not in buckets:
+                continue
+            leaves.append(posixpath.join(tree_rel, bname))
         return leaves
 
     def _pruned_read(self, cells: list[int] | None,
@@ -316,17 +389,57 @@ class VectorIndex:
     def lsh_topk(self, query: DataFrame, k: int = 10,
                  hamming_radius: int = 1) -> DataFrame:
         """Top-k by exact cosine among vectors whose PERSISTED bucket is
-        within ``hamming_radius`` of the query's. The bucket IN-list is
-        enumerated driver-side (no data touched), so the scan is
-        partition-pruned to |hamming ball| of 2^planes directories."""
+        within ``hamming_radius`` of the query's, in ANY of the index's
+        LSH tables (OR-amplification: a neighbor is a candidate if at
+        least one plane family agrees — miss probability decays
+        exponentially in the table count). Every table's bucket IN-list
+        is enumerated driver-side (no data touched), so each scan is
+        partition-pruned to |hamming ball| of 2^planes directories;
+        cross-table duplicates collapse on id before the exact-cosine
+        re-rank."""
+        sim = cosine_sim_cols(F.col(self.vec_col), F.col("qv"))
+        n_tables = self._meta_lsh_tables()
         buckets = _hamming_ball(self._query_bucket(query), self.planes,
                                 hamming_radius)
-        sim = cosine_sim_cols(F.col(self.vec_col), F.col("qv"))
         pruned = self._pruned_read(None, buckets)
-        if pruned is None:
+        if n_tables == 1:
+            # single-table: the historical plan, bit-for-bit (pinned
+            # by the querytime-tier equality test)
+            if pruned is None:
+                return self._empty_topk(query)
+            return (
+                pruned
+                .crossJoin(F.broadcast(query))
+                .select(self.id_col, sim.alias("sim"))
+                .orderBy(F.desc("sim"), F.asc(self.id_col))
+                .limit(k)
+            )
+        cands = []
+        if pruned is not None:
+            cands.append(pruned.select(self.id_col, self.vec_col))
+        for t in range(1, n_tables):
+            ball_t = set(_hamming_ball(
+                self._query_bucket(query, plane_offset=t * self.planes),
+                self.planes, hamming_radius))
+            leaves = self._bucket_leaf_dirs(f"lsh{t}", ball_t)
+            if not leaves:
+                continue
+            tree_df = (
+                self.spark.read
+                .option("basePath",
+                        posixpath.join(self._spark_root,
+                                       self._rel(f"lsh{t}")))
+                .parquet(*[posixpath.join(self._spark_root, rel)
+                           for rel in leaves])
+            )
+            cands.append(tree_df.select(self.id_col, self.vec_col))
+        if not cands:
             return self._empty_topk(query)
+        union = cands[0]
+        for c in cands[1:]:
+            union = union.unionByName(c)
         return (
-            pruned
+            union.dropDuplicates([self.id_col])
             .crossJoin(F.broadcast(query))
             .select(self.id_col, sim.alias("sim"))
             .orderBy(F.desc("sim"), F.asc(self.id_col))

