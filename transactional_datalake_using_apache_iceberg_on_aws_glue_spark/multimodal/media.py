@@ -158,8 +158,227 @@ def sniff_image_header(payload: bytes | None):
     return None
 
 
+def sniff_audio_video_header(payload: bytes | None):
+    """REAL (non-stub) audio/video container parse — pure byte
+    inspection, the same validation tier :func:`sniff_image_header`
+    provides for images. Detects WAV / FLAC / OGG / MP3 audio and
+    MP4-family (ISO BMFF) / Matroska-WebM / AVI video containers and
+    reads what the container header itself carries: sample rate,
+    channel count and duration for the audio formats that declare them,
+    timescale-resolved duration for MP4 ``mvhd``. No codec library —
+    truncated or mislabeled blobs are caught at header-read cost.
+
+    Returns a dict ``{format, kind, sample_rate, channels,
+    duration_ms}`` (missing fields None) or ``None`` when the payload
+    matches no known container."""
+    if not payload or len(payload) < 12:
+        return None
+    b = bytes(payload)
+
+    def out(fmt, kind, sr=None, ch=None, dur=None):
+        return {"format": fmt, "kind": kind, "sample_rate": sr,
+                "channels": ch, "duration_ms": dur}
+
+    if b[:4] == b"RIFF" and len(b) >= 12:
+        if b[8:12] == b"WAVE":
+            # chunk walk: fmt_ carries rate/channels/bits, data carries
+            # payload size -> duration = bytes / (rate*ch*bits/8)
+            i, sr, ch, bits, data_size = 12, None, None, None, None
+            while i + 8 <= len(b):
+                cid = b[i:i + 4]
+                clen = int.from_bytes(b[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(b):
+                    ch = int.from_bytes(b[i + 10:i + 12], "little")
+                    sr = int.from_bytes(b[i + 12:i + 16], "little")
+                    if i + 24 + 2 <= len(b):
+                        bits = int.from_bytes(b[i + 22:i + 24], "little")
+                if cid == b"data":
+                    data_size = clen
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if sr is None or not sr or not ch:
+                return None
+            dur = None
+            if data_size is not None and bits:
+                dur = int(data_size * 8000 / (sr * ch * bits))
+            return out("wav", "audio", sr, ch, dur)
+        if b[8:12] in (b"AVI ", b"AVIX"):
+            return out("avi", "video")
+        return None
+    if b[:4] == b"fLaC" and len(b) >= 26:
+        # STREAMINFO is the mandatory first metadata block: bytes
+        # 18..26 of the stream pack rate(20) ch(3) bits(5) samples(36)
+        sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+        ch = ((b[20] >> 1) & 0x07) + 1
+        total = ((b[21] & 0x0F) << 32) | int.from_bytes(b[22:26], "big")
+        if not sr:
+            return None
+        dur = int(total * 1000 / sr) if total else None
+        return out("flac", "audio", sr, ch, dur)
+    if b[:4] == b"OggS":
+        return out("ogg", "audio")
+    if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+        # MP3: ID3v2 tag or a bare MPEG frame sync; rate only when a
+        # frame header is at the start (tagged streams put it later)
+        sr = None
+        if b[0] == 0xFF and len(b) >= 4:
+            version = (b[1] >> 3) & 0x03   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+                     0: (11025, 12000, 8000)}.get(version)
+            idx = (b[2] >> 2) & 0x03
+            if rates and idx < 3:
+                sr = rates[idx]
+        return out("mp3", "audio", sr)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # ISO BMFF box walk: duration comes from moov/mvhd when the
+        # prefix carries it (timescale + duration, version 0 or 1)
+        def find_box(buf, start, end, name):
+            i = start
+            while i + 8 <= end:
+                size = int.from_bytes(buf[i:i + 4], "big")
+                if size == 1:  # 64-bit largesize
+                    if i + 16 > end:
+                        return None
+                    size = int.from_bytes(buf[i + 8:i + 16], "big")
+                    hdr = 16
+                else:
+                    hdr = 8
+                if size < hdr:
+                    return None
+                if buf[i + 4:i + 8] == name:
+                    return (i + hdr, min(i + size, end))
+                i += size
+            return None
+
+        dur = None
+        moov = find_box(b, 0, len(b), b"moov")
+        if moov:
+            mvhd = find_box(b, moov[0], moov[1], b"mvhd")
+            if mvhd:
+                s, _e = mvhd
+                ver = b[s]
+                if ver == 1 and s + 32 <= len(b):
+                    ts = int.from_bytes(b[s + 20:s + 24], "big")
+                    d = int.from_bytes(b[s + 24:s + 32], "big")
+                elif ver == 0 and s + 24 <= len(b):
+                    ts = int.from_bytes(b[s + 12:s + 16], "big")
+                    d = int.from_bytes(b[s + 16:s + 20], "big")
+                else:
+                    ts = d = 0
+                if ts:
+                    dur = int(d * 1000 / ts)
+        brand = b[8:12].decode("ascii", "replace").strip()
+        return out(f"mp4/{brand}", "video", dur=dur)
+    if b[:4] == b"\x1aE\xdf\xa3":
+        return out("webm/matroska", "video")
+    return None
+
+
+def sniff_media_header(payload: bytes | None):
+    """One-call media sniff: images first (:func:`sniff_image_header`),
+    then audio/video containers. Returns a uniform dict
+    ``{format, kind, width, height, sample_rate, channels,
+    duration_ms}`` or ``None``."""
+    img = sniff_image_header(payload)
+    if img is not None:
+        return {"format": img[0], "kind": "image", "width": img[1],
+                "height": img[2], "sample_rate": None, "channels": None,
+                "duration_ms": None}
+    av = sniff_audio_video_header(payload)
+    if av is None:
+        return None
+    return {"format": av["format"], "kind": av["kind"], "width": None,
+            "height": None, "sample_rate": av["sample_rate"],
+            "channels": av["channels"], "duration_ms": av["duration_ms"]}
+
+
 HEADER_SCHEMA = ("media_id long, detected_format string, "
                  "header_width int, header_height int, ok boolean")
+
+MEDIA_HEADER_SCHEMA = (
+    "media_id long, detected_format string, kind string, "
+    "header_width int, header_height int, sample_rate int, "
+    "channels int, duration_ms long, ok boolean")
+
+
+def probe_media_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched MULTI-modal header validation (r12): images,
+    audio, and video containers through one ``mapInPandas`` pass over
+    the binary column — same dead-letter discipline as
+    :func:`probe_image_headers` (unknown container -> ok=false, NULL
+    fields), same bounded-batch memory story."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        cols = ("detected_format", "kind", "header_width",
+                "header_height", "sample_rate", "channels",
+                "duration_ms")
+        for pdf in batches:
+            acc = {c: [] for c in cols}
+            oks = []
+            for payload in pdf["payload"]:
+                info = sniff_media_header(payload)
+                oks.append(info is not None)
+                info = info or {}
+                acc["detected_format"].append(info.get("format"))
+                acc["kind"].append(info.get("kind"))
+                acc["header_width"].append(info.get("width"))
+                acc["header_height"].append(info.get("height"))
+                acc["sample_rate"].append(info.get("sample_rate"))
+                acc["channels"].append(info.get("channels"))
+                acc["duration_ms"].append(info.get("duration_ms"))
+            yield _pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "detected_format": acc["detected_format"],
+                "kind": acc["kind"],
+                "header_width": _pd.array(acc["header_width"],
+                                          dtype="Int32"),
+                "header_height": _pd.array(acc["header_height"],
+                                           dtype="Int32"),
+                "sample_rate": _pd.array(acc["sample_rate"],
+                                         dtype="Int32"),
+                "channels": _pd.array(acc["channels"], dtype="Int32"),
+                "duration_ms": _pd.array(acc["duration_ms"],
+                                         dtype="Int64"),
+                "ok": oks,
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        op, schema=MEDIA_HEADER_SCHEMA)
+
+
+def make_wav_bytes(sample_rate: int = 16_000, channels: int = 1,
+                   bits: int = 16, n_samples: int = 1600) -> bytes:
+    """A VALID minimal RIFF/WAVE byte string (silence) — the test
+    stand-in for a real audio ingest, so the sniffing tier is
+    exercised on genuine container bytes, not mocks."""
+    data = b"\x00" * (n_samples * channels * bits // 8)
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")          # PCM
+           + channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * channels * bits // 8).to_bytes(4, "little")
+           + (channels * bits // 8).to_bytes(2, "little")
+           + bits.to_bytes(2, "little"))
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return (b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+            + b"WAVE" + chunks)
+
+
+def make_mp4_bytes(duration_ms: int = 5_000,
+                   timescale: int = 1_000) -> bytes:
+    """A VALID minimal ISO-BMFF byte string: ftyp + moov/mvhd carrying
+    (timescale, duration) — enough for the sniffing tier's box walk."""
+    ftyp = b"ftypisom" + (0x200).to_bytes(4, "big") + b"isomiso2"
+    ftyp = (len(ftyp) + 4).to_bytes(4, "big") + ftyp
+    dur = duration_ms * timescale // 1000
+    mvhd_body = (b"\x00\x00\x00\x00"           # version 0 + flags
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                 + b"\x00" * 80)
+    mvhd = (len(mvhd_body) + 8).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (len(mvhd) + 8).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
 
 
 def probe_image_headers(media: DataFrame) -> DataFrame:
