@@ -87,7 +87,7 @@ def _vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
              list_distinct(list_transform(range(1, len(t) - 1),
                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       FROM (SELECT doc_id, string_split(text, ' ') AS t
-            FROM documents WHERE doc_id < 40)
+            FROM documents WHERE doc_id < 120)
       WHERE len(t) >= 3
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -100,6 +100,9 @@ def _vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
     """,
     doc="Exact n-gram Jaccard similarity for a bounded doc subset "
+        "(doc_id < 120 — wide enough to be non-vacuous at every fixture SF; "
+        "r12: the <40 bound went 0-row at sf0.1 and tripped the gate's "
+        "non-vacuity guard) "
         "(all-pairs is the oracle-able tier; at scale the same "
         "jaccard_pairs() runs only on LSH candidates). Distinct-shingle "
         "counts per side ride along, oracle-checking the 3-gram "
@@ -108,7 +111,7 @@ def _vector_index(spark: SparkSession, sf_dir: str) -> VectorIndex:
     tags=("documents", "dedup"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     sh = D.shingle_hashes(docs)
     ids = sh.select("doc_id").distinct()
     pairs = (
@@ -146,9 +149,10 @@ def _similarity_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside buckets only. family='ann' top-k (id_a=vec_id, id_b NULL)
     PROBES the persisted (_cell, _bucket)-partitioned index
     (operators.vector_index, built by ensure_vector_index at setup
-    time): 8-plane LSH at Hamming radius 1 scanning only matching
-    _bucket directories, and IVF ranking the persisted centroid table
-    to scan 4 of 16 _cell partitions. All near-linear (banded/blocked/
+    time): 8-plane 2-table LSH (r12 OR-amplification — each table's
+    Hamming-radius-1 ball scans only its matching _bucket directories,
+    candidates union on id), and IVF ranking the persisted centroid
+    table to scan 4 of 16 _cell partitions. All near-linear (banded/blocked/
     bucketed equi-joins, never all-pairs) — the 100 TB paths; recall,
     planted-pair and partition-pruning plan tests in
     tests/test_operators.py + tests/test_vector_index.py."""
