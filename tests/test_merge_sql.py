@@ -2024,3 +2024,116 @@ def test_explain_show_partitions_show_create(spark, runner, tmp_path):
     r.register("db.bt", bt)
     bddl = r.sql("SHOW CREATE TABLE db.bt").collect()[0]["createtab_stmt"]
     assert "bucket(8, k)" in bddl
+
+
+# ---------------------------------------- databases / USE (r12)
+
+
+def test_reference_database_ddl_sequence(spark, tmp_path):
+    """The reference's literal Athena bring-up runs in-band
+    (README.md:348,355): CREATE DATABASE IF NOT EXISTS, then the
+    partitioned CREATE TABLE under that database, then the smoke
+    COUNT(*) (README.md:507)."""
+    r = MergeSqlRunner(spark)
+    r.sql("CREATE DATABASE IF NOT EXISTS cdc_iceberg_demo_db")
+    r.sql("CREATE DATABASE IF NOT EXISTS cdc_iceberg_demo_db")  # idempotent
+    with pytest.raises(MergeSqlError, match="already exists"):
+        r.sql("CREATE DATABASE cdc_iceberg_demo_db")
+    assert [x["namespace"] for x in r.sql("SHOW DATABASES").collect()] \
+        == ["cdc_iceberg_demo_db"]
+
+    # the LITERAL statement from README.md:355-368 — Athena clause
+    # order (no USING, PARTITIONED BY before LOCATION), only the
+    # LOCATION rewritten to a local path; key defaults to trans_id
+    r.sql(f"""
+    CREATE TABLE cdc_iceberg_demo_db.retail_trans_iceberg (
+       trans_id int,
+       customer_id string,
+       event string,
+       sku string,
+       amount int,
+       device string,
+       trans_datetime timestamp
+    )
+    PARTITIONED BY (`event`)
+    LOCATION '{tmp_path / "rti"}'
+    TBLPROPERTIES (
+       'table_type'='iceberg'
+    )""")
+    r.sql("INSERT INTO cdc_iceberg_demo_db.retail_trans_iceberg VALUES "
+          "(1, 'c1', 'view', 's', 10, 'pc', TIMESTAMP '2024-01-01 00:00:00')")
+    got = r.query("SELECT COUNT(*) AS n "
+                  "FROM cdc_iceberg_demo_db.retail_trans_iceberg")
+    assert got.collect()[0]["n"] == 1
+
+
+def test_use_database_resolution(spark, tmp_path):
+    """USE <db>: single-part refs resolve under the current database
+    across the read rewrite, DML targets, DESCRIBE, and CREATE TABLE
+    registration; CTEs and bare registrations still win; SHOW TABLES
+    defaults to the current database."""
+    r = MergeSqlRunner(spark)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["k"],
+                         partition_col=None)
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v int"))
+    r.register("db1.t", t)
+    with pytest.raises(MergeSqlError, match="does not exist"):
+        r.sql("USE nope")
+    r.sql("USE db1")
+
+    # read + DML through the bare name
+    assert r.query("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 2
+    r.sql("INSERT INTO t VALUES (3, 30)")
+    assert r.query("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 3
+    assert t.read_data().count() == 3
+    # metadata table spelling under USE
+    assert r.query("SELECT COUNT(*) AS n FROM t.snapshots") \
+        .collect()[0]["n"] >= 2
+    # DESCRIBE through the bare name
+    cols = {x["col_name"] for x in r.sql("DESCRIBE t").collect()}
+    assert {"k", "v"} <= cols
+    # CTE still binds tighter than the namespace
+    got = r.query("WITH t AS (SELECT 42 AS x) SELECT MAX(x) AS x FROM t")
+    assert got.collect()[0]["x"] == 42
+    # a BARE registration wins over current-db expansion
+    other = ParquetLakeTable(spark, str(tmp_path / "bare"), key_cols=["k"],
+                             partition_col=None)
+    other.create(spark.createDataFrame([(9, 90)], "k long, v int"))
+    r.register("u", other)
+    r.register("db1.u", t)
+    assert r.query("SELECT COUNT(*) AS n FROM u").collect()[0]["n"] == 1
+
+    # CREATE TABLE with a single-part name registers under db1
+    r.sql(f"CREATE TABLE scoped (k bigint, v int) USING lake "
+          f"LOCATION '{tmp_path / 'scoped'}' "
+          f"TBLPROPERTIES ('key_cols'='k')")
+    assert "db1.scoped" in r._tables
+    shown = {x["tableName"] for x in r.sql("SHOW TABLES").collect()}
+    assert shown == {"t", "u", "scoped"}  # db1's tables only
+    # ... u listed because db1.u is registered; bare 'u' is namespace-less
+    assert [x["tableName"] for x in
+            r.sql("SHOW TABLES IN db1").collect()] == ["scoped", "t", "u"]
+
+
+def test_drop_database_restrict_and_cascade(spark, tmp_path):
+    r = MergeSqlRunner(spark)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["k"],
+                         partition_col=None)
+    t.create(spark.createDataFrame([(1, 10)], "k long, v int"))
+    r.register("d.t", t)
+    with pytest.raises(MergeSqlError, match="not empty"):
+        r.sql("DROP DATABASE d")
+    r.sql("USE d")
+    r.sql("DROP DATABASE d CASCADE")
+    assert "d.t" not in r._tables
+    assert r._current_db is None
+    # storage untouched: the handle still reads
+    assert t.read_data().count() == 1
+    with pytest.raises(MergeSqlError, match="does not exist"):
+        r.sql("DROP DATABASE d")
+    r.sql("DROP DATABASE IF EXISTS d")
+    # SHOW DATABASES LIKE filters
+    r.sql("CREATE SCHEMA alpha")
+    r.sql("CREATE DATABASE beta")
+    assert [x["namespace"] for x in
+            r.sql("SHOW SCHEMAS LIKE 'al*'").collect()] == ["alpha"]

@@ -109,6 +109,13 @@ The DDL and maintenance surface rounds out the statement family
 (``_run_create`` / ``_run_alter`` / ``_run_call`` docstrings carry
 the grammar)::
 
+    CREATE DATABASE|SCHEMA [IF NOT EXISTS] db   (the reference's own
+        step-1 Athena statement, README.md:348)
+    DROP DATABASE|SCHEMA [IF EXISTS] db [CASCADE|RESTRICT]
+        (CASCADE deregisters, never deletes storage)
+    USE db  /  SHOW DATABASES|SCHEMAS [LIKE 'pat']
+        (single-part names then resolve under db; CTEs and bare
+        registrations still win)
     CREATE TABLE [IF NOT EXISTS] t (cols) USING lake LOCATION '...'
         [PARTITIONED BY (...)] [TBLPROPERTIES (...)]
     CREATE TABLE [IF NOT EXISTS] t USING lake LOCATION '...'
@@ -583,6 +590,14 @@ class MergeSqlRunner:
         self.on_duplicate = on_duplicate
         self._tables: dict[str, ParquetLakeTable] = {}
         self._mvs: dict = {}  # ident -> MaterializedRollup
+        #: namespaces created via CREATE DATABASE/SCHEMA (r12 — the
+        #: reference's own step-1 Athena statement, README.md:348).
+        #: Registered multi-part tables IMPLY their namespace too;
+        #: this set holds the explicitly-created (possibly empty) ones.
+        self._databases: set[str] = set()
+        #: USE <db> — single-part names not registered bare resolve
+        #: under this namespace (the Athena database dropdown as SQL)
+        self._current_db: str | None = None
         #: LRU of the __lake_asof_* temp views query() pins, capped so
         #: a long-lived runner pinning ever-new versions cannot grow
         #: the session catalog unboundedly. Dropping an evicted view
@@ -643,6 +658,11 @@ class MergeSqlRunner:
                 "CREATE") else self._run_drop_mv(statement)
         if head.startswith("REFRES"):
             return self._run_refresh_mv(statement)
+        if re.match(r"^\s*(CREATE|DROP)\s+(DATABASE|SCHEMA)\b",
+                    statement, re.IGNORECASE):
+            return self._run_database(statement)
+        if head.startswith("USE"):
+            return self._run_use(statement)
         if head.startswith("CREATE"):
             return self._run_create(statement)
         statement = self._inline_merge_source(statement)
@@ -877,7 +897,10 @@ class MergeSqlRunner:
         def _sub(m: re.Match, orig, tail) -> str:
             ident = m.group("ident")
             norm = self._norm_ident(ident)
-            if _cte_shadowed(ident, norm) or norm not in self._tables:
+            if _cte_shadowed(ident, norm):
+                return orig(0)
+            norm = self._expand_ident(norm)  # USE <db> resolution
+            if norm not in self._tables:
                 return orig(0)  # not ours — Spark may resolve it
             table = self._tables[norm]
             kind = m.group("kind").upper()
@@ -924,6 +947,7 @@ class MergeSqlRunner:
             norm = self._norm_ident(ident)
             if _cte_shadowed(ident, norm):
                 return orig(0)
+            norm = self._expand_ident(norm)  # USE <db> resolution
             if m.group("kind").lower() == "maintenance":
                 # MV maintainer observability (r11 judge item #6):
                 # `<mv>.maintenance` is addressed by the MV registry,
@@ -990,7 +1014,10 @@ class MergeSqlRunner:
                 return orig(0)
             ident = m.group("ident")
             norm = self._norm_ident(ident)
-            if _cte_shadowed(ident, norm) or norm not in self._tables:
+            if _cte_shadowed(ident, norm):
+                return orig(0)
+            norm = self._expand_ident(norm)  # USE <db> resolution
+            if norm not in self._tables:
                 return orig(0)  # Spark's to resolve (views, catalog)
             table = self._tables[norm]
             mref = table._manifest()
@@ -1155,7 +1182,7 @@ class MergeSqlRunner:
 
     def _resolve(self, ident: str,
                  require_exists: bool = True) -> ParquetLakeTable:
-        target = self._norm_ident(ident)
+        target = self._expand_ident(self._norm_ident(ident))
         if target not in self._tables:
             raise MergeSqlError(
                 f"unknown DML target {ident!r}; "
@@ -1723,6 +1750,94 @@ class MergeSqlRunner:
                 f"{list(columns)}; set TBLPROPERTIES ('key_cols'='...')")
         return keys
 
+    # -- databases / namespaces (r12) ------------------------------------
+
+    def _namespaces(self) -> set[str]:
+        """Every known namespace: explicitly created databases plus the
+        namespaces implied by registered tables and MVs."""
+        out = set(self._databases)
+        for ident in list(self._tables) + list(self._mvs):
+            if "." in ident:
+                out.add(ident.rsplit(".", 1)[0])
+        return out
+
+    def _expand_ident(self, norm: str) -> str:
+        """Registry key for ``norm`` honoring ``USE <db>``: a
+        single-part name not registered bare resolves under the
+        current database (CTE shadowing is checked by callers FIRST —
+        WITH binds tighter than the session namespace)."""
+        if norm in self._tables or norm in self._mvs:
+            return norm
+        if self._current_db and "." not in norm:
+            q = f"{self._current_db}.{norm}"
+            if q in self._tables or q in self._mvs:
+                return q
+        return norm
+
+    def _run_database(self, statement: str) -> None:
+        """``CREATE DATABASE|SCHEMA [IF NOT EXISTS] <db>`` /
+        ``DROP DATABASE|SCHEMA [IF EXISTS] <db> [CASCADE|RESTRICT]`` —
+        the reference's own step-1 Athena statement
+        (README.md:348 ``CREATE DATABASE IF NOT EXISTS
+        cdc_iceberg_demo_db``) runs in-band. Namespaces are registry
+        metadata: DROP ... CASCADE deregisters the tables under the
+        database from THIS runner but never deletes storage (external-
+        table semantics — the engine's tables are location-addressed);
+        RESTRICT (the default) refuses while tables exist."""
+        m = re.match(
+            r"^\s*(?P<verb>CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+"
+            r"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+|(?P<ie>IF\s+EXISTS)\s+)?"
+            r"(?P<db>[\w.`]+)\s*(?P<mode>CASCADE|RESTRICT)?\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if not m:
+            raise MergeSqlError(
+                "unsupported statement; expected CREATE DATABASE "
+                "[IF NOT EXISTS] <db> or DROP DATABASE [IF EXISTS] "
+                "<db> [CASCADE|RESTRICT]")
+        db = self._norm_ident(m.group("db"))
+        if m.group("verb").upper() == "CREATE":
+            if m.group("mode"):
+                raise MergeSqlError("CASCADE/RESTRICT applies to DROP")
+            if db in self._namespaces():
+                if m.group("ine"):
+                    return
+                raise MergeSqlError(f"database {db!r} already exists")
+            self._databases.add(db)
+            return
+        if db not in self._namespaces():
+            if m.group("ie"):
+                return
+            raise MergeSqlError(f"database {db!r} does not exist")
+        held = [i for i in list(self._tables) + list(self._mvs)
+                if i.startswith(db + ".")]
+        if held and (m.group("mode") or "").upper() != "CASCADE":
+            raise MergeSqlError(
+                f"database {db!r} is not empty ({sorted(held)}); "
+                "use DROP DATABASE ... CASCADE to deregister them "
+                "(storage is never deleted)")
+        for i in held:
+            self._tables.pop(i, None)
+            self._mvs.pop(i, None)
+        self._databases.discard(db)
+        if self._current_db == db:
+            self._current_db = None
+
+    def _run_use(self, statement: str) -> None:
+        """``USE <db>`` — the Athena console's database dropdown as
+        SQL: subsequent single-part names resolve under <db> (CTEs and
+        bare registrations still win), and CREATE TABLE with a
+        single-part name registers qualified."""
+        m = re.match(r"^\s*USE\s+(?P<db>[\w.`]+)\s*;?\s*$",
+                     statement, re.IGNORECASE)
+        if not m:
+            raise MergeSqlError("unsupported USE; expected USE <db>")
+        db = self._norm_ident(m.group("db"))
+        if db not in self._namespaces():
+            raise MergeSqlError(
+                f"database {db!r} does not exist; known: "
+                f"{sorted(self._namespaces())}")
+        self._current_db = db
+
     def _run_create(self, statement: str) -> ParquetLakeTable:
         """The reference's table DDL, jar-free (SURVEY S6 — the Athena
         ``CREATE TABLE ... PARTITIONED BY (event)
@@ -1747,23 +1862,34 @@ class MergeSqlRunner:
         ctas = _CTAS_RE.match(statement)
         if ctas:
             return self._run_ctas(ctas)
+        # clause order: USING lake is optional and PARTITIONED BY may
+        # precede LOCATION — the reference's LITERAL Athena statement
+        # (README.md:355-368) spells `... ) PARTITIONED BY (event)
+        # LOCATION 's3://...' TBLPROPERTIES ('table_type'='iceberg')`
+        # with no USING clause at all (r12; previously only the
+        # Spark-SQL order parsed)
         m = re.match(
             r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
             r"(?P<target>[\w.`]+)\s*\((?P<cols>.*?)\)\s*"
-            r"USING\s+lake\s+LOCATION\s+'(?P<loc>[^']+)'"
-            r"(?:\s+PARTITIONED\s+BY\s*\((?P<spec>.+?)\)"
+            r"(?:USING\s+lake\s+)?"
+            r"(?:PARTITIONED\s+BY\s*\((?P<spec1>.+?)\)\s+)?"
+            r"LOCATION\s+'(?P<loc>[^']+)'"
+            r"(?:\s+PARTITIONED\s+BY\s*\((?P<spec2>.+?)\)"
             r"(?=\s+TBLPROPERTIES|\s*;?\s*$))?"
             r"(?:\s+TBLPROPERTIES\s*\((?P<props>.*?)\))?\s*;?\s*$",
             statement, re.IGNORECASE | re.DOTALL)
         if not m:
             raise MergeSqlError(
                 "unsupported CREATE TABLE; expected CREATE TABLE "
-                "[IF NOT EXISTS] <t> (col type, ...) USING lake "
-                "LOCATION '<path>' [PARTITIONED BY (...)] "
-                "[TBLPROPERTIES (...)] — or the CTAS form with "
-                "AS SELECT ... in place of the column list"
+                "[IF NOT EXISTS] <t> (col type, ...) [USING lake] "
+                "[PARTITIONED BY (...)] LOCATION '<path>' "
+                "[PARTITIONED BY (...)] [TBLPROPERTIES (...)] — or "
+                "the CTAS form with AS SELECT ... in place of the "
+                "column list"
             )
         ident = self._norm_ident(m.group("target"))
+        if self._current_db and "." not in ident:
+            ident = f"{self._current_db}.{ident}"  # USE <db> scoping
         if ident in self._tables:
             if m.group("ine"):
                 return self._tables[ident]
@@ -1774,8 +1900,9 @@ class MergeSqlRunner:
         props = self._parse_props(m.group("props"))
         keys = self._prop_keys(props, schema.names)
         kwargs = {}
-        if m.group("spec"):
-            kwargs.update(self._parse_spec(m.group("spec")))
+        spec = m.group("spec1") or m.group("spec2")
+        if spec:
+            kwargs.update(self._parse_spec(spec))
         else:
             kwargs["partition_col"] = None
         merge_mode = props.get("merge_mode", "cow")
@@ -1845,6 +1972,8 @@ class MergeSqlRunner:
         latest-wins (``on_duplicate='error'`` raises instead), and
         lineage-less sources get statement-executed-now timestamps."""
         ident = self._norm_ident(m.group("target"))
+        if self._current_db and "." not in ident:
+            ident = f"{self._current_db}.{ident}"  # USE <db> scoping
         if ident in self._tables:
             if m.group("ine"):
                 return self._tables[ident]
@@ -1945,6 +2074,24 @@ class MergeSqlRunner:
             statement, re.IGNORECASE)
         if tm:
             return self._run_show_tblproperties(tm)
+        dm = re.match(
+            r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)"
+            r"(?:\s+LIKE\s+'(?P<like>[^']*)')?\s*;?\s*$",
+            statement, re.IGNORECASE)
+        if dm:
+            from pyspark.sql import types as T
+
+            names = sorted(self._namespaces())
+            if dm.group("like") is not None:
+                pat = re.compile(
+                    "^(?:" + "|".join(
+                        ".*".join(re.escape(p) for p in alt.split("*"))
+                        for alt in dm.group("like").lower().split("|"))
+                    + ")$")
+                names = [n for n in names if pat.match(n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names], T.StructType(
+                    [T.StructField("namespace", T.StringType(), False)]))
         m = re.match(
             r"^\s*SHOW\s+TABLES"
             r"(?:\s+(?:IN|FROM)\s+(?P<db>[\w.`]+))?"
@@ -1958,6 +2105,10 @@ class MergeSqlRunner:
                 "SHOW CREATE TABLE <t>")
         db = None if m.group("db") is None else \
             self._norm_ident(m.group("db"))
+        if db is None:
+            # under USE <db>, a bare SHOW TABLES lists the current
+            # database (Spark/Athena behavior); without one, all
+            db = self._current_db
         pat = None
         if m.group("like") is not None:
             pat = re.compile(
