@@ -2115,6 +2115,39 @@ def test_use_database_resolution(spark, tmp_path):
             r.sql("SHOW TABLES IN db1").collect()] == ["scoped", "t", "u"]
 
 
+def test_create_database_over_implied_namespace_persists(spark, tmp_path):
+    """Advisor r12: CREATE DATABASE [IF NOT EXISTS] over a namespace
+    that exists only IMPLIED by a registered db.* table must still
+    record the explicit creation — otherwise the database silently
+    vanishes when the last table under it is deregistered and a later
+    USE fails."""
+    r = MergeSqlRunner(spark)
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["k"],
+                         partition_col=None)
+    t.create(spark.createDataFrame([(1, 10)], "k long, v int"))
+    r.register("impl.t", t)
+    # implied-only namespace shows, but is not yet an explicit database
+    assert [x["namespace"] for x in r.sql("SHOW DATABASES").collect()] \
+        == ["impl"]
+    r.sql("CREATE DATABASE IF NOT EXISTS impl")  # promote to explicit
+    r._tables.pop("impl.t")  # deregister the last implied table
+    # the explicitly created database survives, and USE still resolves
+    assert [x["namespace"] for x in r.sql("SHOW DATABASES").collect()] \
+        == ["impl"]
+    r.sql("USE impl")
+    r.sql("DROP DATABASE impl")
+
+    # plain CREATE over an implied-only namespace promotes too (an
+    # implied namespace is registry shadow, not a created database) —
+    # but a SECOND explicit create still raises
+    r.register("impl2.t", t)
+    r.sql("CREATE DATABASE impl2")
+    with pytest.raises(MergeSqlError, match="already exists"):
+        r.sql("CREATE DATABASE impl2")
+    r._tables.pop("impl2.t")
+    r.sql("USE impl2")
+
+
 def test_drop_database_restrict_and_cascade(spark, tmp_path):
     r = MergeSqlRunner(spark)
     t = ParquetLakeTable(spark, str(tmp_path / "t"), key_cols=["k"],

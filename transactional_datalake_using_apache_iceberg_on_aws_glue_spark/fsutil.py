@@ -75,9 +75,13 @@ def write_text_atomic(fs, path: str, content: str) -> None:
 
     data = content.encode()
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    # the tmp WRITE stays outside the fallback: a failing write (disk
+    # full, permissions) must propagate, not fall through to a
+    # truncating open of the FINAL path — that would tear the very
+    # committed pointer the temp+rename dance protects (advisor r12)
+    with fs.open_output_stream(tmp) as f:
+        f.write(data)
     try:
-        with fs.open_output_stream(tmp) as f:
-            f.write(data)
         fs.move(tmp, path)
     except (NotImplementedError, OSError):
         try:

@@ -1798,10 +1798,15 @@ class MergeSqlRunner:
         if m.group("verb").upper() == "CREATE":
             if m.group("mode"):
                 raise MergeSqlError("CASCADE/RESTRICT applies to DROP")
-            if db in self._namespaces():
+            if db in self._databases:
                 if m.group("ine"):
                     return
                 raise MergeSqlError(f"database {db!r} already exists")
+            # db absent OR present only as a namespace IMPLIED by
+            # registered db.* tables: record the EXPLICIT creation
+            # either way, so the database survives the last implied
+            # table being dropped/deregistered (advisor r12 — an
+            # implied namespace is registry shadow, not a created db)
             self._databases.add(db)
             return
         if db not in self._namespaces():
