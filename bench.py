@@ -56,17 +56,20 @@ HEADLINE = [
     "q21_exclusive_return_supplier",
     "q22_dormant_rich_customers",
     "topk_suppliers_per_nation",
-    "rollup_grouping_sets_lineitem",
-    "distinct_counts_lineitem",
+    # r13 registry consolidation (judge r12 #1): grouping_agg_report =
+    # rollup_grouping_sets_lineitem + cube + distinct_counts_lineitem;
+    # window_stats_orders = window_frames_orders + stats_percentiles;
+    # doc_fingerprints_tokens = winnowing_fingerprints + top_tokens
+    "grouping_agg_report",
     "events_json_daily_rollup",
     "events_sessionization",
-    "window_frames_orders",
+    "window_stats_orders",
     "events_asof_signup",
     "dedup_exact_documents",
     "doc_text_stats",
     "cosine_topk_bruteforce",
     "knn_per_label_centroid",
-    "winnowing_fingerprints",
+    "doc_fingerprints_tokens",
 ]
 
 #: approx_sketch_report timed PER FAMILY (r5 — the composite number hid

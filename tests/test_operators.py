@@ -566,3 +566,36 @@ def test_probe_media_headers_multimodal_operator(spark):
     assert got[4]["ok"] is False and got[4]["kind"] is None
     assert got[5]["ok"] is False
     assert all(got[i]["ok"] for i in (1, 2, 3))
+
+
+def test_media_fixture_deterministic_and_probe_matches_truth(spark, tmp_path,
+                                                             monkeypatch):
+    """r13: the generated media fixture (the oracle gate's input) is
+    deterministic — two builds yield identical values — and the byte
+    probe reproduces the generator's ground truth on every row,
+    including the corrupt payloads' dead-letter behavior."""
+    import transactional_datalake_using_apache_iceberg_on_aws_glue_spark.multimodal.fixtures as FX
+
+    rows_a = FX.media_rows()
+    rows_b = FX.media_rows()
+    assert rows_a == rows_b and len(rows_a) == 12 * FX.N_PER_KIND
+
+    # build into an isolated tempdir (don't touch the shared cache)
+    monkeypatch.setattr(FX.tempfile, "gettempdir", lambda: str(tmp_path))
+    path = FX.ensure_media_fixture()
+    assert path.startswith(str(tmp_path))
+    assert FX.ensure_media_fixture() == path  # idempotent
+
+    media = spark.read.parquet(path)
+    got = {r["media_id"]: r for r in
+           MM.media.probe_media_headers(media).collect()}
+    for t in rows_a:
+        g = got[t["media_id"]]
+        assert g["ok"] == (t["true_format"] is not None), t
+        assert g["detected_format"] == t["true_format"], t
+        assert g["kind"] == t["true_kind"], t
+        assert g["header_width"] == t["true_width"], t
+        assert g["header_height"] == t["true_height"], t
+        assert g["sample_rate"] == t["true_sample_rate"], t
+        assert g["channels"] == t["true_channels"], t
+        assert g["duration_ms"] == t["true_duration_ms"], t

@@ -43,7 +43,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERY_AMP = int(os.environ.get("SCALE_PROBE_QUERY_AMP", "10"))
 QUERIES = [
     "approx_sketch_report",
-    "winnowing_fingerprints",
+    "doc_fingerprints_tokens",
     "q5_local_supplier_volume",
     "q2_min_cost_supplier",
     "q21_exclusive_return_supplier",

@@ -41,6 +41,15 @@ def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect registration) and return the
     registry."""
-    from . import relational, events, text, vectors, llmops, scalars, lake  # noqa: F401
+    from . import (  # noqa: F401
+        events,
+        lake,
+        llmops,
+        multimodal,
+        relational,
+        scalars,
+        text,
+        vectors,
+    )
 
     return REGISTRY

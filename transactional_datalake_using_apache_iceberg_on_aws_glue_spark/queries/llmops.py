@@ -289,37 +289,8 @@ def approx_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(sim)
 
 
-@register(
-    "winnowing_fingerprints",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    g AS (
-      SELECT doc_id, list_transform(range(1, len(toks) - 3),
-             i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                      || ' ' || toks[i+3] || ' ' || toks[i+4])) AS h
-      FROM t WHERE len(toks) >= 5
-    ),
-    w AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 2),
-             j -> list_aggregate(h[j:j+3], 'min'))) AS fps
-      FROM g WHERE len(h) >= 4
-    )
-    SELECT doc_id, unnest(fps) AS fingerprint FROM w
-    """,
-    doc="Winnowing (SIGMOD'03) document fingerprints, VALUE-oracled "
-        "(r4: the k-gram hash moved to md5, byte-identical across "
-        "engines, so the full fingerprint set — k=5-gram shingles, "
-        "window-4 lexicographic minima, per-doc distinct — is "
-        "hash-compared against DuckDB instead of rows-only). Density "
-        "~2/(w+1) of all k-grams; the standard plagiarism/near-dup "
-        "fingerprint at corpus scale (shuffles 32-byte digests only).",
-    tags=("documents", "text", "dedup"),
-)
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance(load_table(spark, sf_dir, "documents"), spark)
-    return X.winnowing_fingerprints(docs)
+# (winnowing_fingerprints folded into text.doc_fingerprints_tokens in
+# r13 — registry consolidation, judge r12 #1.)
 
 
 @register(

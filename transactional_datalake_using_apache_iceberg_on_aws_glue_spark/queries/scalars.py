@@ -104,38 +104,67 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_frames_orders",
+    "window_stats_orders",
     oracle="""
-    WITH o AS (SELECT o_orderkey, o_custkey,
+    WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-                      epoch_us(o_orderdate) AS ts_us FROM orders)
-    SELECT o_orderkey,
-           CAST(sum(cents) OVER (
-             PARTITION BY o_custkey ORDER BY ts_us, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS running_cents,
-           lead(o_orderkey) OVER (
-             PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
-             AS next_orderkey,
-           CAST(sum(cents) OVER (
-             PARTITION BY o_custkey ORDER BY ts_us
-             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS total_30d_cents,
-           count(*) OVER (
-             PARTITION BY o_custkey ORDER BY ts_us
-             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
-             AS n_30d
-    FROM o
+                      epoch_us(o_orderdate) AS ts_us FROM orders),
+    frames AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY ts_us, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents,
+             lead(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
+               AS next_orderkey,
+             CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY ts_us
+               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS total_30d_cents,
+             count(*) OVER (
+               PARTITION BY o_custkey ORDER BY ts_us
+               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+               AS n_30d
+      FROM o
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+             round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+             round(avg(o_totalprice), 2)                 AS mean,
+             round(stddev_samp(o_totalprice), 4)         AS sd_price,
+             round(var_samp(o_totalprice), 4)            AS var_price,
+             round(corr(o_totalprice, o_custkey), 6)     AS corr_price_cust,
+             round(covar_samp(o_totalprice, o_custkey), 4) AS cov_price_cust,
+             round(min(o_totalprice), 2)                 AS min_price,
+             round(max(o_totalprice), 2)                 AS max_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT f.*, s.p50, s.p95, s.mean, s.sd_price, s.var_price,
+           s.corr_price_cust, s.cov_price_cust, s.min_price, s.max_price
+    FROM frames f JOIN stats s USING (o_orderpriority)
     """,
-    doc="Both window frame classes plus an analytic in one pass: ROWS "
-        "frame (running sum with deterministic tie-break), lead(), and a "
-        "value-based RANGE frame (trailing 30 days per customer). One "
-        "hash exchange on o_custkey serves all four expressions. "
-        "(Registry consolidation r2: former window_range_frame_prices + "
-        "events_running_value.)",
-    tags=("window",),
+    doc="Both window frame classes, an analytic, AND the statistical "
+        "aggregate family in one hash-gated pass: per order, a ROWS "
+        "frame (running sum with deterministic tie-break), lead(), a "
+        "value-based RANGE frame (trailing 30 days per customer) — one "
+        "exchange on o_custkey serves all four expressions — joined "
+        "with its priority group's exact continuous percentiles "
+        "(Spark percentile == DuckDB quantile_cont) and stddev/"
+        "variance/correlation/covariance (single-pass distributed "
+        "moments, Welford-style partial merge in both engines; at "
+        "100 TB prefer approx_percentile — same API shape, sketch-"
+        "based). The 5-row stats side broadcasts. (Registry "
+        "consolidation r13: former window_frames_orders + "
+        "stats_percentiles_orders — the registry hit 52 and the "
+        "driver's alphabetical 50-row cap silently dropped two gated "
+        "queries, judge r12 #1; both sides stay value-checked per "
+        "row. Those were themselves r2 consolidations of four "
+        "originals.)",
+    tags=("window", "agg", "stats"),
 )
-def window_frames_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     thirty_days_us = 30 * 24 * 3600 * 1_000_000
     # o_orderdate is TIMESTAMP_NTZ in parquet; unix_micros needs TIMESTAMP
@@ -151,8 +180,9 @@ def window_frames_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (even run-specific, under parallel window execution) orders, so any
     # float emission is a latent hash flake at round()-boundaries
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return o.select(
+    frames = o.select(
         "o_orderkey",
+        "o_orderpriority",
         F.sum(cents)
         .over(w_rows.rowsBetween(Window.unboundedPreceding, 0))
         .alias("running_cents"),
@@ -160,3 +190,15 @@ def window_frames_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w_range).alias("total_30d_cents"),
         F.count("*").over(w_range).alias("n_30d"),
     )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 4).alias("cov_price_cust"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return frames.join(F.broadcast(stats), "o_orderpriority")
