@@ -321,6 +321,55 @@ def _wait_for_quiet_box():
 EXT_CPU_GATE = float(os.environ.get("SPARK_GRAFT_EXT_CPU_GATE", "0.10"))
 
 
+def _spin_once() -> float:
+    """Fixed-work box-speed probe (r13): the r12->r13 investigations
+    both found UNIFORM ~1.3x inflation across queries untouched for
+    rounds, with near-zero same-kernel external CPU — i.e. the box
+    itself (host co-tenancy, steal, thermal) drifts between AND during
+    rounds. A deterministic single-thread integer loop gives readers a
+    code-independent denominator: headline / py_spin is comparable
+    across rounds even when raw seconds are not. Sampled at start and
+    after EVERY suite section — the observed slow phases are
+    transient, so endpoint-only sampling misses them."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i & 7
+    return round(time.perf_counter() - t0, 3)
+
+
+def _io_probe_mbps(size_mb: int = 128) -> float | None:
+    """Sequential write+fsync throughput probe — the suite is parquet-
+    heavy, so a throttled virtio disk inflates it uniformly while the
+    CPU spin stays fast (observed r13: loadavg 7 from D-state writeback
+    with zero runnable CPU consumers)."""
+    import tempfile
+
+    buf = b"\xa5" * (1 << 20)
+    try:
+        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir(),
+                                         delete=True) as f:
+            t0 = time.perf_counter()
+            for _ in range(size_mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            return round(size_mb / (time.perf_counter() - t0), 1)
+    except OSError:
+        return None
+
+
+def _steal_jiffies():
+    """Cumulative hypervisor steal jiffies (/proc/stat field 8) — CPU
+    taken by OTHER VMs on the host, invisible to loadavg and to the
+    same-kernel external-CPU guard. Reported as a run delta."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _cpu_snapshot():
     """(box_busy_jiffies, tree_jiffies, box_total_jiffies) — tree is
     this pid plus every /proc descendant (the py4j-spawned JVM and its
@@ -404,6 +453,9 @@ def main() -> None:
     # hot vs the uncontended rerun) — 1/5/15-min loadavg at start and
     # end lets a reader discount a contended run
     load_start, dirty, gate_waited = _wait_for_quiet_box()
+    spin_samples = [_spin_once()]
+    calibration: dict = {"io_write_mbps_start": _io_probe_mbps()}
+    steal_start = _steal_jiffies()
     # keep stdout clean for the driver's line-oriented parse: no
     # console progress bars interleaving with the JSON emission
     spark = build_session(
@@ -483,6 +535,7 @@ def main() -> None:
         if _run_guarded_section(sec_name, fn, section_fracs,
                                 (timings, minimums, row_counts)):
             sections_dirty.append(sec_name)
+        spin_samples.append(_spin_once())
     dirty = dirty or bool(sections_dirty)
 
     # result-sanity gates (r6/r7 brief): a silently-empty headline
@@ -496,6 +549,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()
+    calibration["io_write_mbps_end"] = _io_probe_mbps()
+    steal_end = _steal_jiffies()
+    if steal_start is not None and steal_end is not None:
+        calibration["steal_delta_jiffies"] = steal_end - steal_start
+    # box-degradation stamp: the same fixed workload measurably slower
+    # at ANY per-section sample than at the fastest means the box lost
+    # speed mid-run in a way neither loadavg nor same-kernel CPU
+    # accounting attributes (host co-tenancy, thermal, throttled
+    # virtio IO) — the run's numbers are not steady-state comparable,
+    # mark them dirty (r13: observed a 1.27x mid-run spin degradation
+    # with external_cpu_frac < 0.02 and zero steal)
+    calibration["py_spin20m_sec"] = spin_samples
+    spin_degrade = max(spin_samples) / max(min(spin_samples), 1e-9)
+    calibration["spin_degradation"] = round(spin_degrade, 3)
+    spin_gate = float(os.environ.get("SPARK_GRAFT_SPIN_DEGRADE_GATE",
+                                     "1.25"))
+    calibration["spin_degrade_gate"] = spin_gate
+    box_degraded = spin_degrade > spin_gate
+    calibration["box_degraded"] = box_degraded
+    dirty = dirty or box_degraded
     # stop Spark BEFORE emitting: nothing JVM-side (log4j console
     # appenders, Py4J tracebacks) can land on stdout after the
     # headline line the driver parses (r7 advice)
@@ -532,6 +605,11 @@ def main() -> None:
                 "external_cpu_frac": section_fracs,
                 "ext_cpu_gate": EXT_CPU_GATE,
                 "sections_dirty": sections_dirty,
+                # box-speed denominator + hypervisor steal across the
+                # run: normalize headline seconds by py_spin before
+                # comparing rounds (r13 — the box drifts ~1.3x between
+                # rounds with zero same-kernel contention)
+                "calibration": calibration,
                 "dirty": dirty,
             }
         ),
