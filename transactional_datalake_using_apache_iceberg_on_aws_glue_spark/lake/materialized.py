@@ -753,6 +753,11 @@ class MaterializedRollup:
         if rescan_flags:
             env = self._resolve_extremum_rescans(env, head)
 
+        # pin the (rollup-sized) merge envelope once: the emptiness
+        # probe below and the merge's own persist+actions otherwise
+        # each recompute the delta-state join (r13 opt — one fewer
+        # recompute per refresh/drain; env is O(changed groups))
+        env = env.localCheckpoint(eager=True)
         if env.isEmpty():
             # span with zero net effect (compaction / self-cancelling
             # churn): nothing to merge, just advance the cursor
@@ -1200,18 +1205,26 @@ class StreamingRollupMaintainer:
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         roll = self.rollup
-        if df.isEmpty():
+        # pin the micro-batch FIRST: every action re-plans (and
+        # re-reads) the Python Data Source, so the emptiness probe must
+        # run on the checkpointed frame — isEmpty-before-checkpoint
+        # paid a full second span read per batch (r13 opt: the drain's
+        # process_batch was 2 source reads, now 1; the batch is
+        # span-sized, not table-sized, so pinning an empty frame is
+        # as cheap as probing one)
+        df = df.localCheckpoint(eager=True)
+        # one action answers emptiness AND span bounds (the emptiness
+        # probe used to be its own job)
+        bounds = df.agg(F.count(F.lit(1)).alias("n"),
+                        F.min("_span_from").alias("lo"),
+                        F.max("_span_to").alias("hi"),
+                        F.max("_span_degraded").alias("deg")).first()
+        if not bounds["n"]:
             # empty span (or no commits): nothing to fold, and no rows
             # means no span metadata — the cursor stays; a later
             # non-empty batch carries its own span
             self._record("skipped", batch_id)
             return
-        # the micro-batch re-plans the Python Data Source per action;
-        # pin it once (it is span-sized, not table-sized)
-        df = df.localCheckpoint(eager=True)
-        bounds = df.agg(F.min("_span_from").alias("lo"),
-                        F.max("_span_to").alias("hi"),
-                        F.max("_span_degraded").alias("deg")).first()
         lo, hi = int(bounds["lo"]), int(bounds["hi"])
         degraded = bool(bounds["deg"])
         roll._acquire_lock()

@@ -202,7 +202,15 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
         gram = F.zip_with(gram, F.slice(toks, j + 1, size - (k - 1)),
                           lambda x, y: F.concat_ws(" ", x, y))
     hashed = F.transform(gram, lambda g: F.md5(g))
-    docs_h = docs.filter(size >= k).select(id_col, hashed.alias("_h"))
+    # both length gates expressed on the RAW token count: len(_h) =
+    # len(toks) - (k-1), so (len(toks) >= k AND len(_h) >= window) ==
+    # len(toks) >= k + window - 1. Filtering on size(_h) re-evaluated
+    # the whole gram-hash pipeline inside the filter that Catalyst
+    # pushes below the rebalance exchange — the md5 cascade ran TWICE,
+    # once serially in the single-split scan stage (r13 opt; guide
+    # §4.4's duplicated-expensive-expression trap, expression flavor).
+    docs_h = docs.filter(size >= k + window - 1).select(
+        id_col, hashed.alias("_h"))
     # window minima over the materialized (small) hash array; element_at
     # on a column reference is O(1) — the O(n^2) trap only bites when the
     # captured expression is itself expensive (a split/transform)
@@ -211,7 +219,5 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
     )
-    return (
-        docs_h.filter(F.size(F.col("_h")) >= window)
-        .select(id_col, F.explode(F.array_distinct(mins)).alias("fingerprint"))
-    )
+    return docs_h.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fingerprint"))

@@ -1220,6 +1220,7 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         # per-row pass re-checks survivors with the exact coerced
         # comparison — raw-unequal-but-coerced-equal rows (e.g.
         # pre-rename struct keys) still drop there, just later.
+        exact_vec = False
         if len(merged):
             both = (merged["_merge"] == "both").to_numpy()
             if both.any():
@@ -1239,6 +1240,14 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                     keep = keep | ne
                 if keep is not None:
                     merged = merged[keep]
+                    # every data column compared EXACTLY above, so the
+                    # surviving both-side rows are genuine updates —
+                    # the per-row coerced re-check cannot drop any
+                    # (raw-unequal scalars stay unequal under _coerce's
+                    # normalization; the un-vectorizable columns that
+                    # could differ — structs with renamed nested keys —
+                    # took the keep=None bail-out)
+                    exact_vec = True
         # VECTORIZED one-sided emission (r9 — the bootstrap batch is
         # 100% right_only rows, and per-value _coerce on every emitted
         # cell dominated the whole-table drain): without move
@@ -1258,6 +1267,24 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             if one_mask.any():
                 singles = merged[one_mask]
                 merged = merged[~one_mask]
+        # VECTORIZED update emission (r13 — profiling the localized-
+        # churn drain post-r9 showed the remaining diff cost was the
+        # per-row pipeline over the CHANGED rows: ~80 _coerce calls +
+        # image re-compare per update). When the prefilter compared
+        # every data column exactly (exact_vec) and no global
+        # resolution is in play, each surviving both-side row is by
+        # construction a genuine local update — its pre/post images
+        # emit through the same per-COLUMN converters the one-sided
+        # rows use, and the per-row pipeline receives nothing.
+        # DEGRADED batches keep the per-row path: the tombs loop needs
+        # merged_keys built from the per-row records.
+        updates = None
+        if (not moves_on and not partition.degraded and exact_vec
+                and len(merged)):
+            upd_mask = (merged["_merge"] == "both").to_numpy()
+            if upd_mask.any():
+                updates = merged[upd_mask]
+                merged = merged[~upd_mask]
         records = merged.to_dict(orient="records")
 
         def ktup(d):
@@ -1464,7 +1491,9 @@ class LakeChangeStreamReader(DataSourceStreamReader):
             yield from_winner(k, g_old) + ("delete",)
 
         # vectorized one-sided rows (split off above): inserts from
-        # the new side, deletes from the old side
+        # the new side, deletes from the old side; vectorized updates
+        # (r13) emit a preimage frame (when paired images are on) and
+        # a postimage frame through the same per-column converters
         if singles is not None:
             m_col = singles["_merge"].to_numpy()
             ins = singles[m_col == "right_only"]
@@ -1483,6 +1512,17 @@ class LakeChangeStreamReader(DataSourceStreamReader):
                 if len(dels):
                     yield from self._emit_one_sided(
                         dels, "_old", "delete", dtypes, partition.renames)
+        if updates is not None and len(updates):
+            upd_frames = []
+            if self.include_preimages:
+                upd_frames.append((updates, "_old", "update_preimage"))
+            upd_frames.append((updates, "_new", "update_postimage"))
+            for fr, side, kind in upd_frames:
+                if frames_out is not None:
+                    frames_out.append((fr, side, kind))
+                else:
+                    yield from self._emit_one_sided(
+                        fr, side, kind, dtypes, partition.renames)
 
     def _emit_one_sided(self, frame, side: str, kind: str,
                         dtypes: dict, renames):
