@@ -121,13 +121,24 @@ def harvest_stats(spark, files: list[str], root: str,
             bounds = {}
         return (part, fp[prefix_len:], bounds, nrows, nbytes)
 
-    sc = spark.sparkContext
-    slices = max(1, min(len(files), sc.defaultParallelism))
-    rows = (
-        sc.parallelize(sorted(files), slices)
-        .map(one_file)
-        .collect()
-    )
+    if len(files) <= 8:
+        # bounded driver fast path (r13 opt): a handful of footers is
+        # pure metadata (~KBs each) — reading them in-process skips a
+        # whole Spark job per COMMIT, which at small-batch merge rates
+        # (the rollup-maintenance tail, streaming micro-batches) was a
+        # measurable fixed cost. The executor fan-out below remains the
+        # path for real snapshots (the r1 rule — no unbounded per-file
+        # driver IO on the commit path — still holds: 8 footers is a
+        # constant, not O(snapshot)).
+        rows = [one_file(fp) for fp in sorted(files)]
+    else:
+        sc = spark.sparkContext
+        slices = max(1, min(len(files), sc.defaultParallelism))
+        rows = (
+            sc.parallelize(sorted(files), slices)
+            .map(one_file)
+            .collect()
+        )
     out: dict = {}
     for part, rel, bounds, nrows, nbytes in rows:
         entry = out.setdefault(
