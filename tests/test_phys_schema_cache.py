@@ -1,0 +1,134 @@
+"""Physical-schema cache for immutable slice dirs (r13 optimization):
+reads with the cached ``spark.read.schema(...)`` must be value-identical
+to schema-inference reads, for typed partition columns (int, timestamp)
+and the NULL partition, whether the cache was populated at write time
+or by a first inference read. The cache exists to skip the driver-side
+inference round trip per slice read — never to change results."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    ParquetLakeTable,
+)
+from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
+    table as table_mod,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _drop_cache_for(path: str) -> int:
+    """Evict every cache entry belonging to one table path; returns
+    how many were dropped (sanity: write must have populated some)."""
+    keys = [k for k in table_mod._PHYS_SCHEMA_CACHE if k[0] == path]
+    for k in keys:
+        table_mod._PHYS_SCHEMA_CACHE.pop(k)
+    return len(keys)
+
+
+def test_cached_read_matches_inference_int_partition(spark, tmp_path):
+    """Int-typed partition values incl. NULL: write-time cache entry,
+    inference entry, and raw inference all agree row-for-row."""
+    path = str(tmp_path / "t_int")
+    t = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="p")
+    df = spark.createDataFrame(
+        [(1, 7, 10.5), (2, 7, 11.5), (3, 8, 12.5), (4, None, 13.5)],
+        "k int, p int, v double",
+    )
+    t.create(df)
+    via_write_cache = _rows(t.read_data())
+
+    # populated at write time
+    assert _drop_cache_for(path) > 0
+
+    # first read after eviction: inference, then the entry it records
+    t2 = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="p")
+    via_inference = _rows(t2.read_data())
+    via_inference_cache = _rows(t2.read_data())
+
+    assert via_write_cache == via_inference == via_inference_cache
+    # schema (incl. the partition column's manifest type) is identical
+    assert dict(t.read_data().dtypes)["p"] == "int"
+
+
+def test_cached_read_matches_inference_timestamp_partition(spark, tmp_path):
+    path = str(tmp_path / "t_ts")
+    t = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="day")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 12:30:00", "a"), (2, "2024-02-03 00:00:00", "b")],
+        "k int, day string, v string",
+    ).select("k", F.col("day").cast("timestamp").alias("day"), "v")
+    t.create(df)
+    via_write_cache = _rows(t.read_data())
+    assert _drop_cache_for(path) > 0
+    t2 = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="day")
+    assert _rows(t2.read_data()) == via_write_cache
+    assert dict(t2.read_data().dtypes)["day"] == "timestamp"
+
+
+def test_cache_survives_merge_and_stays_correct(spark, tmp_path):
+    """A COW merge writes a new snapshot dir (new cache entry); reads
+    before/after eviction agree — the merge path's partition pruning
+    and resolver run identically on cached and inferred schemas."""
+    path = str(tmp_path / "t_m")
+    t = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="p")
+    t.create(spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "k int, p string, v double"))
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+        OP_TS_COL,
+        TXN_COL,
+    )
+    batch = spark.createDataFrame(
+        [(2, "y", 20.0, "update", "2024-01-02 00:00:00", 5),
+         (3, "x", 3.0, "insert", "2024-01-02 00:00:00", 6)],
+        f"k int, p string, v double, {OP_COL} string, "
+        f"ts string, {TXN_COL} long",
+    ).select("k", "p", "v", OP_COL,
+             F.col("ts").cast("timestamp").alias(OP_TS_COL), TXN_COL)
+    t.merge(batch)
+    cached = _rows(t.read_data())
+    assert _drop_cache_for(path) > 0
+    t2 = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="p")
+    assert _rows(t2.read_data()) == cached
+    assert {r[0] for r in cached} == {1, 2, 3}
+    assert dict((r[0], r[2]) for r in cached)[2] == 20.0
+
+
+def test_merge_with_known_rows_matches_counted_merge(spark, tmp_path):
+    """``merge(batch_rows=n)`` (caller-supplied count, r13: lets the
+    IVM envelope skip every counting job) must land exactly the same
+    state as the self-counting merge — including when the count puts
+    the batch on the broadcast-resolver side of the gate."""
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+        OP_TS_COL,
+        TXN_COL,
+    )
+
+    def mk(path):
+        t = ParquetLakeTable(spark, path, key_cols=["k"],
+                             partition_col=None)
+        t.create(spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k int, v double"))
+        return t
+
+    batch = spark.createDataFrame(
+        [(1, 100.0, "update", "2024-01-02 00:00:00", 5),
+         (60, 60.0, "insert", "2024-01-02 00:00:00", 6),
+         (2, 0.0, "delete", "2024-01-02 00:00:00", 7)],
+        f"k int, v double, {OP_COL} string, ts string, {TXN_COL} long",
+    ).select("k", "v", OP_COL,
+             F.col("ts").cast("timestamp").alias(OP_TS_COL), TXN_COL)
+
+    ta = mk(str(tmp_path / "a"))
+    ta.merge(batch)
+    tb = mk(str(tmp_path / "b"))
+    tb.merge(batch, batch_rows=3)
+    assert _rows(ta.read_data()) == _rows(tb.read_data())
+    state = {r[0]: r[1] for r in tb.read_data().collect()}
+    assert state[1] == 100.0 and 2 not in state and state[60] == 60.0

@@ -72,7 +72,7 @@ import os
 import time
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..constants import OP_COL, OP_TS_COL, TXN_COL
@@ -308,11 +308,20 @@ class MaterializedRollup:
         env = env.withColumn(
             OP_TS_COL, F.timestamp_seconds(F.lit(head)),
         ).withColumn(TXN_COL, F.lit(head).cast("long"))
+        # pin the rollup-sized envelope (cheap: `fresh` above is
+        # already checkpointed) and ride the row count on the pin's
+        # own job — emptiness and the merge's broadcast gate then
+        # launch no counting jobs (r13 opt, same shape as _merge_delta)
+        obs = Observation()
+        env = env.observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        ).localCheckpoint(eager=True)
+        n_env = int(obs.get["rows"])
         # fencing: the full GROUP BY above is the slow part of a
         # rebuild — verify the lock is still ours before side effects
         self._assert_lock_owned()
-        if not env.isEmpty():
-            self.target.merge(env)
+        if n_env:
+            self.target.merge(env, batch_rows=n_env)
         if head > self.feed.position():
             self.feed.commit(head)
         self._clear_intent()
@@ -658,11 +667,13 @@ class MaterializedRollup:
         base_v = self.target.current_version()
         self._write_intent({"from": pos, "to": head,
                             "rollup_base": base_v})
-        # materialize the (rollup-sized) delta once: the snapshot diff
-        # behind it is the expensive part, and it is consumed three
-        # times below (join plan, isEmpty probe, merge execution)
-        delta = self._signed_delta(pos, head).localCheckpoint(eager=True)
-        self._merge_delta(delta, head)
+        # delta stays LAZY: _merge_delta references it exactly once
+        # (inside the env join) and pins the joined envelope eagerly,
+        # so the span diff behind the delta executes in that single
+        # materializing job — a separate checkpoint here would run it
+        # twice (r13 opt; the pre-env-pin code consumed delta three
+        # times and did need its own checkpoint)
+        self._merge_delta(self._signed_delta(pos, head), head)
 
     def _apply_stream_batch(self, ch: DataFrame, pos: int,
                             head: int) -> None:
@@ -673,8 +684,9 @@ class MaterializedRollup:
         base_v = self.target.current_version()
         self._write_intent({"from": pos, "to": head,
                             "rollup_base": base_v})
-        delta = self._signed_fold(ch).localCheckpoint(eager=True)
-        self._merge_delta(delta, head)
+        # lazy for the same reason as _apply: the fold is consumed
+        # once, inside the envelope _merge_delta pins
+        self._merge_delta(self._signed_fold(ch), head)
 
     def _merge_delta(self, delta: DataFrame, head: int) -> None:
         """Join a signed per-group delta against current rollup state
@@ -756,9 +768,17 @@ class MaterializedRollup:
         # pin the (rollup-sized) merge envelope once: the emptiness
         # probe below and the merge's own persist+actions otherwise
         # each recompute the delta-state join (r13 opt — one fewer
-        # recompute per refresh/drain; env is O(changed groups))
-        env = env.localCheckpoint(eager=True)
-        if env.isEmpty():
+        # recompute per refresh/drain; env is O(changed groups)). The
+        # row count rides the checkpoint's own materializing job as an
+        # Observation metric, so emptiness AND the merge's broadcast
+        # gate are answered with ZERO extra jobs (r13 opt: was an
+        # isEmpty job here + a bounded-count job inside merge).
+        obs = Observation()
+        env = env.observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        ).localCheckpoint(eager=True)
+        n_env = int(obs.get["rows"])
+        if n_env == 0:
             # span with zero net effect (compaction / self-cancelling
             # churn): nothing to merge, just advance the cursor
             self._assert_lock_owned()
@@ -769,7 +789,7 @@ class MaterializedRollup:
         # this maintainer stalled long enough for its lock to be
         # stolen, abort HERE, before the first side effect
         self._assert_lock_owned()
-        self.target.merge(env)
+        self.target.merge(env, batch_rows=n_env)
         self.feed.commit(head)
         self._clear_intent()
 

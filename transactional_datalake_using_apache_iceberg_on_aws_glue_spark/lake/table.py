@@ -93,6 +93,54 @@ _SRC = "_is_source"
 _SEQ = "_commit_seq"
 #: pseudo-partition key used in manifests of unpartitioned tables
 _ALL = "__ALL__"
+
+#: physical-schema cache for immutable slice directories, keyed
+#: (table path, dirname) -> (partition col the dir was written under,
+#: full read schema). Snapshot/delta dirs are write-once
+#: (``_next_dirname`` never reuses a name; compaction and expiry
+#: create/delete whole dirs), so an entry can never go stale. Passing
+#: the cached schema to ``spark.read.schema(...)`` skips the
+#: driver-side footer/schema-inference round trip that otherwise costs
+#: ~0.1 s per slice read (r13, guide §1.2/§6: the IVM refresh and
+#: merge paths re-assemble the same snapshot dirs several times per
+#: operation). The partition column is recorded as STRING — dir-name
+#: values parse verbatim and the manifest-schema conform cast (already
+#: applied to every column) re-types them, so the cached schema is
+#: independent of which partition-value subset a read prunes to.
+#: Bounded LRU: entries evict oldest-first past the cap.
+_PHYS_SCHEMA_CACHE: dict = {}
+_PHYS_SCHEMA_CACHE_CAP = 512
+
+
+def _phys_schema_put(key: tuple, partition_col: str,
+                     schema: T.StructType) -> None:
+    if key in _PHYS_SCHEMA_CACHE:
+        _PHYS_SCHEMA_CACHE.pop(key)
+    _PHYS_SCHEMA_CACHE[key] = (partition_col, schema)
+    while len(_PHYS_SCHEMA_CACHE) > _PHYS_SCHEMA_CACHE_CAP:
+        _PHYS_SCHEMA_CACHE.pop(next(iter(_PHYS_SCHEMA_CACHE)))
+
+
+def _phys_schema_get(key: tuple, partition_col: str) -> T.StructType | None:
+    """Cached read schema for a slice dir, or None. The entry's
+    recorded spec must match the spec the caller is reading under —
+    a mismatch (shouldn't happen: the spec is a property of the dir)
+    falls back to inference rather than misreading."""
+    hit = _PHYS_SCHEMA_CACHE.get(key)
+    if hit is None or hit[0] != partition_col:
+        return None
+    return hit[1]
+
+
+def _phys_schema_from_df(df_schema: T.StructType,
+                         partition_col: str) -> T.StructType:
+    """Normalize a written/inferred schema into the cacheable read
+    schema: all-nullable data columns, partition column as string."""
+    fields = [T.StructField(f.name, f.dataType, True)
+              for f in df_schema.fields if f.name != partition_col]
+    if partition_col:
+        fields.append(T.StructField(partition_col, T.StringType(), True))
+    return T.StructType(fields)
 _VERSIONS_DIR = "_versions"
 
 #: sentinel distinguishing "parameter not passed" from an explicit None
@@ -305,6 +353,13 @@ def conform_expr(col: Column, src_type: T.DataType,
     top-level renames, so pre-rename files keep serving nested data
     under the new name. ``path`` is the dotted path of ``col`` itself
     (None disables nested resolution)."""
+    if src_type == dst_type:
+        # identity conformance (the common, no-evolution case): equal
+        # types need no rebuild and no rename walk (renames only
+        # matter when the physical name/type differs), and each
+        # avoided Cast saves two JVM round trips per column per slice
+        # read (r13, guide §1.2)
+        return col
     if isinstance(dst_type, T.StructType):
         if not isinstance(src_type, T.StructType):
             return F.lit(None).cast(dst_type)
@@ -898,6 +953,14 @@ class ParquetLakeTable:
         if self.partition_col:
             w = w.partitionBy(self.partition_col)
         w.parquet(dest)
+        # the writer knows the physical schema it just wrote — record
+        # it so the first read of this slice skips schema inference
+        # entirely (data columns keep the written types; the partition
+        # column parses from dir names as string, re-typed by the
+        # manifest conform cast downstream)
+        _phys_schema_put(
+            (self.path, dirname), self.partition_col or "",
+            _phys_schema_from_df(df.schema, self.partition_col or ""))
         return self._list_partition_dirs(dest)
 
     def _collect_key_stats(self, dirname: str, part_values: list[str]) -> dict:
@@ -951,13 +1014,28 @@ class ParquetLakeTable:
         if partition_col is _UNSET:
             partition_col = self.partition_col
         base = os.path.join(self.path, dirname)
+        cache_key = (self.path, dirname)
+        cached = _phys_schema_get(cache_key, partition_col or "")
+        reader = self.spark.read
+        if cached is not None:
+            # slice dirs are immutable: the recorded physical schema
+            # skips the per-read schema-inference round trip
+            reader = reader.schema(cached)
         if not partition_col:
-            df = self.spark.read.parquet(base)
+            df = reader.parquet(base)
         else:
             leaves = [
                 os.path.join(base, f"{partition_col}={v}") for v in part_values
             ]
-            df = self.spark.read.option("basePath", base).parquet(*leaves)
+            df = reader.option("basePath", base).parquet(*leaves)
+        if cached is None:
+            # first contact with a slice this process didn't write
+            # (reopened table, other writer): remember what inference
+            # found, partition column normalized to string so the
+            # entry is partition-value-subset independent
+            _phys_schema_put(
+                cache_key, partition_col or "",
+                _phys_schema_from_df(df.schema, partition_col or ""))
         cols = []
         phys_types = {f.name: f.dataType for f in df.schema.fields}
         dtypes = dict(df.dtypes)
@@ -1452,7 +1530,13 @@ class ParquetLakeTable:
         fallback as ``_read_snapshot_slice``."""
         base = os.path.join(self.path, dirname)
         paths = [os.path.join(base, rel) for rel in relpaths]
-        df = self.spark.read.option("basePath", base).parquet(*paths)
+        hit = _PHYS_SCHEMA_CACHE.get((self.path, dirname))
+        reader = self.spark.read
+        if hit is not None:
+            # the entry records the dir's own spec — safe whichever
+            # spec the file list was planned under
+            reader = reader.schema(hit[1])
+        df = reader.option("basePath", base).parquet(*paths)
         cols = []
         phys_types = {f.name: f.dataType for f in df.schema.fields}
         for f in schema.fields:
@@ -3088,7 +3172,8 @@ class ParquetLakeTable:
                 out.add(p)
         return out
 
-    def merge(self, batch: DataFrame, commit_retries: int = 4) -> None:
+    def merge(self, batch: DataFrame, commit_retries: int = 4,
+              batch_rows: int | None = None) -> None:
         """Apply a deduped CDC batch (one row per key, carrying
         ``_op``/``_op_timestamp``/``_txn_id``).
 
@@ -3107,17 +3192,24 @@ class ParquetLakeTable:
         batch) and the loser's half-written snapshot dir is invisible
         (never referenced by a manifest; orphan GC reclaims it). Set
         ``commit_retries=0`` to surface ``CommitConflictError`` raw
-        (the multi-writer race tests pin the conflict itself)."""
+        (the multi-writer race tests pin the conflict itself).
+
+        ``batch_rows``: exact row count of ``batch`` when the caller
+        already knows it (e.g. an Observation resolved by the caller's
+        own materializing action) — the broadcast gates then launch no
+        counting job at all. Never an estimate: the gates size a driver
+        broadcast with it."""
         last: CommitConflictError | None = None
         for _ in range(commit_retries + 1):
             try:
                 self._sync_spec()  # write under the table's CURRENT spec
-                return self._merge_once(batch)
+                return self._merge_once(batch, known_rows=batch_rows)
             except CommitConflictError as e:
                 last = e
         raise last
 
-    def _merge_once(self, batch: DataFrame) -> None:
+    def _merge_once(self, batch: DataFrame,
+                    known_rows: int | None = None) -> None:
         batch = self._with_partition(batch)  # hidden-transform column
         if not self.exists():
             m0 = self._manifest()
@@ -3199,6 +3291,16 @@ class ParquetLakeTable:
         # recomputing (the reference recomputes per count(), SURVEY §4)
         already_persisted = batch.storageLevel.useMemory or batch.storageLevel.useDisk
         persisted = batch if already_persisted else batch.persist()
+        if known_rows is not None:
+            # the caller already counted the batch (its own Observation
+            # resolved on a materializing action): every gate below
+            # reads that number, zero counting jobs in the merge
+            try:
+                self._merge_cow(persisted, known_rows=known_rows)
+            finally:
+                if not already_persisted:
+                    persisted.unpersist()
+            return
         # batch row count rides the FIRST action (the partition-values
         # collect) as an Observation metric, so the broadcast gate in
         # _key_match_probe reads it for free instead of launching its
@@ -3607,7 +3709,8 @@ class ParquetLakeTable:
             return kept.unionByName(winners, allowMissingColumns=True)
         return kept.unionByName(winners.select(*kept.columns))
 
-    def _merge_cow(self, batch: DataFrame, batch_obs=None) -> None:
+    def _merge_cow(self, batch: DataFrame, batch_obs=None,
+                   known_rows: int | None = None) -> None:
         base_v = self.current_version()
         m0 = self._manifest()
 
@@ -3616,13 +3719,16 @@ class ParquetLakeTable:
         # the batch's partition values first, so the flag flips before
         # any consumer reads. Reading obs.get with no completed action
         # would BLOCK forever — the unpartitioned path never flips the
-        # flag and falls back to the bounded count instead.
+        # flag and falls back to the bounded count instead. A
+        # caller-supplied ``known_rows`` short-circuits everything.
         acted = {"yes": False}
 
         def batch_rows():
-            """Observed batch row count (None when no observation was
-            attached or no action has completed — callers fall back to
-            the bounded count)."""
+            """Batch row count — caller-supplied, else the Observation
+            metric (None when neither is available and no action has
+            completed — callers fall back to the bounded count)."""
+            if known_rows is not None:
+                return known_rows
             if batch_obs is None or not acted["yes"]:
                 return None
             try:

@@ -536,7 +536,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    # shuffle_hash: the planner's pruned-size estimate broadcasts the
+    # FULL lineitem (orderkey, shipdate) projection for this semi join
+    # — a serial driver hash build at bench scale, an OOM at fact
+    # scale. Partition both sides on l_orderkey instead (guide §3.1,
+    # same class as q3/q21; 0.89->0.66 s median, results identical).
+    li = _t(spark, sf_dir, "lineitem").hint("shuffle_hash")
     matched = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
@@ -1059,6 +1064,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_exclusive_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem", "supplier", "orders", "nation")
+    # SHUFFLE_HASH hints inside the subqueries: the static planner's
+    # column-pruned size estimate otherwise BROADCASTS the full
+    # lineitem key projection for the semi join (and the R-filtered
+    # one for the anti join) — single-threaded driver hash builds and
+    # a serial probe over the one-task l1 scan at bench scale, an OOM
+    # at fact scale. The hint survives the EXISTS->LeftSemi/LeftAnti
+    # rewrite and lands both joins as ShuffledHashJoin on l_orderkey
+    # across all cores (guide §3.1, same reasoning as q3; measured
+    # 0.73->0.51 s median, results bit-identical).
     return spark.sql(
         """
         SELECT s_name, count(*) AS numwait
@@ -1066,10 +1080,10 @@ def q21_exclusive_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
-          AND EXISTS (SELECT * FROM lineitem l2
+          AND EXISTS (SELECT /*+ SHUFFLE_HASH(l2) */ * FROM lineitem l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT * FROM lineitem l3
+          AND NOT EXISTS (SELECT /*+ SHUFFLE_HASH(l3) */ * FROM lineitem l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_returnflag = 'R')
