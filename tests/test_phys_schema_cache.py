@@ -132,3 +132,37 @@ def test_merge_with_known_rows_matches_counted_merge(spark, tmp_path):
     assert _rows(ta.read_data()) == _rows(tb.read_data())
     state = {r[0]: r[1] for r in tb.read_data().collect()}
     assert state[1] == 100.0 and 2 not in state and state[60] == 60.0
+
+
+def test_batch_merge_stats_matches_distinct_collect(spark, tmp_path):
+    """The unified one-job batch stats (r14: row count + collect_set
+    partition values + NULL flag + key min/max in a single aggregate)
+    must agree exactly with the per-piece jobs it replaced — typed
+    (int) partition values, the NULL partition, and key ranges — and
+    ``_affected_partitions`` must return the same list whether the
+    stats are precomputed or recomputed internally."""
+    path = str(tmp_path / "t_stats")
+    t = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="p")
+    t.create(spark.createDataFrame(
+        [(1, 7, 1.0), (2, 8, 2.0), (3, None, 3.0)],
+        "k int, p int, v double"))
+
+    batch = spark.createDataFrame(
+        [(10, 7, 10.0), (11, None, 11.0), (12, 9, 12.0)],
+        "k int, p int, v double")
+    stats = t._batch_merge_stats(batch)
+    # piece-wise ground truth, the old implementation's jobs
+    want_parts = {r[0] for r in batch.select("p").distinct().collect()}
+    agg = batch.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+    assert stats["rows"] == 3
+    assert stats["parts"] == want_parts  # includes None via the flag
+    assert stats["key_ranges"] == {"k": (agg["lo"], agg["hi"])}
+
+    assert (t._affected_partitions(batch, stats=stats)
+            == t._affected_partitions(batch))
+
+    # empty batch: no partitions, zero rows, NULL ranges
+    empty = batch.filter(F.lit(False))
+    es = t._batch_merge_stats(empty)
+    assert es["rows"] == 0 and es["parts"] == set()
+    assert es["key_ranges"] == {"k": (None, None)}

@@ -3065,17 +3065,55 @@ class ParquetLakeTable:
             return set()
         return set(m["base"].keys())
 
+    def _batch_merge_stats(self, batch: DataFrame) -> dict:
+        """Every scalar the COW merge planning needs from the batch, in
+        ONE aggregate job (r14; was a distinct-partition collect job
+        plus, when stats pruning engaged, a separate key-range agg job):
+        row count, distinct partition values (collect_set is bounded by
+        the table's partition count — the same cardinality the old
+        ``distinct().collect()`` shipped), and per-key-column min/max
+        for the manifest-stats overlap check. ``collect_set`` drops
+        NULLs, so a NULL-partition flag rides along explicitly."""
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if self.partition_col:
+            aggs.append(F.collect_set(self.partition_col).alias("_parts"))
+            aggs.append(
+                F.max(F.col(self.partition_col).isNull()).alias("_pnull"))
+        for c in self.key_cols:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+        row = batch.agg(*aggs).first()
+        parts = None
+        if self.partition_col:
+            parts = set(row["_parts"])
+            if row["_pnull"]:
+                parts.add(None)
+        return {
+            "rows": int(row["_n"]),
+            "parts": parts,
+            "key_ranges": {c: (row[f"_lo_{c}"], row[f"_hi_{c}"])
+                           for c in self.key_cols},
+        }
+
     def _affected_partitions(self, batch: DataFrame,
-                             batch_rows=None) -> list | None:
+                             batch_rows=None, stats: dict | None = None
+                             ) -> list | None:
         """Partition values whose files a COW merge must rewrite:
         partitions receiving batch rows plus partitions currently
         holding matched keys (a key may move across partitions on
         update — Iceberg finds this via file-level stats; we find it via
         a semi-join restricted to key+partition columns, then prune the
-        scan with IN)."""
+        scan with IN).
+
+        ``stats``: precomputed ``_batch_merge_stats`` dict — the merge
+        path passes it so this launches no job of its own; standalone
+        callers (tests, diagnostics) omit it and pay the one aggregate
+        job here instead."""
         if not self.partition_col:
             return None
-        batch_parts = {r[0] for r in batch.select(self.partition_col).distinct().collect()}
+        if stats is None:
+            stats = self._batch_merge_stats(batch)
+        batch_parts = stats["parts"]
         batch_enc = {_encode_part(v) for v in batch_parts}
         live_parts = self._live_partitions()
         if live_parts is not None and live_parts <= batch_enc:
@@ -3088,9 +3126,14 @@ class ParquetLakeTable:
         # write time) prune the probe the way Iceberg prunes data files:
         # a partition whose [min,max] per key column doesn't overlap the
         # batch's range cannot hold a matched key — skip scanning it.
-        candidates = self._stats_overlapping_partitions(batch, batch_enc, live_parts)
+        candidates = self._stats_overlapping_partitions(
+            batch, batch_enc, live_parts,
+            key_ranges=stats["key_ranges"])
         if not candidates:
             return sorted(batch_parts, key=_encode_part)
+        if batch_rows is None:
+            n = stats["rows"]
+            batch_rows = lambda: n  # noqa: E731 — probe gate, no job
         rows = self._key_match_probe(batch, candidates, batch_rows).collect()
         return sorted(batch_parts | {r[0] for r in rows}, key=_encode_part)
 
@@ -3138,21 +3181,30 @@ class ParquetLakeTable:
         )
 
     def _stats_overlapping_partitions(self, batch: DataFrame, batch_enc: set,
-                                      live_parts: set) -> set:
+                                      live_parts: set,
+                                      key_ranges: dict | None = None) -> set:
         """Live partitions (outside the batch's own) whose stored key
         ranges overlap the batch's key range — the only ones the probe
         semi-join must scan. Partitions without stats are kept
-        (unknown = unprunable)."""
+        (unknown = unprunable).
+
+        ``key_ranges``: ``{key_col: (lo, hi)}`` already computed by
+        ``_batch_merge_stats`` — passing it makes this jobless; without
+        it the batch pays one min/max aggregate here (standalone
+        callers only)."""
         stats = (self._manifest() or {}).get("stats", {})
         others = live_parts - batch_enc
         if not others:
             return set()
         if not any(p in stats for p in others):
             return others  # no stats at all — scan everything as before
-        agg = batch.agg(
-            *[F.min(c).alias(f"_lo_{c}") for c in self.key_cols],
-            *[F.max(c).alias(f"_hi_{c}") for c in self.key_cols],
-        ).collect()[0]
+        if key_ranges is None:
+            agg = batch.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in self.key_cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in self.key_cols],
+            ).collect()[0]
+            key_ranges = {c: (agg[f"_lo_{c}"], agg[f"_hi_{c}"])
+                          for c in self.key_cols}
         out = set()
         for p in others:
             ranges = (stats.get(p) or {}).get("cols", {})
@@ -3161,8 +3213,8 @@ class ParquetLakeTable:
                 if c not in ranges:
                     continue  # unknown bounds — cannot prune on this column
                 lo, hi = ranges[c]
-                blo = encode_stat_value(agg[f"_lo_{c}"])
-                bhi = encode_stat_value(agg[f"_hi_{c}"])
+                blo = encode_stat_value(key_ranges[c][0])
+                bhi = encode_stat_value(key_ranges[c][1])
                 if blo is None or bhi is None:
                     continue
                 if bhi < lo or blo > hi:
@@ -3291,25 +3343,8 @@ class ParquetLakeTable:
         # recomputing (the reference recomputes per count(), SURVEY §4)
         already_persisted = batch.storageLevel.useMemory or batch.storageLevel.useDisk
         persisted = batch if already_persisted else batch.persist()
-        if known_rows is not None:
-            # the caller already counted the batch (its own Observation
-            # resolved on a materializing action): every gate below
-            # reads that number, zero counting jobs in the merge
-            try:
-                self._merge_cow(persisted, known_rows=known_rows)
-            finally:
-                if not already_persisted:
-                    persisted.unpersist()
-            return
-        # batch row count rides the FIRST action (the partition-values
-        # collect) as an Observation metric, so the broadcast gate in
-        # _key_match_probe reads it for free instead of launching its
-        # own limit+1 count job per merge (judge finding r4: the
-        # planner should consume stats, not re-count)
-        obs = Observation()
-        observed = persisted.observe(obs, F.count(F.lit(1)).alias("rows"))
         try:
-            self._merge_cow(observed, batch_obs=obs)
+            self._merge_cow(persisted, known_rows=known_rows)
         finally:
             if not already_persisted:
                 persisted.unpersist()
@@ -3397,7 +3432,8 @@ class ParquetLakeTable:
         )
 
     def _mixed_spec_target(self, batch: DataFrame, m: dict,
-                           legacy_dirs: set, batch_rows=None):
+                           legacy_dirs: set, batch_rows=None,
+                           stats: dict | None = None):
         """COW target + manifest bookkeeping for a table holding slices
         from an OLDER partition spec (post ``evolve_partition_spec``,
         pre full migration). Returns ``(target_df, pop_tokens)`` or
@@ -3419,17 +3455,18 @@ class ParquetLakeTable:
         new_tokens = {tok: snap for tok, snap in m["base"].items()
                       if snap not in legacy_dirs}
 
-        batch_parts = {
-            r[0] for r in batch.select(self.partition_col).distinct().collect()
-        }
+        if stats is None:
+            stats = self._batch_merge_stats(batch)
+        batch_parts = stats["parts"]
         if not batch_parts:
             return None  # empty batch: nothing to merge
         batch_enc = {_encode_part(v) for v in batch_parts}
+        key_ranges = stats["key_ranges"]
 
         # new-spec partitions holding keys the batch matches
         # (independent of which legacy slices get absorbed)
         candidates = self._stats_overlapping_partitions(
-            batch, batch_enc, set(new_tokens))
+            batch, batch_enc, set(new_tokens), key_ranges=key_ranges)
         probe_vals = set()
         if candidates:
             probe_vals = {
@@ -3443,7 +3480,7 @@ class ParquetLakeTable:
         # space, a string collision with a batch value must not
         # exempt a slice from absorption)
         absorbed = self._stats_overlapping_partitions(
-            batch, set(), set(legacy_tokens))
+            batch, set(), set(legacy_tokens), key_ranges=key_ranges)
         while True:
             by_snap: dict[str, list[str]] = {}
             for tok in absorbed:
@@ -3709,32 +3746,27 @@ class ParquetLakeTable:
             return kept.unionByName(winners, allowMissingColumns=True)
         return kept.unionByName(winners.select(*kept.columns))
 
-    def _merge_cow(self, batch: DataFrame, batch_obs=None,
+    def _merge_cow(self, batch: DataFrame,
                    known_rows: int | None = None) -> None:
         base_v = self.current_version()
         m0 = self._manifest()
 
-        # the Observation metric resolves only after an action has run
-        # on the observed batch; the PARTITIONED paths always collect
-        # the batch's partition values first, so the flag flips before
-        # any consumer reads. Reading obs.get with no completed action
-        # would BLOCK forever — the unpartitioned path never flips the
-        # flag and falls back to the bounded count instead. A
-        # caller-supplied ``known_rows`` short-circuits everything.
-        acted = {"yes": False}
+        # every planning scalar the merge needs from the batch (row
+        # count, partition values, key ranges) comes from ONE aggregate
+        # job on the persisted batch (r14; was: a distinct-partition
+        # collect that doubled as the Observation-resolving action,
+        # plus a separate key-range agg when stats pruning engaged).
+        # A caller-supplied ``known_rows`` stays authoritative for the
+        # broadcast gates ("never an estimate" contract in merge()).
+        stats = self._batch_merge_stats(batch) if self.partition_col else None
 
         def batch_rows():
-            """Batch row count — caller-supplied, else the Observation
-            metric (None when neither is available and no action has
-            completed — callers fall back to the bounded count)."""
+            """Batch row count — caller-supplied, else from the unified
+            stats job (None only on the unpartitioned no-known-rows
+            path, where callers fall back to the bounded count)."""
             if known_rows is not None:
                 return known_rows
-            if batch_obs is None or not acted["yes"]:
-                return None
-            try:
-                return int(batch_obs.get["rows"])
-            except Exception:  # noqa: BLE001 — gate falls back, never fails
-                return None
+            return stats["rows"] if stats is not None else None
 
         cur_spec = _spec_dict(self.partition_col, self.partition_transform)
         legacy_dirs = {
@@ -3742,16 +3774,15 @@ class ParquetLakeTable:
             if _spec_dict(*self._slice_spec(m0, snap)) != cur_spec
         }
         pop_tokens: set | None
-        if self.partition_col:
-            acted["yes"] = True
         if legacy_dirs and self.partition_col:
             mixed = self._mixed_spec_target(batch, m0, legacy_dirs,
-                                            batch_rows)
+                                            batch_rows, stats=stats)
             if mixed is None:
                 return
             target, pop_tokens = mixed
         else:
-            parts = self._affected_partitions(batch, batch_rows)
+            parts = self._affected_partitions(batch, batch_rows,
+                                              stats=stats)
             target = self.read()
             if parts is not None:
                 # IN-list on the partition column -> parquet partition
