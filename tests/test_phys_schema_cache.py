@@ -166,3 +166,47 @@ def test_batch_merge_stats_matches_distinct_collect(spark, tmp_path):
     es = t._batch_merge_stats(empty)
     assert es["rows"] == 0 and es["parts"] == set()
     assert es["key_ranges"] == {"k": (None, None)}
+
+
+def test_conform_cols_cache_equivalence_and_invalidation(spark, tmp_path):
+    """The conform-expression cache (r14) must return row-identical
+    reads on hit vs cold, and a schema evolution (new column) must miss
+    the old entry and serve the evolved schema correctly."""
+    path = str(tmp_path / "t_cc")
+    t = ParquetLakeTable(spark, path, key_cols=["k"], partition_col="p",
+                         allow_schema_evolution=True)
+    t.create(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "k int, p string, v double"))
+
+    def drop_cc():
+        keys = [k for k in table_mod._CONFORM_COLS_CACHE
+                if t.path in k]
+        for k in keys:
+            table_mod._CONFORM_COLS_CACHE.pop(k)
+        return len(keys)
+
+    cold = _rows(t.read_data())
+    assert drop_cc() > 0, "read did not populate the conform cache"
+    cold2 = _rows(t.read_data())   # repopulates
+    warm = _rows(t.read_data())    # hits
+    assert cold == cold2 == warm
+
+    # additive evolution: new column arrives; the cache key embeds the
+    # manifest schema so the old entry cannot serve the new shape
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.constants import (
+        OP_COL,
+    )
+    from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake.table import (
+        OP_TS_COL,
+        TXN_COL,
+    )
+    batch = spark.createDataFrame(
+        [(4, "a", 4.0, "new", "insert", "2024-01-02 00:00:00", 9)],
+        f"k int, p string, v double, extra string, {OP_COL} string, "
+        f"ts string, {TXN_COL} long",
+    ).select("k", "p", "v", "extra", OP_COL,
+             F.col("ts").cast("timestamp").alias(OP_TS_COL), TXN_COL)
+    t.merge(batch)
+    got = {r["k"]: r["extra"] for r in t.read_data().collect()}
+    assert got[4] == "new" and got[1] is None

