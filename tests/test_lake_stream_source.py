@@ -50,7 +50,7 @@ def _drain(spark, table_path, ckpt, collected):
     q = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", ckpt
     ).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
 
 def test_stream_bootstrap_then_incremental_restart(spark, tmp_path):
@@ -228,7 +228,7 @@ def test_stream_survives_column_rename(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / "ck"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
     _drain_renamed()
     assert {k: a for (k, _, a) in got} == {
@@ -282,7 +282,7 @@ def test_stream_types_non_string_partition_column(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck_np"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream drain timed out (contended box?)"
     got = {r["id"]: r["bucket"] for r in rows}
     assert got == {1: 10, 2: 20, 3: 10}
     assert all(isinstance(r["bucket"], int) for r in rows)
@@ -325,6 +325,7 @@ def test_stream_mor_incremental_delta_to_delta(spark, tmp_path):
     assert got == [(3, "insert", 30)], got
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [91, 17])
 def test_stream_matches_read_changes_soak(spark, tmp_path, seed):
     """Randomized equivalence soak for the MOR live stream (r5; r6
@@ -465,7 +466,7 @@ def test_stream_move_check_limit_zero_falls_back(spark, tmp_path):
                      for r in df.collect()))
              .option("checkpointLocation", str(tmp_path / "ck_fb"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
     drain()  # bootstrap
     table.merge(spark.createDataFrame([(1, "b", 11)], R)
@@ -523,7 +524,7 @@ def test_stream_move_cap_forced_is_loud_and_converges(spark, tmp_path):
                        r["amount"]) for r in df.collect()]))
              .option("checkpointLocation", str(tmp_path / f"ck_{limit}"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
     drain(1)  # bootstrap: no old side, no move resolution, no flag
     assert move_cap_events(table.path) == []
@@ -586,6 +587,7 @@ def test_stream_move_cap_forced_is_loud_and_converges(spark, tmp_path):
     assert len(move_cap_events(table.path)) == 1
 
 
+@pytest.mark.soak
 def test_stream_schema_evolution_soak(spark, tmp_path):
     """r6: the stream under COLUMN DDL churn — rename, additive add,
     and integral widen interleaved with MOR CDC waves. Every drained
@@ -619,7 +621,7 @@ def test_stream_schema_evolution_soak(spark, tmp_path):
                  lambda df, b: got.extend(r.asDict() for r in df.collect()))
              .option("checkpointLocation", str(tmp_path / "ck_se"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
     drain()  # bootstrap consumed
     prev_v = table.current_version()
@@ -755,7 +757,7 @@ def test_stream_move_cap_degraded_still_emits_cross_partition_delete(
                       df.collect()]))
              .option("checkpointLocation", str(tmp_path / "ck"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
     drain()  # bootstrap
     # the wave: a cross-partition DELETE (key 1 lives in a, tombstone
@@ -839,7 +841,7 @@ def test_stream_arrow_emission_equals_row_emission(spark, tmp_path):
              .option("checkpointLocation",
                      str(tmp_path / f"ck_{arrow}"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
         return Counter(got)
 
     arrow, row = drain(True), drain(False)
@@ -893,7 +895,7 @@ def test_stream_arrow_emission_nested_types(spark, tmp_path):
                  lambda df, b: got.extend(keyfy(r) for r in df.collect()))
              .option("checkpointLocation", str(tmp_path / f"nck_{arrow}"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
         return Counter(got)
 
     wave([(1, ("ber", 7), [1, 2], "insert"),

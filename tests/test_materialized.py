@@ -147,6 +147,7 @@ def test_rollup_crash_between_merge_and_cursor_is_exactly_once(
     assert _got(roll2) == expect
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [5])
 def test_rollup_randomized_equivalence_soak(spark, tmp_path, seed):
     """Random DML waves with refreshes at random strides (some spans
@@ -285,6 +286,7 @@ def test_rebuild_crash_between_merge_and_cursor_is_exactly_once(
     assert _got(roll2) == _expected(state)
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [11])
 def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
     """IVM riding every other table axis at once: random DML
@@ -430,6 +432,7 @@ def test_rollup_ddl_gc_rollback_soak(spark, tmp_path, seed):
     assert got == expect
 
 
+@pytest.mark.soak
 def test_rollup_rides_dml_ddl_soak(spark, tmp_path):
     """The IVM rollup as a rider on the 210-statement DML×DDL soak
     (test_dml_ddl_soak.py): at every periodic model checkpoint the
@@ -875,6 +878,7 @@ def test_minmax_rescan_scope_plan_both_regimes(spark, tmp_path):
     assert roll._rescan_regime == "semijoin"
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("seed", [20260816])
 def test_minmax_randomized_equivalence_soak(spark, tmp_path, seed):
     """Randomized DML waves against a MIN/MAX+SUM rollup: after every

@@ -409,7 +409,7 @@ def test_live_stream_reads_through_cross_process_race(spark, tmp_path, seed):
                        r["amount"]) for r in df.collect()]))
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        assert q.awaitTermination(240), "stream drain timed out (contended box?)"
 
     # drain LIVE while the writers race (each drain snapshots CURRENT
     # mid-commit-storm), then settle with final drains
