@@ -176,10 +176,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5 shape: 6-way join. region/nation/supplier are broadcast "
-        "(small dims — no shuffle); only orders⋈lineitem shuffles. At "
-        "100 TB the two fact shuffles dominate; everything else is "
-        "map-side.",
+    doc="TPC-H Q5 shape: 6-way join. The ASIA nation set joins to "
+        "CUSTOMER first (equivalent to joining it via supplier because "
+        "the supplier join requires c_nationkey = s_nationkey), cutting "
+        "every downstream join input ~5x before any fact work; the "
+        "lineitem join is a deliberate SHUFFLE_HASH (the planner's "
+        "estimate-driven fact broadcast is an OOM class at 100 TB).",
     tags=("join", "broadcast"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,15 +191,27 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # inner joins force c_nationkey = s_nationkey = n_nationkey, so the
+    # nation/region dims attach to CUSTOMER up front (row-identical to
+    # attaching them via supplier; r14 A/B: med 1.57 -> 1.27 s) and
+    # non-ASIA customers never reach the orders/lineitem joins
+    nation_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        cust.join(F.broadcast(nation_asia),
+                  cust.c_nationkey == nation.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        # SHUFFLE_HASH on the ASIA-filtered cust⋈orders side: without
+        # it the planner broadcasts the 600k-row lineitem projection
+        # (driver-built hash relation — the same wrong-estimate hazard
+        # class as q3/q21, fixed r13); hinting the FILTERED side makes
+        # it the per-partition build, the smaller of the two at any SF
+        .hint("shuffle_hash")
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(_revenue_cents()).alias("revenue_cents"))
     )
