@@ -142,8 +142,35 @@ def test_empty_batch_noop(spark, tmp_path):
     table = _table(spark, tmp_path)
     apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
     before = _state(table)
+    v = table.current_version()
     apply_cdc_batch(_envelope_df(spark, []), table)
     assert _state(table) == before
+    # r14: the existing-COW path answers emptiness from the merge's own
+    # planning aggregate (no isEmpty probe job) — and must not commit
+    assert table.current_version() == v
+
+
+def test_empty_batch_noop_unpartitioned(spark, tmp_path):
+    """r14: the unpartitioned COW merge resolves emptiness via its
+    bounded count and must neither rewrite the table nor commit (before
+    the n == 0 early return it would have 'resolved' an unchanged
+    target into a brand-new full snapshot)."""
+    table = ParquetLakeTable(spark, str(tmp_path / "t_unpart"),
+                             key_cols=["trans_id"], partition_col=None)
+    apply_cdc_batch(_envelope_df(spark, fixtures.insert_only_envelopes()), table)
+    before = _state(table)
+    v = table.current_version()
+    apply_cdc_batch(_envelope_df(spark, []), table)
+    assert _state(table) == before
+    assert table.current_version() == v
+    # direct merge of an empty deduped batch no-ops too
+    from pyspark.sql import functions as F
+    empty = (table.read_data().limit(0)
+             .withColumn("_op", F.lit("insert"))
+             .withColumn("_op_timestamp", F.lit(None).cast("timestamp"))
+             .withColumn("_txn_id", F.lit(None).cast("long")))
+    table.merge(empty)
+    assert table.current_version() == v
 
 
 def test_delete_then_reinsert_same_key(spark, tmp_path):

@@ -62,7 +62,14 @@ def apply_cdc_batch(envelopes: DataFrame, table: ParquetLakeTable, batch_id: int
     """
     from .envelope import CORRUPT_COL
 
-    if envelopes.isEmpty():  # P6 guard, once, without recomputing lineage
+    # P6 guard — but only where the merge cannot answer emptiness for
+    # free: an existing-table COW merge's own planning aggregate counts
+    # the persisted batch and no-ops on zero rows before any write or
+    # commit (r14; the limit-1 probe here was a fixed job on every
+    # steady-state merge). The create and MOR paths write files before
+    # they count, so they keep the explicit probe.
+    if ((table.merge_mode == "mor" or not table.exists())
+            and envelopes.isEmpty()):
         return {"n_rows": 0, "n_upserts": 0, "n_deletes": 0} if return_stats else None
     if CORRUPT_COL in envelopes.columns:
         # malformed JSON (corrupt col set) AND schema-foreign messages

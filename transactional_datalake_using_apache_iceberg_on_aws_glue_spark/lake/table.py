@@ -3163,6 +3163,11 @@ class ParquetLakeTable:
             return None
         if stats is None:
             stats = self._batch_merge_stats(batch)
+        if stats["rows"] == 0:
+            # empty batch touches nothing — skip the key-match probe
+            # (it would scan candidate target partitions against an
+            # empty key set); the merge no-ops on the empty list (r14)
+            return []
         batch_parts = stats["parts"]
         batch_enc = {_encode_part(v) for v in batch_parts}
         live_parts = self._live_partitions()
@@ -3857,6 +3862,14 @@ class ParquetLakeTable:
             # limit+1 rows of the persisted batch
             n = (batch.select(self.key_cols[0])
                  .limit(self.broadcast_key_limit + 1).count())
+        if n == 0:
+            # empty batch: nothing to resolve, write, or commit. The
+            # partitioned path above already returned via parts == [];
+            # without this the unpartitioned path would "resolve" an
+            # unchanged target and rewrite the whole table as a new
+            # snapshot. Also what lets apply_cdc_batch skip its
+            # per-merge isEmpty probe on existing COW tables (r14).
+            return
         # the resolver broadcasts keys + lineage ONLY (never row
         # images), so the bytes gate prices just those columns
         meta_bytes = self._approx_row_bytes(T.StructType(
