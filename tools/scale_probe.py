@@ -256,6 +256,7 @@ def query_probe(spark) -> dict:
     # not a claim — both the static plan and the AQE-final plan after
     # the last timed run.
     plan_queries = {"q3_shipping_priority", "q4_order_priority",
+                    "q5_local_supplier_volume",  # r14 ASIA-first + SHJ
                     "q21_exclusive_return_supplier"}
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "plans", "r14")
